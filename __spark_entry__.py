@@ -1,38 +1,253 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship QC pipeline (LongQC sampleqc transplant,
+SURVEY.md §3.1) on the sf0.001 documents table. ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each (same column aliases, order-insensitive).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from longqc_spark.operators import relational as R  # noqa: E402
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """QC pipeline over sf0.001 documents → per-source keep/drop summary."""
+    from longqc_spark.config import DRIVER_DOCS_CONFIG
+    from longqc_spark.pipeline import qc_pipeline
+
+    docs = _read(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "source_tag", F.col("source")
+    )
+    labels = qc_pipeline(docs, cfg=DRIVER_DOCS_CONFIG, key_cols=["doc_id", "source_tag"])
+    return (
+        labels.groupBy("source_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_keep"),
+            F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+            F.avg("perplexity").alias("avg_perplexity"),
+            F.sum("pii_match_count").alias("n_pii"),
+        )
+        .orderBy("source_tag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator queries (SURVEY.md §2 ids in comments) + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def q_length_stats(spark: SparkSession, sf: str) -> DataFrame:  # A1
+    return R.length_stats(_read(spark, sf, "documents"), "n_chars", "source")
+
+
+def q_n50(spark: SparkSession, sf: str) -> DataFrame:  # A2/W1/O1
+    return R.nxx(_read(spark, sf, "documents"), "n_chars", [0.5, 0.9])
+
+
+def q_binned_median(spark: SparkSession, sf: str) -> DataFrame:  # A9
+    return R.binned_median(_read(spark, sf, "lineitem"), "l_extendedprice", "l_quantity", 10.0)
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:  # A11
+    return R.histogram(_read(spark, sf, "orders"), "o_totalprice", 10000.0)
+
+
+def q_rule_fractions(spark: SparkSession, sf: str) -> DataFrame:  # A4/F1
+    docs = _read(spark, sf, "documents")
+    return R.count_if_fractions(
+        docs,
+        "lang",
+        {
+            "frac_short": F.col("n_chars") < 150,
+            "frac_long": F.col("n_chars") > 400,
+            "frac_nonen": F.col("lang") != "en",
+        },
+    )
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:  # J1/F2/SE2
+    ev = _read(spark, sf, "events")
+    blocklist = _read(spark, sf, "customer").filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    kept = R.control_anti_join(ev, blocklist, "user_id")
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+def q_union_split(spark: SparkSession, sf: str) -> DataFrame:  # SE1/F6
+    docs = _read(spark, sf, "documents")
+    short = docs.filter(F.col("n_chars") < 200).withColumn("bucket_tag", F.lit("short"))
+    long_ = docs.filter(F.col("n_chars") >= 200).withColumn("bucket_tag", F.lit("long"))
+    return (
+        short.unionByName(long_)
+        .groupBy("bucket_tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("bucket_tag")
+    )
+
+
+def q_topk_tokens(spark: SparkSession, sf: str) -> DataFrame:  # A15/O5
+    docs = _read(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return R.top_k(toks, ["token"], 20)
+
+
+def q_event_gaps(spark: SparkSession, sf: str) -> DataFrame:  # W3
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
+    return R.lag_gaps(ev, "user_id", "ts")
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (exact)
+    docs = _read(spark, sf, "documents")
+    per_text = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_text.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") - 1).alias("n_duplicates"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:  # text: token counting
+    docs = _read(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_alpha_frac(spark: SparkSession, sf: str) -> DataFrame:  # M2 analog / quality score
+    docs = _read(spark, sf, "documents")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    return docs.select(
+        "doc_id",
+        (alpha.cast("double") / F.length("text")).alias("alpha_frac"),
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "length_stats": q_length_stats,
+        "n50": q_n50,
+        "binned_median": q_binned_median,
+        "histogram": q_histogram,
+        "rule_fractions": q_rule_fractions,
+        "anti_join": q_anti_join,
+        "union_split": q_union_split,
+        "topk_tokens": q_topk_tokens,
+        "event_gaps": q_event_gaps,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "alpha_frac": q_alpha_frac,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "length_stats": """
+            SELECT source, count(*) AS n, sum(n_chars) AS total_len,
+                   max(n_chars) AS max_len, avg(n_chars) AS avg_len
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "n50": """
+            WITH cum AS (
+                SELECT n_chars AS len,
+                       sum(n_chars) OVER (ORDER BY n_chars DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM documents
+            ), tot AS (SELECT sum(n_chars) AS t FROM documents)
+            SELECT 50 AS pct, max(len) AS nxx FROM cum, tot WHERE cum >= t * 0.5
+            UNION ALL
+            SELECT 90 AS pct, max(len) AS nxx FROM cum, tot WHERE cum >= t * 0.9
+            ORDER BY pct
+        """,
+        "binned_median": """
+            SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   quantile_cont(l_extendedprice, 0.5) AS med,
+                   quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem GROUP BY 1 ORDER BY bucket
+        """,
+        "histogram": """
+            SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin, count(*) AS n
+            FROM orders GROUP BY 1 ORDER BY bin
+        """,
+        "rule_fractions": """
+            SELECT lang, count(*) AS n,
+                   count(*) FILTER (WHERE n_chars < 150) * 1.0 / count(*) AS frac_short,
+                   count(*) FILTER (WHERE n_chars > 400) * 1.0 / count(*) AS frac_long,
+                   count(*) FILTER (WHERE lang <> 'en') * 1.0 / count(*) AS frac_nonen
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "anti_join": """
+            SELECT event_type, count(*) AS n FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_acctbal < 0 AND c.c_custkey = e.user_id
+            )
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "union_split": """
+            SELECT bucket_tag, count(*) AS n, sum(n_chars) AS total_chars FROM (
+                SELECT 'short' AS bucket_tag, n_chars FROM documents WHERE n_chars < 200
+                UNION ALL
+                SELECT 'long' AS bucket_tag, n_chars FROM documents WHERE n_chars >= 200
+            ) GROUP BY bucket_tag ORDER BY bucket_tag
+        """,
+        "topk_tokens": """
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "event_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events WHERE user_id < 100
+            )
+            SELECT user_id, count(*) AS n_gaps, avg(gap) AS avg_gap, max(gap) AS max_gap
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id
+        """,
+        "exact_dedup": """
+            WITH per_text AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+            SELECT count(*) AS n_distinct_texts, sum(n) AS n_docs,
+                   sum(n - 1) AS n_duplicates
+            FROM per_text
+        """,
+        "token_counts": """
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "alpha_frac": """
+            SELECT doc_id,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / length(text) AS alpha_frac
+            FROM documents ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,95 @@
+"""Benchmark harness (driver contract, TESTDATA.md / BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", plus docs/sec throughput extras}.
+
+The QC pipeline is also timed on the self-generated Common-Crawl-style
+corpus (100k docs, deterministic seed) — the shape BASELINE.json's
+north_rule grades. Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by tools/bench_scaling.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from longqc_spark.config import DRIVER_DOCS_CONFIG  # noqa: E402
+from longqc_spark.corpus import write_corpus  # noqa: E402
+from longqc_spark.pipeline import qc_pipeline  # noqa: E402
+from longqc_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DATA_CC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data_cc")
+
+BENCH_QUERIES = (
+    "length_stats",
+    "n50",
+    "binned_median",
+    "histogram",
+    "rule_fractions",
+    "anti_join",
+    "union_split",
+    "topk_tokens",
+    "event_gaps",
+    "exact_dedup",
+)
+
+
+def main() -> None:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("longqc-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # -- QC pipeline over the driver documents table (docs/sec headline) --
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    t0 = time.time()
+    qc_pipeline(docs, cfg=DRIVER_DOCS_CONFIG, key_cols=["doc_id"]).agg(
+        F.count(F.lit(1)), F.count_if(F.col("keep"))
+    ).collect()
+    timings["qc_pipeline_documents"] = time.time() - t0
+    docs_per_sec_driver = n_docs / timings["qc_pipeline_documents"]
+
+    # -- QC pipeline over the synthetic CC corpus (north_rule shape) --
+    cc_path = write_corpus(DATA_CC, "bench")
+    cc = spark.read.parquet(cc_path)
+    n_cc = cc.count()
+    t0 = time.time()
+    qc_pipeline(cc).agg(F.count(F.lit(1)), F.count_if(F.col("keep"))).collect()
+    timings["qc_pipeline_cc100k"] = time.time() - t0
+    docs_per_sec_cc = n_cc / timings["qc_pipeline_cc100k"]
+
+    # -- operator queries --
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = time.time() - t0
+
+    spark.stop()
+    out = {
+        "metric": "total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0.1),
+        "docs_per_sec_driver_table": round(docs_per_sec_driver, 1),
+        "docs_per_sec_cc100k": round(docs_per_sec_cc, 1),
+        "cores": cores,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

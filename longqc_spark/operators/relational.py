@@ -1,0 +1,126 @@
+"""Relational operator library — SURVEY.md §2 operators re-expressed as
+composable DataFrame transforms. Each has a DuckDB-oracle twin in
+``__spark_entry__.py``.
+
+Scale notes (100 TB):
+* aggregations here are all partial-agg friendly (sum/count/min/max/percentile
+  → Spark plans map-side combine automatically);
+* the N50 window needs a global ordering — exact mode is for report scale;
+  callers at 10^12 rows use the two-pass quantile variant (``n50_approx``);
+* joins against small dimension/control tables broadcast explicitly
+  (reference analog: control-read anti-join ``lq_coverage.py:104-107``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def length_stats(df: DataFrame, length_col: str, group_col: str) -> DataFrame:
+    """A1 throughput/longest/mean/count (reference ``longQC.py:468-470``)."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(length_col).alias("total_len"),
+            F.max(length_col).alias("max_len"),
+            F.avg(length_col).alias("avg_len"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def nxx(df: DataFrame, length_col: str, fracs: list[float] | None = None) -> DataFrame:
+    """A2/W1 — N50-style weighted quantiles (reference ``lq_utils.py:33-53``).
+
+    Exact: desc-sort window cumsum, then the smallest length whose running
+    cumulative sum reaches frac·total. The single-direction window is the
+    documented scale limitation (SURVEY.md §7.5.4): fine for ≤10^8 rows /
+    report tables; use ``percentile_approx`` on weighted samples beyond.
+    """
+    fracs = fracs or [0.5, 0.9]
+    total = df.agg(F.sum(length_col)).collect()[0][0]
+    w = Window.orderBy(F.desc("len")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = df.select(F.col(length_col).alias("len")).withColumn("cum", F.sum("len").over(w))
+    rows = [
+        cum.filter(F.col("cum") >= float(total) * f)
+        .agg(F.max("len").alias("nxx"))
+        .select(F.lit(int(f * 100)).alias("pct"), "nxx")
+        for f in fracs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("pct")
+
+
+def binned_median(
+    df: DataFrame, value_col: str, bucket_col: str, bucket_width: float
+) -> DataFrame:
+    """A9 — per-length-bucket boxplot stats (reference ``lq_mask.py:43-66``,
+    ``lq_coverage.py:506-515``)."""
+    bucket = F.floor(F.col(bucket_col) / F.lit(bucket_width)).cast("long").alias("bucket")
+    return (
+        df.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(value_col, F.lit(0.5)).alias("med"),
+            F.percentile(value_col, F.lit(0.25)).alias("q1"),
+            F.percentile(value_col, F.lit(0.75)).alias("q3"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def histogram(df: DataFrame, col: str, width: float) -> DataFrame:
+    """A11 — fixed-width histogram (all reference ``plt.hist`` sites)."""
+    return (
+        df.groupBy(F.floor(F.col(col) / F.lit(width)).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+def count_if_fractions(df: DataFrame, group_col: str, preds: dict[str, F.Column]) -> DataFrame:
+    """A4/A5 — compound count_if fractions (reference ``lq_coverage.py:212-224``)."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        (F.count_if(p) / F.count(F.lit(1))).alias(name) for name, p in preds.items()
+    ]
+    return df.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
+def control_anti_join(df: DataFrame, control: DataFrame, key: str) -> DataFrame:
+    """F2/J1 — drop rows matching the (small, broadcast) control set
+    (reference ``lq_coverage.py:104-107``)."""
+    return df.join(F.broadcast(control.select(key).distinct()), on=key, how="left_anti")
+
+
+def top_k(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """O5/A15 — group-count → deterministic top-k (count desc, key asc).
+
+    At scale this is partial-agg + a k-row final sort (takeOrdered), not a
+    full global sort.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), *key_cols)
+        .limit(k)
+    )
+
+
+def lag_gaps(df: DataFrame, part_col: str, ts_col: str) -> DataFrame:
+    """W3 — per-key gaps between consecutive timestamps (reference
+    ``lq_coverage.py:643-644`` internal-gap analysis)."""
+    w = Window.partitionBy(part_col).orderBy(ts_col)
+    # TIMESTAMP_NTZ → TIMESTAMP → double (epoch seconds); session TZ is UTC so
+    # the NTZ reinterpretation is the identity, matching DuckDB's epoch()
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    return (
+        df.select(part_col, gap.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("n_gaps"), F.avg("gap").alias("avg_gap"), F.max("gap").alias("max_gap"))
+        .orderBy(part_col)
+    )

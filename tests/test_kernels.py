@@ -1,0 +1,88 @@
+"""Unit tests for the shared kernels on hand-computed fixtures
+(FIXTURES.md §5 micro-fixture strategy; the reference ships no tests —
+SURVEY.md §5 — so exact expectations are derived by hand here)."""
+
+import pandas as pd
+import pytest
+
+from longqc_spark.config import DEFAULT_CONFIG
+from longqc_spark.kernels import (
+    _dup_line_frac,
+    _top_ngram_frac,
+    compute_stats,
+    scrub_batch,
+    scrub_text,
+)
+
+
+def test_basic_counts():
+    s = compute_stats(pd.Series(["ab cd ef", ""]))
+    assert s.n_chars.tolist() == [8, 0]
+    assert s.n_words.tolist() == [3, 0]
+    assert s.n_lines.tolist() == [1, 0]
+    assert s.mean_word_len.tolist() == [2.0, 0.0]
+
+
+def test_char_class_fracs():
+    s = compute_stats(pd.Series(["abc! def?"]))
+    # 9 chars: 6 alpha, 2 symbols (! ?), 1 space
+    assert s.alpha_char_frac.iloc[0] == pytest.approx(6 / 9)
+    assert s.symbol_char_frac.iloc[0] == pytest.approx(2 / 9)
+
+
+def test_alpha_word_frac_and_stopwords():
+    s = compute_stats(pd.Series(["the 123 cat 456"]))
+    assert s.alpha_word_frac.iloc[0] == pytest.approx(0.5)
+    assert s.stopword_count.iloc[0] == 1
+
+
+def test_dup_line_frac():
+    assert _dup_line_frac("a\nb\nc") == 0.0
+    assert _dup_line_frac("a\na\nb\nb") == pytest.approx(0.5)
+    assert _dup_line_frac("x") == 0.0
+    assert _dup_line_frac("a\n\n\na") == pytest.approx(0.5)  # empty lines ignored
+
+
+def test_top_ngram_frac():
+    toks = "a b a b a b".split()
+    # bigram ("a","b") occurs 3 times among 5 bigrams → 3*2/6 tokens
+    assert _top_ngram_frac(toks, 2) == pytest.approx(1.0)
+    assert _top_ngram_frac(["x", "y", "z"], 2) == 0.0  # no repeats → 0
+    assert _top_ngram_frac(["x"], 2) == 0.0
+
+
+def test_scrub_email_and_phone():
+    text = "contact me at bob@example.com or 555-123-4567 today"
+    out, n_pii, n_tox, spans = scrub_text(text, DEFAULT_CONFIG)
+    assert out == "contact me at <EMAIL> or <PHONE> today"
+    assert n_pii == 2 and n_tox == 0
+    assert [s[2] for s in spans] == ["EMAIL", "PHONE"]
+    # spans index the ORIGINAL text
+    assert text[spans[0][0] : spans[0][1]] == "bob@example.com"
+
+
+def test_scrub_tox_case_insensitive():
+    out, n_pii, n_tox, _ = scrub_text("well FRAK that", DEFAULT_CONFIG)
+    assert out == "well <TOX> that"
+    assert n_tox == 1
+
+
+def test_scrub_idempotent_on_clean():
+    text = "nothing sensitive here"
+    out, p, t, spans = scrub_text(text, DEFAULT_CONFIG)
+    assert out == text and p == 0 and t == 0 and spans == []
+
+
+def test_scrub_overlap_earlier_start_wins():
+    # EMAIL requires an alphabetic TLD, so "a@1.2.3.4" is scrubbed as IPV4
+    out, p, _, spans = scrub_text("x a@1.2.3.4 y", DEFAULT_CONFIG)
+    assert out == "x a@<IPV4> y" and p == 1
+    # overlapping EMAIL ⊃ embedded pattern: the earlier-starting span wins
+    out2, p2, _, spans2 = scrub_text("x bob@mail.example.com y", DEFAULT_CONFIG)
+    assert out2 == "x <EMAIL> y" and p2 == 1 and [s[2] for s in spans2] == ["EMAIL"]
+
+
+def test_scrub_batch_columns():
+    df = scrub_batch(pd.Series(["a@b.co hi", "clean"]), DEFAULT_CONFIG)
+    assert df.scrubbed_text.tolist() == ["<EMAIL> hi", "clean"]
+    assert df.pii_match_count.tolist() == [1, 0]

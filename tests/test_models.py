@@ -1,0 +1,38 @@
+"""Determinism + separation tests for the langid and LM artifacts."""
+
+import numpy as np
+
+from longqc_spark.models import HashedNgramLM, LangIdModel, SEED_TEXT, langid_model, ngram_lm
+
+
+def test_langid_predicts_seed_languages():
+    m = langid_model()
+    for lang, text in SEED_TEXT.items():
+        pred, score = m.score(text[:200])
+        assert pred == lang
+        assert score > 0
+
+
+def test_langid_deterministic_across_instances():
+    a, b = LangIdModel(), LangIdModel()
+    assert np.array_equal(a.logprob, b.logprob)
+    assert a.score("the quick brown fox") == b.score("the quick brown fox")
+
+
+def test_lm_scores_seed_text_better_than_gibberish():
+    lm = ngram_lm()
+    good, _ = lm.doc_score("the quick brown fox jumps over the lazy dog")
+    bad, _ = lm.doc_score("zqxv jkwpf mbrtg hylnd vvkzq aaabz qqqrx")
+    assert good > bad
+
+
+def test_lm_empty_doc():
+    lm = ngram_lm()
+    lp, frac = lm.doc_score("")
+    assert lp == -20.0 and frac == 0.0
+
+
+def test_lm_deterministic():
+    a, b = HashedNgramLM(), HashedNgramLM()
+    toks = "the people walk to the market".split()
+    assert np.array_equal(a.token_logprobs(toks), b.token_logprobs(toks))

@@ -1,0 +1,63 @@
+"""The correctness gate (BASELINE.md): Spark pipeline vs pure-pandas
+reference labeler — keep/drop F1 ≥ 0.99 and byte-identical scrubbed text —
+plus parallelism-invariance (SURVEY.md §5.4 determinism tier)."""
+
+import pandas as pd
+import pytest
+
+from longqc_spark.labeler import label_corpus
+from longqc_spark.pipeline import qc_pipeline
+
+
+@pytest.fixture(scope="module")
+def joined(spark, corpus_path, corpus_pdf):
+    docs = spark.read.parquet(corpus_path)
+    got = qc_pipeline(docs).toPandas().set_index("url").sort_index()
+    ref = label_corpus(corpus_pdf).set_index("url").sort_index()
+    assert len(got) == len(ref)
+    return got, ref
+
+
+def f1(got: pd.Series, ref: pd.Series) -> float:
+    tp = (got & ref).sum()
+    fp = (got & ~ref).sum()
+    fn = (~got & ref).sum()
+    return 2 * tp / (2 * tp + fp + fn)
+
+
+def test_keep_f1(joined):
+    got, ref = joined
+    assert f1(got.keep, ref.keep) >= 0.99
+
+
+def test_scrub_byte_identical(joined):
+    got, ref = joined
+    mism = (got.scrubbed_text != ref.scrubbed_text)
+    assert mism.sum() == 0, got.index[mism][:5].tolist()
+
+
+def test_reasons_identical(joined):
+    got, ref = joined
+    assert (got.reasons.apply(list) == ref.reasons.apply(list)).all()
+
+
+def test_stat_vector_identical(joined):
+    got, ref = joined
+    for col in ("n_words", "mean_word_len", "dup_line_frac", "perplexity", "lang_pred"):
+        pd.testing.assert_series_equal(got[col], ref[col], check_names=False)
+
+
+def test_both_labels_present(joined):
+    got, _ = joined
+    assert got.keep.any() and (~got.keep).any()
+
+
+def test_parallelism_invariance(spark, corpus_path):
+    """Same input at 2 vs 16 partitions → identical labels (guards against
+    order-dependent floats; reference analog: chunk-size independence)."""
+    docs = spark.read.parquet(corpus_path)
+    a = qc_pipeline(docs, num_partitions=2).toPandas().set_index("url").sort_index()
+    b = qc_pipeline(docs, num_partitions=16).toPandas().set_index("url").sort_index()
+    assert (a.keep == b.keep).all()
+    assert (a.scrubbed_text == b.scrubbed_text).all()
+    pd.testing.assert_series_equal(a.perplexity, b.perplexity)
