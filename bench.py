@@ -51,23 +51,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
+    # Each pipeline runs once untimed (spawns python workers, JITs the
+    # scan/shuffle/Arrow paths, loads page cache) and is timed on the second
+    # pass: executors are long-lived in production, cold-start is not docs/sec.
+    def timed_pipeline(df, **kw) -> float:
+        for _ in range(2):
+            t0 = time.time()
+            qc_pipeline(df, **kw).agg(
+                F.count(F.lit(1)), F.count_if(F.col("keep"))
+            ).collect()
+        return time.time() - t0
+
     # -- QC pipeline over the driver documents table (docs/sec headline) --
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_docs = docs.count()
-    t0 = time.time()
-    qc_pipeline(docs, cfg=DRIVER_DOCS_CONFIG, key_cols=["doc_id"]).agg(
-        F.count(F.lit(1)), F.count_if(F.col("keep"))
-    ).collect()
-    timings["qc_pipeline_documents"] = time.time() - t0
+    timings["qc_pipeline_documents"] = timed_pipeline(
+        docs, cfg=DRIVER_DOCS_CONFIG, key_cols=["doc_id"]
+    )
     docs_per_sec_driver = n_docs / timings["qc_pipeline_documents"]
 
     # -- QC pipeline over the synthetic CC corpus (north_rule shape) --
     cc_path = write_corpus(DATA_CC, "bench")
     cc = spark.read.parquet(cc_path)
     n_cc = cc.count()
-    t0 = time.time()
-    qc_pipeline(cc).agg(F.count(F.lit(1)), F.count_if(F.col("keep"))).collect()
-    timings["qc_pipeline_cc100k"] = time.time() - t0
+    timings["qc_pipeline_cc100k"] = timed_pipeline(cc)
     docs_per_sec_cc = n_cc / timings["qc_pipeline_cc100k"]
 
     # -- operator queries --

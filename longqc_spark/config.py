@@ -53,6 +53,9 @@ class QCConfig:
     # Language ID (fastText-style analog)
     allowed_langs: tuple[str, ...] = ("en",)
     min_lang_score: float = 0.20            # margin best-vs-second, per char trigram
+    # langid reads only the first N chars (reference analog: windowed GC
+    # sampling, lq_gcfrac.py:37-47 — stats on a bounded sample of the record)
+    langid_max_chars: int = 512
 
     # Hashed 5-gram LM perplexity (KenLM-style analog; meanQ analog
     # reference lqutils.c:26-58)

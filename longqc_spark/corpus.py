@@ -171,6 +171,8 @@ def write_corpus(root: str, scale: str = "smoke", seed: int = 42) -> str:
     path = corpus_path(root, scale)
     if not os.path.exists(path):
         pdf = generate_corpus(_SCALES[scale], seed=seed)
-        # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS)
-        pdf.to_parquet(path, index=False, coerce_timestamps="us")
+        # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS).
+        # small row groups: Spark parallelizes a parquet scan only at
+        # row-group granularity — a single-group file is a 1-task scan.
+        pdf.to_parquet(path, index=False, coerce_timestamps="us", row_group_size=4096)
     return path

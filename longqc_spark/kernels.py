@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import re
 from collections import Counter
+from itertools import chain
 
 import numpy as np
 import pandas as pd
 
 from .config import STOPWORDS, TOX_WORDS, QCConfig
-from .models import langid_model, ngram_lm
+from .models import hash_tokens, langid_model, ngram_keys, ngram_lm
 
 # ---------------------------------------------------------------------------
 # Tokenization / char classes (fixed: both sides must agree exactly)
@@ -36,6 +37,7 @@ from .models import langid_model, ngram_lm
 _ALPHA_RE = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
 _SYMBOL_RE = re.compile(r"[^\w\s]", re.UNICODE)
 _STOPWORD_SET = frozenset(STOPWORDS)
+_STOPWORD_HASHES = hash_tokens(np.array(sorted(_STOPWORD_SET), dtype=object))
 
 STAT_COLUMNS: tuple[str, ...] = (
     "n_chars",
@@ -79,59 +81,140 @@ def _dup_line_frac(text: str) -> float:
     return 1.0 - len(set(lines)) / len(lines)
 
 
-def compute_stats(texts: pd.Series, q_threshold: float = -8.0) -> pd.DataFrame:
+def _flat_top_ngram_frac(
+    hashes: np.ndarray,
+    pos_in_doc: np.ndarray,
+    doc_ids: np.ndarray,
+    n_tok: np.ndarray,
+    order: int,
+) -> np.ndarray:
+    """Per-doc fraction of tokens covered by the most frequent word n-gram,
+    computed over the flat token stream: hashed n-gram keys → lexsort by
+    (doc, key) → run-length counts → per-doc max via ``np.maximum.at``.
+
+    Hashed counting (64-bit keys) is the declared spec; collision probability
+    per doc is ~m²/2⁶⁵ — negligible, and both engines share this code.
+    """
+    n_docs = n_tok.shape[0]
+    out = np.zeros(n_docs, dtype=np.float64)
+    valid = pos_in_doc >= (order - 1)
+    if not valid.any():
+        return out
+    keys = ngram_keys(hashes, order)[valid]
+    docs = doc_ids[valid]
+    # single-sort composite key: doc id in the top 24 bits, 40-bit ngram hash
+    # below (within-doc collision odds ~m²/2⁴¹ — negligible, and shared by
+    # both engines). One np.sort beats lexsort ~4×.
+    comp = (docs.astype(np.uint64) << np.uint64(40)) | (keys >> np.uint64(24))
+    comp.sort()
+    boundary = np.empty(comp.shape[0], dtype=bool)
+    boundary[0] = True
+    boundary[1:] = comp[1:] != comp[:-1]
+    run_starts = np.flatnonzero(boundary)
+    run_counts = np.diff(np.append(run_starts, comp.shape[0]))
+    run_docs = (comp[run_starts] >> np.uint64(40)).astype(np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top, run_docs, run_counts)
+    covered = np.where(top > 1, top * order, 0).astype(np.float64)
+    return np.divide(covered, n_tok, out=out, where=n_tok > 0)
+
+
+def _flat_dup_line_frac(texts: pd.Series) -> np.ndarray:
+    """Per-doc fraction of non-empty stripped lines that repeat an earlier
+    line — flat-stream version of ``_dup_line_frac``."""
+    n_docs = len(texts)
+    split = texts.str.split("\n")
+    n_lines = np.fromiter(map(len, split), dtype=np.int64, count=n_docs)
+    flat = pd.Series(list(chain.from_iterable(split)), dtype=object)
+    stripped = flat.str.strip().to_numpy()
+    nonempty = np.fromiter(map(len, stripped), dtype=np.int64) > 0
+    doc_ids = np.repeat(np.arange(n_docs), n_lines)[nonempty]
+    hashes = hash_tokens(stripped[nonempty])
+    total = np.bincount(doc_ids, minlength=n_docs)
+    sort_idx = np.lexsort((hashes, doc_ids))
+    h, d = hashes[sort_idx], doc_ids[sort_idx]
+    boundary = np.empty(h.shape[0], dtype=bool)
+    if h.shape[0]:
+        boundary[0] = True
+        boundary[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    distinct = np.bincount(d[boundary], minlength=n_docs) if h.shape[0] else np.zeros(n_docs, dtype=np.int64)
+    out = np.zeros(n_docs, dtype=np.float64)
+    many = total > 1
+    out[many] = 1.0 - distinct[many] / total[many]
+    return out
+
+
+def compute_stats(
+    texts: pd.Series,
+    q_threshold: float = -8.0,
+    langid_max_chars: int = 512,
+) -> pd.DataFrame:
     """Per-document stat vector (FIXTURES.md §3 ``qc_stats`` shape minus the
     scrub counters, which the scrub kernel produces).
 
-    Vectorized where pandas can (str.len / str.count); per-doc Counter work
-    for the repetition stats; numpy-vectorized langid + LM scoring.
+    Fully vectorized flat-token-stream design: the whole Arrow batch is one
+    token array (doc ids via ``np.repeat``), every per-doc number is a
+    ``np.bincount`` / sorted-run reduction — zero per-row Python beyond the
+    C-speed flatten. This is what makes the UDF stage memory-lean enough to
+    scale past the SMT knee on wide hosts.
     """
     texts = texts.fillna("")
     lid = langid_model()
     lm = ngram_lm()
+    n_docs = len(texts)
 
     n_chars = texts.str.len().astype("int64")
-    n_words = texts.str.count(r"\S+").astype("int64")
     n_lines = (texts.str.count("\n") + 1).where(n_chars > 0, 0).astype("int64")
     alpha_chars = texts.str.count(_ALPHA_RE).astype("float64")
     symbol_chars = texts.str.count(_SYMBOL_RE).astype("float64")
     safe_chars = n_chars.replace(0, 1).astype("float64")
 
-    mean_word_len = np.zeros(len(texts), dtype=np.float64)
-    alpha_word_frac = np.zeros(len(texts), dtype=np.float64)
-    stopword_count = np.zeros(len(texts), dtype=np.int64)
-    dup_line = np.zeros(len(texts), dtype=np.float64)
-    top2 = np.zeros(len(texts), dtype=np.float64)
-    top3 = np.zeros(len(texts), dtype=np.float64)
-    top4 = np.zeros(len(texts), dtype=np.float64)
-    lang_pred = np.empty(len(texts), dtype=object)
-    lang_score = np.zeros(len(texts), dtype=np.float64)
-    logprob_mean = np.zeros(len(texts), dtype=np.float64)
-    frac_above = np.zeros(len(texts), dtype=np.float64)
+    # ---- flat token stream ----
+    split = texts.str.split()
+    n_tok = np.fromiter(map(len, split), dtype=np.int64, count=n_docs)
+    flat = pd.Series(list(chain.from_iterable(split)), dtype=object)
+    total = flat.shape[0]
+    doc_ids = np.repeat(np.arange(n_docs), n_tok)
+    starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+    pos_in_doc = np.arange(total) - np.repeat(starts, n_tok)
+    safe_tok = np.maximum(n_tok, 1).astype(np.float64)
 
-    for i, text in enumerate(texts.to_numpy()):
-        tokens = text.split()
-        if tokens:
-            lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
-            mean_word_len[i] = lens.mean()
-            alpha_word_frac[i] = sum(1 for t in tokens if _ALPHA_RE.search(t)) / len(tokens)
-            low = [t.lower() for t in tokens]
-            stopword_count[i] = sum(1 for t in low if t in _STOPWORD_SET)
-            top2[i] = _top_ngram_frac(low, 2)
-            top3[i] = _top_ngram_frac(low, 3)
-            top4[i] = _top_ngram_frac(low, 4)
-            lps = lm.token_logprobs(low)
-            logprob_mean[i] = lps.mean()
-            frac_above[i] = (lps > q_threshold).mean()
-        else:
-            logprob_mean[i] = -20.0
-        dup_line[i] = _dup_line_frac(text)
-        lang_pred[i], lang_score[i] = lid.score(text)
+    # factorize: all per-token work (length, regex, hashing, stopword
+    # membership) runs once per UNIQUE token, then fans out via codes
+    codes, uniques = pd.factorize(flat, use_na_sentinel=False)
+    uniq = pd.Series(uniques, dtype=object)
+    u_lower = uniq.str.lower()
+    u_len = u_lower.str.len().to_numpy(dtype=np.float64)
+    u_alpha = uniq.str.contains(_ALPHA_RE, regex=True).to_numpy(dtype=np.float64)
+    u_hash = hash_tokens(u_lower.to_numpy())
+    # stopword membership via token hashes (uint64 isin beats object isin
+    # ~10×; SipHash collisions against a 29-word list are negligible)
+    u_stop = np.isin(u_hash, _STOPWORD_HASHES).astype(np.float64)
+
+    mean_word_len = np.bincount(doc_ids, weights=u_len[codes], minlength=n_docs) / safe_tok
+    alpha_word_frac = np.bincount(doc_ids, weights=u_alpha[codes], minlength=n_docs) / safe_tok
+    stopword_count = np.bincount(doc_ids, weights=u_stop[codes], minlength=n_docs).astype(np.int64)
+    hashes = u_hash[codes]
+    top2 = _flat_top_ngram_frac(hashes, pos_in_doc, doc_ids, n_tok, 2)
+    top3 = _flat_top_ngram_frac(hashes, pos_in_doc, doc_ids, n_tok, 3)
+    top4 = _flat_top_ngram_frac(hashes, pos_in_doc, doc_ids, n_tok, 4)
+
+    lps = lm.token_logprobs_flat(hashes, pos_in_doc)
+    logprob_mean = np.full(n_docs, -20.0, dtype=np.float64)
+    nonempty = n_tok > 0
+    sums = np.bincount(doc_ids, weights=lps, minlength=n_docs)
+    logprob_mean[nonempty] = sums[nonempty] / n_tok[nonempty]
+    frac_above = np.bincount(doc_ids, weights=(lps > q_threshold).astype(np.float64), minlength=n_docs) / safe_tok
+
+    dup_line = _flat_dup_line_frac(texts)
+    # langid reads a bounded prefix (spec: langid_max_chars) — trigram volume
+    # is ~6× token volume, so this is the kernel's main memory-traffic knob
+    lang_pred, lang_score = lid.score_batch(texts.str.slice(0, langid_max_chars))
 
     return pd.DataFrame(
         {
             "n_chars": n_chars.to_numpy(),
-            "n_words": n_words.to_numpy(),
+            "n_words": n_tok,
             "n_lines": n_lines.to_numpy(),
             "mean_word_len": mean_word_len,
             "symbol_char_frac": (symbol_chars / safe_chars).to_numpy(),
@@ -215,27 +298,34 @@ def scrub_text(text: str, cfg: QCConfig) -> tuple[str, int, int, list[tuple[int,
     return "".join(out), n_pii, n_tox, kept
 
 
-def scrub_batch(texts: pd.Series, cfg: QCConfig) -> pd.DataFrame:
-    """Batch scrub → DataFrame(scrubbed_text, pii_match_count, tox_match_count,
-    scrub_spans)."""
+def scrub_batch(texts: pd.Series, cfg: QCConfig, emit_spans: bool = False) -> pd.DataFrame:
+    """Batch scrub → DataFrame(scrubbed_text, pii_match_count, tox_match_count
+    [, scrub_spans]).
+
+    ``emit_spans`` is opt-in: converting per-row lists of structs through
+    Arrow costs more than the scrub itself; the default hot path ships only
+    the counters (the reference likewise keeps only adapter-position
+    aggregates in the main flow, ``longQC.py:348-357``).
+    """
     texts = texts.fillna("")
     scrubbed = np.empty(len(texts), dtype=object)
     n_pii = np.zeros(len(texts), dtype=np.int64)
     n_tox = np.zeros(len(texts), dtype=np.int64)
-    span_col = np.empty(len(texts), dtype=object)
+    span_col = np.empty(len(texts), dtype=object) if emit_spans else None
     for i, text in enumerate(texts.to_numpy()):
         s, p, t, spans = scrub_text(text, cfg)
         scrubbed[i] = s
         n_pii[i] = p
         n_tox[i] = t
-        span_col[i] = [
-            {"start": int(a), "end": int(b), "kind": k} for a, b, k in spans
-        ]
-    return pd.DataFrame(
-        {
-            "scrubbed_text": scrubbed,
-            "pii_match_count": n_pii,
-            "tox_match_count": n_tox,
-            "scrub_spans": span_col,
-        }
-    )
+        if emit_spans:
+            span_col[i] = [
+                {"start": int(a), "end": int(b), "kind": k} for a, b, k in spans
+            ]
+    out = {
+        "scrubbed_text": scrubbed,
+        "pii_match_count": n_pii,
+        "tox_match_count": n_tox,
+    }
+    if emit_spans:
+        out["scrub_spans"] = span_col
+    return pd.DataFrame(out)

@@ -49,7 +49,9 @@ def label_corpus(pdf: pd.DataFrame, cfg: QCConfig = DEFAULT_CONFIG) -> pd.DataFr
     scrubbed_text, pii_match_count, tox_match_count, plus the full stat
     vector (for operator-level tests).
     """
-    stats = compute_stats(pdf["text"].reset_index(drop=True))
+    stats = compute_stats(
+        pdf["text"].reset_index(drop=True), langid_max_chars=cfg.langid_max_chars
+    )
     scrub = scrub_batch(pdf["text"].reset_index(drop=True), cfg)
     stats = pd.concat([stats, scrub], axis=1)
     fails = rule_failures(stats, cfg)

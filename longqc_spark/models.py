@@ -1,26 +1,31 @@
-"""Deterministic, dependency-free model artifacts.
+"""Deterministic, dependency-free model artifacts — fully vectorized.
 
 Two broadcastable numpy artifacts, the web-text analogs of LongQC's
 precomputed lookup tables (q2p table, reference ``lqutils.c:26-58``) and the
 pre-built minimap2 index reused across runs (reference ``longQC.py:266-277``):
 
 * ``LangIdModel`` — fastText-style character-trigram linear scorer, profiles
-  built at import from embedded seed paragraphs (public sample sentences).
+  built at import from embedded seed paragraphs.
 * ``HashedNgramLM`` — KenLM-style hashed word n-gram (up to 5) count LM with
   stupid backoff; perplexity = exp(-mean token logprob).
 
-Everything is pure numpy over hashed buckets; hashing uses ``zlib.crc32``
-(stable across processes — Python's builtin ``hash`` is salted and must never
-be used here). Both the Spark pandas UDFs and the pandas reference labeler
-score through THIS module, which is what makes F1 a structural identity.
+Both score **flat token/char streams** covering a whole Arrow batch of
+documents at once (doc boundaries passed as offset arrays, per-doc reductions
+via ``np.bincount``) — the "zero per-row Python" requirement of
+BASELINE.json; the design mirrors the reference replacing per-base ``pow``
+with a lookup table (author note ``lqutils.c:60-69``), applied batch-wide.
+
+Token hashing uses ``pandas.util.hash_array`` (SipHash with a fixed key —
+deterministic across processes and platforms; Python's builtin ``hash`` is
+salted and must never be used here).
 """
 
 from __future__ import annotations
 
 import math
-import zlib
 
 import numpy as np
+import pandas as pd
 
 # ---------------------------------------------------------------------------
 # Embedded seed corpora (a few public-domain-style sentences per language).
@@ -75,8 +80,11 @@ SEED_TEXT: dict[str, str] = {
 LANGS: tuple[str, ...] = tuple(sorted(SEED_TEXT))
 
 
-def _crc(data: bytes, seed: int = 0) -> int:
-    return zlib.crc32(data, seed) & 0xFFFFFFFF
+def hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic uint64 hash of an object array of strings."""
+    if tokens.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(tokens, categorize=False)
 
 
 # ---------------------------------------------------------------------------
@@ -86,45 +94,95 @@ def _crc(data: bytes, seed: int = 0) -> int:
 _LID_BUCKETS = 1 << 16
 
 
+def _char_trigram_buckets(buf: bytes) -> np.ndarray:
+    """Rolling 3-byte multiplicative hash over a utf-8 buffer (vectorized,
+    uint32 wrap-around arithmetic — mod 2^32 for free)."""
+    n = len(buf)
+    if n < 3:
+        return np.zeros(0, dtype=np.int32)
+    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        tri = arr[:-2] * np.uint32(65536) + arr[1:-1] * np.uint32(256) + arr[2:]
+        tri *= np.uint32(2654435761)
+    # int32 indices: this numpy's int64 fancy-index path is ~50× slower
+    return (tri & np.uint32(_LID_BUCKETS - 1)).astype(np.int32)
+
+
 class LangIdModel:
     """Per-language log-probability table over hashed char trigrams.
 
-    score(text, lang) = mean over trigrams of log P(trigram | lang) with
-    add-one smoothing in hashed space. Prediction = argmax; confidence =
-    (best - second) margin, a fastText-confidence analog.
+    score = mean log P(trigram | lang) with add-one smoothing in hashed
+    space; prediction = argmax; confidence = best-minus-second margin
+    (a fastText-confidence analog).
     """
 
     def __init__(self) -> None:
         self.langs = LANGS
         table = np.zeros((len(LANGS), _LID_BUCKETS), dtype=np.float64)
         for li, lang in enumerate(LANGS):
-            idx = self._trigram_buckets(SEED_TEXT[lang])
+            idx = _char_trigram_buckets((" " + SEED_TEXT[lang].lower() + " ").encode("utf-8"))
             np.add.at(table[li], idx, 1.0)
             total = table[li].sum()
             table[li] = np.log((table[li] + 1.0) / (total + _LID_BUCKETS))
-        self.logprob = table
+        # float32 tables: halves gather/reduce memory traffic; both engines
+        # share the same arithmetic so precision is consistent by construction
+        self.logprob = table.astype(np.float32)
 
-    @staticmethod
-    def _trigram_buckets(text: str) -> np.ndarray:
-        b = (" " + text.lower() + " ").encode("utf-8", "ignore")
-        n = len(b)
-        if n < 3:
-            return np.zeros(0, dtype=np.int64)
-        # vectorized rolling 3-byte hash over the utf-8 bytes
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-        tri = arr[:-2] * 65536 + arr[1:-1] * 256 + arr[2:]
-        # multiplicative hash into buckets (Knuth constant), deterministic
-        return ((tri * 2654435761) & 0xFFFFFFFF) % _LID_BUCKETS
+    def score_batch(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """Batch scoring: one concatenated char buffer, one table gather per
+        language, per-doc means as cumulative-sum range differences (no
+        scatter/bincount — trigrams of a doc are contiguous in the buffer).
+        Trigrams that span two documents land in the 2-position tail of the
+        leading doc's range and are excluded by construction of the ranges.
+        Returns (lang_pred object array, margin array)."""
+        n_docs = len(texts)
+        preds = np.full(n_docs, "und", dtype=object)
+        margins = np.zeros(n_docs, dtype=np.float64)
+        if n_docs == 0:
+            return preds, margins
+        padded = [(" " + t.lower() + " ").encode("utf-8", "ignore") for t in texts.to_numpy()]
+        lens = np.fromiter((len(b) for b in padded), dtype=np.int64, count=n_docs)
+        buf = b"".join(padded)
+        tri = _char_trigram_buckets(buf)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        n_tri = np.maximum(lens - 2, 0)
+        valid = n_tri > 0
+        counts = np.maximum(n_tri, 1).astype(np.float64)
+        if tri.shape[0] == 0:
+            return preds, margins
+        # zero-mask for the 2 doc-spanning trigram positions at each doc tail
+        # so contiguous reduceat segments sum exactly the in-doc trigrams
+        # (keeps results independent of batch composition)
+        mask = np.ones(tri.shape[0], dtype=np.float32)
+        tails = ends[:-1]
+        if tails.size:
+            gap = np.concatenate([tails - 2, tails - 1])
+            gap = gap[(gap >= 0) & (gap < tri.shape[0])].astype(np.int32)
+            mask[gap] = 0.0
+        seg_starts = np.clip(starts, 0, tri.shape[0] - 1)
+        # per-language 1-D gather (fast path) + segmented sum, reusing one
+        # output buffer (page-fault-free after the first take).
+        # reduceat quirk: an empty segment (start_i == start_{i+1}) returns the
+        # element at start_i — masked out below via `valid`
+        means = np.empty((len(self.langs), n_docs), dtype=np.float64)
+        g = np.empty(tri.shape[0], dtype=np.float32)
+        for li in range(len(self.langs)):
+            np.take(self.logprob[li], tri, out=g, mode="clip")
+            g *= mask
+            means[li] = np.add.reduceat(g, seg_starts) / counts
+        order = np.argsort(-means, axis=0)
+        best, second = order[0], order[1]
+        rng = np.arange(n_docs)
+        margin = means[best, rng] - means[second, rng]
+        lang_arr = np.array(self.langs, dtype=object)
+        preds[valid] = lang_arr[best[valid]]
+        margins[valid] = margin[valid]
+        return preds, margins
 
     def score(self, text: str) -> tuple[str, float]:
-        """Return (predicted_lang, margin)."""
-        idx = self._trigram_buckets(text)
-        if idx.size == 0:
-            return "und", 0.0
-        means = self.logprob[:, idx].mean(axis=1)
-        order = np.argsort(means)[::-1]
-        best, second = order[0], order[1]
-        return self.langs[int(best)], float(means[best] - means[second])
+        p, m = self.score_batch(pd.Series([text]))
+        return str(p[0]), float(m[0])
 
 
 # ---------------------------------------------------------------------------
@@ -134,35 +192,31 @@ class LangIdModel:
 _LM_BUCKETS = 1 << 18
 _BACKOFF = 0.4
 _MAX_ORDER = 5
-_POLY_K = np.uint64(2654435761)  # Knuth multiplicative constant
-_MASK32 = np.uint64(0xFFFFFFFF)
+_POLY_K = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio constant
 
 
-def token_crcs(tokens: list[str]) -> np.ndarray:
-    """Per-token crc32 values (the only per-token Python work in the LM)."""
-    return np.fromiter(
-        (_crc(t.encode("utf-8", "ignore")) for t in tokens),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
-
-
-def ngram_buckets(crcs: np.ndarray, order: int) -> np.ndarray:
-    """Vectorized polynomial hash of every ``order``-gram ending at position i.
-
-    bucket[i] hashes tokens[i-order+1 .. i]; positions i < order-1 are invalid
-    (caller masks them). hash = sum_j crc[i-j] * K^j  (mod 2^32).
-    """
-    n = crcs.shape[0]
+def ngram_keys(hashes: np.ndarray, order: int) -> np.ndarray:
+    """Vectorized polynomial hash (full uint64) of every ``order``-gram ending
+    at position i over a flat token-hash stream:
+    h[i] = sum_j hash[i-j] * K^j (mod 2^64).
+    Positions i < order-1 are garbage; callers mask by in-doc position."""
+    n = hashes.shape[0]
     h = np.zeros(n, dtype=np.uint64)
     k = np.uint64(1)
-    for j in range(order):
-        if j == 0:
-            h = (h + crcs) & _MASK32
-        else:
-            h[j:] = (h[j:] + crcs[:-j] * k) & _MASK32
-        k = (k * _POLY_K) & _MASK32
-    return (h % np.uint64(_LM_BUCKETS)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(order):
+            if j == 0:
+                h += hashes
+            else:
+                h[j:] += hashes[:-j] * k
+            k = k * _POLY_K
+    return h
+
+
+def ngram_buckets(hashes: np.ndarray, order: int) -> np.ndarray:
+    """``ngram_keys`` folded into the LM bucket space (int32 indices — this
+    numpy's int64 fancy-index path is pathologically slow)."""
+    return (ngram_keys(hashes, order) % np.uint64(_LM_BUCKETS)).astype(np.int32)
 
 
 class HashedNgramLM:
@@ -170,44 +224,44 @@ class HashedNgramLM:
 
     meanQ / per-base-quality analog (reference ``lqutils.c:26-58``): per-token
     logprob plays the role of per-base QV; ``frac_tokens_above`` mirrors the
-    Q7-base-count kernel (reference ``lqutils.c:72-80``). All scoring is
-    numpy-vectorized over hashed bucket lookups.
+    Q7-base-count kernel (reference ``lqutils.c:72-80``).
     """
 
     def __init__(self, train_text: str | None = None) -> None:
         text = train_text if train_text is not None else SEED_TEXT["en"]
-        tokens = text.lower().split()
-        crcs = token_crcs(tokens)
-        # counts[k] holds k-gram counts (slot 0 unused)
-        self.counts = [np.zeros(_LM_BUCKETS, dtype=np.float64) for _ in range(_MAX_ORDER + 1)]
+        tokens = np.array(text.lower().split(), dtype=object)
+        hashes = hash_tokens(tokens)
+        # float32 tables: halves gather traffic; shared code keeps both
+        # engines bit-identical anyway
+        self.counts = [np.zeros(_LM_BUCKETS, dtype=np.float32) for _ in range(_MAX_ORDER + 1)]
         for order in range(1, _MAX_ORDER + 1):
-            if len(tokens) >= order:
-                idx = ngram_buckets(crcs, order)[order - 1 :]
+            if tokens.size >= order:
+                idx = ngram_buckets(hashes, order)[order - 1 :]
                 np.add.at(self.counts[order], idx, 1.0)
         self.totals = [float(c.sum()) for c in self.counts]
         self.vocab = max(1.0, float((self.counts[1] > 0).sum()))
 
-    def token_logprobs(self, tokens: list[str]) -> np.ndarray:
-        """Per-token log P(token | up to 4 preceding tokens), stupid backoff,
-        fully vectorized: for each order 5..2, lp = log(c_k/c_{k-1}) where both
-        counts are nonzero, else back off with log(alpha) penalty; final
-        fallback is add-one-smoothed unigram."""
-        n = len(tokens)
+    def token_logprobs_flat(self, hashes: np.ndarray, pos_in_doc: np.ndarray) -> np.ndarray:
+        """Per-token log P(token | up to 4 in-doc preceding tokens), stupid
+        backoff, over a flat multi-document token stream.
+
+        ``pos_in_doc[i]`` = 0-based position of token i inside its document;
+        n-grams never cross document boundaries.
+        """
+        n = hashes.shape[0]
         if n == 0:
             return np.zeros(0, dtype=np.float64)
-        crcs = token_crcs(tokens)
-        buckets = {k: ngram_buckets(crcs, k) for k in range(1, _MAX_ORDER + 1)}
+        buckets = {k: ngram_buckets(hashes, k) for k in range(1, _MAX_ORDER + 1)}
         log_alpha = math.log(_BACKOFF)
         uni = self.counts[1][buckets[1]]
         out = np.log((uni + 1.0) / (self.totals[1] + self.vocab))
         penalty = np.zeros(n, dtype=np.float64)
         resolved = np.zeros(n, dtype=bool)
-        # context buckets for order k are the (k-1)-gram ending at i-1
         for order in range(_MAX_ORDER, 1, -1):
+            valid = pos_in_doc >= (order - 1)
             num = self.counts[order][buckets[order]]
             ctx = np.zeros(n, dtype=np.float64)
             ctx[1:] = self.counts[order - 1][buckets[order - 1][:-1]]
-            valid = np.arange(n) >= (order - 1)
             hit = (~resolved) & valid & (num > 0) & (ctx > 0)
             if hit.any():
                 out[hit] = np.log(num[hit] / ctx[hit]) + penalty[hit]
@@ -215,6 +269,11 @@ class HashedNgramLM:
             penalty[(~resolved) & valid] += log_alpha
         out[~resolved] += penalty[~resolved]
         return out
+
+    def token_logprobs(self, tokens: list[str]) -> np.ndarray:
+        """Single-document convenience wrapper (tests / labeler micro-paths)."""
+        arr = np.array(tokens, dtype=object)
+        return self.token_logprobs_flat(hash_tokens(arr), np.arange(arr.size))
 
     def doc_score(self, text: str, q_threshold: float = -8.0) -> tuple[float, float]:
         """Return (mean_logprob, frac_tokens_above_threshold)."""
@@ -224,9 +283,8 @@ class HashedNgramLM:
         return float(lps.mean()), float((lps > q_threshold).mean())
 
 
-# Module-level singletons, built once per process (per-executor lazy init is
-# handled by module import caching inside UDF workers — the Spark analog of
-# reusing the pre-built index, reference longQC.py:266-277).
+# Module-level singletons, built once per process (per-executor lazy init —
+# the Spark analog of reusing the pre-built index, reference longQC.py:266-277).
 _LANGID: LangIdModel | None = None
 _LM: HashedNgramLM | None = None
 

@@ -54,25 +54,27 @@ SCRUB_FIELDS: list[T.StructField] = [
     T.StructField("scrubbed_text", T.StringType()),
     T.StructField("pii_match_count", T.LongType()),
     T.StructField("tox_match_count", T.LongType()),
-    T.StructField(
-        "scrub_spans",
-        T.ArrayType(
-            T.StructType(
-                [
-                    T.StructField("start", T.IntegerType()),
-                    T.StructField("end", T.IntegerType()),
-                    T.StructField("kind", T.StringType()),
-                ]
-            )
-        ),
-    ),
 ]
 
+SPAN_FIELD = T.StructField(
+    "scrub_spans",
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("start", T.IntegerType()),
+                T.StructField("end", T.IntegerType()),
+                T.StructField("kind", T.StringType()),
+            ]
+        )
+    ),
+)
 
-def _stats_schema(key_cols: list[tuple[str, T.DataType]]) -> T.StructType:
-    return T.StructType(
-        [T.StructField(n, t) for n, t in key_cols] + STATS_FIELDS + SCRUB_FIELDS
-    )
+
+def _stats_schema(key_cols: list[tuple[str, T.DataType]], emit_spans: bool) -> T.StructType:
+    fields = [T.StructField(n, t) for n, t in key_cols] + STATS_FIELDS + SCRUB_FIELDS
+    if emit_spans:
+        fields.append(SPAN_FIELD)
+    return T.StructType(fields)
 
 
 # ---------------------------------------------------------------------------
@@ -102,21 +104,23 @@ def with_stats_and_scrub(
     cfg: QCConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     key_cols: list[str] | None = None,
+    emit_spans: bool = False,
 ) -> DataFrame:
     """Add the full qc_stats vector + scrub output; drops the raw text column
     (column pruning: downstream stages never reship the original bytes —
     the sdust principle of emitting only the 6 needed stats, sdust.c:211-217).
+    ``emit_spans`` additionally ships per-match spans (costly through Arrow;
+    report/audit paths only).
     """
     key_cols = key_cols or ["url"]
-    in_types = dict(df.dtypes)
-    schema = _stats_schema([(k, df.schema[k].dataType) for k in key_cols])
+    schema = _stats_schema([(k, df.schema[k].dataType) for k in key_cols], emit_spans)
     keys = list(key_cols)
 
     def compute(batches):
         for pdf in batches:
             texts = pdf[text_col]
-            stats = compute_stats(texts)
-            scrub = scrub_batch(texts, cfg)
+            stats = compute_stats(texts, langid_max_chars=cfg.langid_max_chars)
+            scrub = scrub_batch(texts, cfg, emit_spans=emit_spans)
             out = pdf[keys].reset_index(drop=True)
             yield out.join(stats).join(scrub)
 
@@ -180,15 +184,25 @@ def qc_pipeline(
     num_partitions: int | None = None,
     text_col: str = "text",
     key_cols: list[str] | None = None,
+    emit_spans: bool = False,
 ) -> DataFrame:
     """documents(url, …, text, …) → labels DataFrame.
 
-    Output: key cols + full stat vector + scrubbed_text/pii/tox/spans +
-    reasons + keep. Lazy; callers append to the sink or aggregate.
+    Output: key cols + full stat vector + scrubbed_text/pii/tox counters
+    (+ spans if requested) + reasons + keep. Lazy; callers append to the sink
+    or aggregate.
+
+    The up-front salted repartition serves two purposes: skew-proof uniform
+    task sizing for the Arrow UDF stage, and — in this sandbox, where parquet
+    fixtures are single-row-group and therefore 1-task scans — it IS the
+    parallelism source. On a production Iceberg table with properly sized
+    files, pass ``num_partitions=0`` to skip it and let the scan parallelize.
     """
     if num_partitions is None:
         num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
     key = (key_cols or ["url"])[0]
-    parted = salted_repartition(docs, key, num_partitions)
-    stats = with_stats_and_scrub(parted, cfg, text_col=text_col, key_cols=key_cols)
+    parted = docs if num_partitions == 0 else salted_repartition(docs, key, num_partitions)
+    stats = with_stats_and_scrub(
+        parted, cfg, text_col=text_col, key_cols=key_cols, emit_spans=emit_spans
+    )
     return with_labels(stats, cfg)

@@ -19,6 +19,19 @@ def test_langid_deterministic_across_instances():
     assert a.score("the quick brown fox") == b.score("the quick brown fox")
 
 
+def test_langid_batch_split_invariance():
+    import pandas as pd
+
+    m = langid_model()
+    texts = pd.Series([t + " end" for t in SEED_TEXT.values()] * 5)
+    p_all, s_all = m.score_batch(texts)
+    p1, s1 = m.score_batch(texts.iloc[:7])
+    p2, s2 = m.score_batch(texts.iloc[7:].reset_index(drop=True))
+    assert list(p_all) == list(p1) + list(p2)
+    # exact: zero-masked tails make sums independent of batch composition
+    assert np.array_equal(s_all, np.concatenate([s1, s2]))
+
+
 def test_lm_scores_seed_text_better_than_gibberish():
     lm = ngram_lm()
     good, _ = lm.doc_score("the quick brown fox jumps over the lazy dog")
