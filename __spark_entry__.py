@@ -150,6 +150,123 @@ def q_alpha_frac(spark: SparkSession, sf: str) -> DataFrame:  # M2 analog / qual
     ).orderBy("doc_id")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:  # J2 / dedup
+    from longqc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(docs, top_k=25)
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:  # dedup (LSH), rows-only
+    from longqc_spark.operators.dedup import minhash_jaccard_estimate
+
+    docs = _read(spark, sf, "documents")
+    return minhash_jaccard_estimate(docs, threshold=0.3).orderBy("key_a", "key_b")
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:  # dedup (simhash), rows-only
+    from longqc_spark.operators.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = _read(spark, sf, "documents")
+    return simhash_near_pairs(simhash_signatures(docs), max_hamming=16).orderBy(
+        "key_a", "key_b"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:  # simsearch (exact)
+    from longqc_spark.operators.simsearch import cosine_topk
+
+    emb = _read(spark, sf, "embeddings")
+    # round for oracle parity: DuckDB's list_cosine_similarity computes in
+    # float32, Spark in float64 — values agree to ~1e-7
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).withColumn(
+        "cosine", F.round("cosine", 3)
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:  # simsearch (LSH), rows-only
+    from longqc_spark.operators.simsearch import lsh_topk
+
+    emb = _read(spark, sf, "embeddings")
+    # 4 bits → 16 buckets over 500 vectors: ~30 candidates per query
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, n_bits=4)
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:  # minimizer sketch
+    from longqc_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(_read(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:  # SA1 replacement
+    from longqc_spark.operators.text import hash_priority_sample
+
+    docs = _read(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return hash_priority_sample(docs, 100, oracle_safe=True).orderBy("doc_id")
+
+
+def q_running_sum(spark: SparkSession, sf: str) -> DataFrame:  # W2 sweep analog
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum("value").over(w).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:  # pivot
+    ev = _read(spark, sf, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("hour")
+    )
+
+
+def q_langid_docs(spark: SparkSession, sf: str) -> DataFrame:  # M4 langid, rows-only
+    from longqc_spark.operators.text import langid_table
+
+    docs = _read(spark, sf, "documents")
+    return (
+        langid_table(docs)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("lang_score").alias("avg_score"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:  # multimodal, rows-only
+    from longqc_spark.operators.multimodal import extract_features, synth_media_table
+
+    media = synth_media_table(spark, n=256)
+    return (
+        extract_features(media)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("magic_ok")).alias("n_magic_ok"),
+            F.avg("n_bytes").alias("avg_bytes"),
+            F.avg("mean_luma").alias("avg_luma"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_token_quality(spark: SparkSession, sf: str) -> DataFrame:  # M1/M2 quality
+    from longqc_spark.operators.text import token_stats
+
+    return token_stats(_read(spark, sf, "documents")).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "length_stats": q_length_stats,
@@ -164,6 +281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
+        "fingerprint": q_fingerprint,
+        "hash_sample": q_hash_sample,
+        "running_sum": q_running_sum,
+        "pivot_counts": q_pivot_counts,
+        "langid_docs": q_langid_docs,
+        "token_quality": q_token_quality,
+        "media_features": q_media_features,
     }
 
 
@@ -249,5 +378,87 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
                        / length(text) AS alpha_frac
             FROM documents ORDER BY doc_id
+        """,
+        "ngram_jaccard": """
+            WITH raw AS (
+                SELECT doc_id AS k, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents WHERE doc_id < 150
+            ), toks AS (SELECT DISTINCT k, tok FROM raw WHERE tok <> ''),
+            sizes AS (SELECT k, count(*) AS sz FROM toks GROUP BY k),
+            inter AS (
+                SELECT l.k AS key_a, r.k AS key_b, count(*) AS i
+                FROM toks l JOIN toks r ON l.tok = r.tok AND l.k < r.k
+                GROUP BY 1, 2
+            )
+            SELECT key_a, key_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.k = key_a
+            JOIN sizes sb ON sb.k = key_b
+            ORDER BY jaccard DESC, key_a, key_b LIMIT 25
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qvec, e.embedding) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE q.query_id <> e.vec_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS rk
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 3) AS cosine
+            FROM ranked WHERE rk <= 5
+            ORDER BY query_id, cosine DESC, vec_id
+        """,
+        "fingerprint": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(range(1, greatest(len(a) - 4, 0) + 1),
+                       i -> md5(array_to_string(a[i:i+4], ' ')))) AS fingerprint
+            FROM t WHERE len(a) >= 5 ORDER BY doc_id
+        """,
+        "hash_sample": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       md5(concat(CAST(doc_id AS VARCHAR), '7')) AS prio
+                FROM documents
+                ORDER BY prio, doc_id LIMIT 100
+            ) ORDER BY doc_id
+        """,
+        "running_sum": """
+            SELECT user_id, event_id,
+                   sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+            FROM events WHERE user_id < 50
+            ORDER BY user_id, event_id
+        """,
+        "pivot_counts": """
+            SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY 1 ORDER BY hour
+        """,
+        "token_quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, length(text) AS n_chars, n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS alpha_frac,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS digit_frac,
+                   length(text) * 1.0 / greatest(n_tokens, 1) AS chars_per_token
+            FROM t ORDER BY doc_id
         """,
     }

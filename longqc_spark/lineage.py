@@ -1,0 +1,159 @@
+"""Checkpoint / resume: per-partition lineage + metric aggregates.
+
+north_rule: "every stage writes per-partition lineage rows and metric
+aggregates to an Iceberg audit table so the job resumes exactly from the last
+committed checkpoint." The sandbox has no Iceberg runtime jar (SURVEY.md
+§7.5.6), so this module implements the same commit semantics over a parquet
+directory + JSON manifest:
+
+* the input is split into ``n_buckets`` deterministic url-hash buckets
+  (reference analog: chunk numbering, ``longQC.py:298-359``);
+* each bucket's labels are written to a temp dir, fsync'd, renamed into
+  place, and only then recorded in the manifest with its lineage row
+  (n_in/n_kept/metrics/input fingerprint) — the manifest update (atomic
+  ``os.replace``) is the commit point, like an Iceberg snapshot swap;
+* resume = skip buckets present in the manifest; a half-written uncommitted
+  bucket dir is discarded and re-run (idempotent re-commit);
+* the audit table itself is queryable: ``audit_table(spark, out_dir)``.
+
+At 100 TB: buckets are the unit of restart; bucket count is chosen so one
+bucket ≈ executor-fleet-minutes of work (e.g. 4096); the bucket filter is a
+pushed-down predicate over the same xxhash64 expression used for
+repartitioning, so a resumed run never rescans committed data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import DEFAULT_CONFIG, QCConfig
+from .pipeline import qc_pipeline
+
+_SALT = 1337
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col), F.lit(_SALT)), F.lit(n_buckets))
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def load_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"run_id": None, "committed": {}}
+
+
+def _commit_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(out_dir))  # atomic commit point
+
+
+def run_qc_with_lineage(
+    docs: DataFrame,
+    out_dir: str,
+    cfg: QCConfig = DEFAULT_CONFIG,
+    key_col: str = "url",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    fail_after_bucket: int | None = None,
+) -> dict:
+    """Run the QC pipeline bucket-by-bucket with committed checkpoints.
+
+    Returns the final manifest. ``fail_after_bucket`` injects a crash after
+    that bucket's commit (kill/restart testing, SURVEY.md §7.5.7).
+    """
+    os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
+    manifest = load_manifest(out_dir)
+    if manifest["run_id"] is None:
+        manifest["run_id"] = uuid.uuid4().hex
+        manifest["n_buckets"] = n_buckets
+    if manifest.get("n_buckets") != n_buckets:
+        raise ValueError("n_buckets differs from the manifest's — cannot resume")
+
+    for b in range(n_buckets):
+        if str(b) in manifest["committed"]:
+            continue  # exact resume: committed partition is a no-op
+        final_dir = os.path.join(out_dir, "data", f"bucket={b}")
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)  # uncommitted leftover → idempotent redo
+        tmp_dir = os.path.join(out_dir, "data", f".tmp-bucket-{b}")
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+
+        part = docs.filter(bucket_expr(key_col, n_buckets) == b)
+        labels = qc_pipeline(part, cfg, text_col=text_col, key_cols=[key_col])
+        labels.write.mode("overwrite").parquet(tmp_dir)
+
+        spark = docs.sparkSession
+        written = spark.read.parquet(tmp_dir)
+        row = written.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.count_if(F.col("pii_match_count") > 0).alias("n_scrubbed"),
+            # xor-fold: order-independent, overflow-free (ANSI mode) key digest
+            F.bit_xor(F.xxhash64(key_col)).alias("input_fingerprint"),
+            F.avg("perplexity").alias("avg_perplexity"),
+            F.avg("n_words").alias("avg_words"),
+        ).collect()[0]
+
+        os.replace(tmp_dir, final_dir)
+        manifest["committed"][str(b)] = {
+            "partition_id": b,
+            "n_in": row["n_in"],
+            "n_kept": row["n_kept"],
+            "n_scrubbed": row["n_scrubbed"],
+            "input_fingerprint": str(row["input_fingerprint"]),
+            "metrics": {
+                "avg_perplexity": row["avg_perplexity"],
+                "avg_words": row["avg_words"],
+            },
+            "committed_at": time.time(),
+        }
+        _commit_manifest(out_dir, manifest)
+        if fail_after_bucket is not None and b == fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+    return manifest
+
+
+def audit_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The lineage rows as a queryable DataFrame (FIXTURES.md §6 shape)."""
+    m = load_manifest(out_dir)
+    rows = [
+        {
+            "run_id": m["run_id"],
+            "stage": "qc_pipeline",
+            "partition_id": v["partition_id"],
+            "input_fingerprint": v["input_fingerprint"],
+            "n_in": v["n_in"],
+            "n_kept": v["n_kept"],
+            "n_scrubbed": v["n_scrubbed"],
+            "metrics": v["metrics"],
+            "committed_at": float(v["committed_at"]),
+        }
+        for v in m["committed"].values()
+    ]
+    schema = (
+        "run_id string, stage string, partition_id int, input_fingerprint string, "
+        "n_in long, n_kept long, n_scrubbed long, metrics map<string,double>, "
+        "committed_at double"
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def read_labels(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))

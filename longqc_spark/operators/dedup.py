@@ -1,0 +1,289 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference's all-vs-sample minimizer hash join (J2, ``lqmap.c:140-205``:
+hash shared k-mers between records to estimate similarity/coverage) is exactly
+the near-duplicate problem; these are its web-text instantiations at the four
+standard operating points:
+
+* exact           — hash-groupBy on full text (md5)
+* n-gram Jaccard  — token-set equi-join (the literal J2 analog)
+* MinHash + LSH   — shingle → minhash signature → banded bucket join
+* SimHash         — 64-bit sign-aggregated fingerprint, hamming-band join
+
+Scale notes: every join here is an equi-join on a hash/bucket column → plain
+shuffle hash join, AQE-skewable; banding bounds candidate-pair fan-out the
+same way max_occ bounds repetitive minimizers (``lqmap.c:166-173``).
+All signature computation is flat-stream numpy inside ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..models import hash_tokens, ngram_keys
+
+# deterministic odd multipliers/offsets for the minhash family (seeded PCG)
+_MH_RNG = np.random.default_rng(20240101)
+
+
+def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    a = (_MH_RNG.integers(1, 2**63, size=n_hashes, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = _MH_RNG.integers(0, 2**63, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_MH_A, _MH_B = _minhash_params(64)
+
+
+def _shingle_stream(texts: pd.Series, shingle: int):
+    """Flat (keys uint64, doc_ids, n_shingles_per_doc) word-shingle stream."""
+    n_docs = len(texts)
+    split = texts.fillna("").str.lower().str.split()
+    n_tok = np.fromiter(map(len, split), dtype=np.int64, count=n_docs)
+    flat = np.array(list(chain.from_iterable(split)), dtype=object)
+    hashes = hash_tokens(flat)
+    keys = ngram_keys(hashes, shingle)
+    starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+    pos_in_doc = np.arange(flat.shape[0]) - np.repeat(starts, n_tok)
+    valid = pos_in_doc >= (shingle - 1)
+    n_sh = np.maximum(n_tok - shingle + 1, 0)
+    return keys[valid], n_sh
+
+
+def minhash_signatures(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle: int = 3,
+) -> DataFrame:
+    """→ (key, sig array<long>): minhash signature per document.
+
+    Vectorized: per hash function one multiply-add over the flat shingle
+    stream + one segmented min (``np.minimum.reduceat``); docs' shingles are
+    contiguous by construction.
+    """
+    a, b = _MH_A[:n_hashes], _MH_B[:n_hashes]
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            keys, n_sh = _shingle_stream(pdf[text_col], shingle)
+            n_docs = len(pdf)
+            seg = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+            seg = np.clip(seg, 0, max(keys.shape[0] - 1, 0))
+            sig = np.full((n_docs, n_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+            if keys.shape[0]:
+                with np.errstate(over="ignore"):
+                    for i in range(n_hashes):
+                        g = keys * a[i] + b[i]
+                        mins = np.minimum.reduceat(g, seg)
+                        # shift to signed for Spark LongType (order-preserving)
+                        row = (mins >> np.uint64(1)).astype(np.int64)
+                        row = np.where(n_sh > 0, row, np.iinfo(np.int64).max)
+                        sig[:, i] = row
+            yield pd.DataFrame(
+                {key_col: pdf[key_col].to_numpy(), "sig": list(sig)}
+            )
+
+    return df.select(key_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, key_col: str = "doc_id", bands: int = 16, n_hashes: int = 64
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` rows of r = n/bands,
+    hash each band, equi-join on (band, hash). → (key_a, key_b) distinct,
+    key_a < key_b."""
+    r = n_hashes // bands
+    banded = sigs.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("key_a"), F.col(f"r.{key_col}").alias("key_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates via banding, then
+    signature-agreement Jaccard estimate, filtered at ``threshold``.
+    → (key_a, key_b, est_jaccard)."""
+    sigs = minhash_signatures(df, key_col, text_col, n_hashes, shingle).cache()
+    pairs = lsh_candidate_pairs(sigs, key_col, bands, n_hashes)
+    a = sigs.select(F.col(key_col).alias("key_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(key_col).alias("key_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(n_hashes)
+    ).alias("est_jaccard")
+    return (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .select("key_a", "key_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.0,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard via token equi-join (J2 minimizer-join analog):
+    explode distinct tokens, self-join on token, count intersections, derive
+    |A∪B| = |A|+|B|−|A∩B|. → (key_a, key_b, jaccard). O(pairs sharing a
+    token) — bounded corpora / verification of the LSH path."""
+    toks = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    sizes = toks.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = toks.alias("l"), toks.alias("r")
+    inter = (
+        l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col("l.k") < F.col("r.k")))
+        .groupBy(F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("k").alias("key_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("k").alias("key_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    if top_k:
+        out = out.orderBy(F.desc("jaccard"), "key_a", "key_b").limit(top_k)
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of per-bit sums of token hashes.
+    → (key, simhash long). Hamming-close docs are near-duplicates; pair
+    generation joins on 16-bit chunks (any pair within hamming distance 3
+    shares at least one intact chunk)."""
+    out_schema = T.StructType([df.schema[key_col], T.StructField("simhash", T.LongType())])
+
+    def compute(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").str.lower()
+            n_docs = len(texts)
+            split = texts.str.split()
+            n_tok = np.fromiter(map(len, split), dtype=np.int64, count=n_docs)
+            flat = np.array(list(chain.from_iterable(split)), dtype=object)
+            hashes = hash_tokens(flat)
+            doc_ids = np.repeat(np.arange(n_docs), n_tok)
+            sims = np.zeros(n_docs, dtype=np.uint64)
+            for bit in range(64):
+                b = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.float64)
+                pos = np.bincount(doc_ids, weights=b, minlength=n_docs)
+                ones = (pos * 2 > n_tok) & (n_tok > 0)
+                sims |= ones.astype(np.uint64) << np.uint64(bit)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "simhash": sims.astype(np.int64),
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def simhash_near_pairs(
+    sims: DataFrame, key_col: str = "doc_id", max_hamming: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """Chunk-join candidate generation + exact hamming filter.
+    → (key_a, key_b, hamming).
+
+    Pigeonhole guarantee: any pair within hamming distance ``n_chunks - 1``
+    shares at least one intact chunk, so recall is 1.0 for
+    ``max_hamming ≤ n_chunks - 1`` (use n_chunks=8 for radius ≤7); beyond
+    that the join is best-effort."""
+    width = 64 // n_chunks
+    chunk_mask = (1 << width) - 1
+    chunks = sims.select(
+        F.col(key_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit(chunk_mask)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("key_a"),
+            F.col(f"r.{key_col}").alias("key_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    return cand.select("key_a", "key_b", hamming).filter(F.col("hamming") <= max_hamming)

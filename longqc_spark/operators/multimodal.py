@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata.
+
+The reference's analog is the FAST5/HDF5 path (``lq_utils.py:211-236``,
+``lq_nanopore.py:102-117``): opaque container bytes scanned with
+``binaryFile`` semantics, decoded per record by a vectorized kernel, metadata
+extracted into typed columns. Decode itself is STUBBED here (no image/audio
+libraries in this container): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decoder (seeded from the payload hash) produces realistic-shaped
+outputs so the Spark-side plumbing — schema, batch shape, partitioning —
+is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("declared_mime", T.StringType()),
+    ]
+)
+
+
+def synth_media_table(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus (binary payloads with magic bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    magic = {"image": b"\x89PNG", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        body = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
+        rows.append((i, kind, magic[kind] + body, f"{kind}/x-fake"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "kind", "payload", "declared_mime"]), schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real decode needs PIL/libvips (not in this container).
+
+    ``fake=True`` → deterministic pseudo-decode: dims and pixel stats seeded
+    from crc32(payload), so tests exercise the full Arrow round-trip."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/pyvips; install and replace this stub "
+            "(plumbing below is production-shaped)"
+        )
+    h = zlib.crc32(payload)
+    rng = np.random.default_rng(h)
+    w, ht = 16 + h % 48, 16 + (h >> 8) % 48
+    return rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("magic_ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+_MAGIC = {"image": b"\x89PNG", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """binary payload → typed feature row, Arrow-batched.
+
+    Production shape: one ``mapInPandas`` pass per partition, payloads decoded
+    batch-wise, features emitted as ``array<float>`` ready for the simsearch
+    operators. Partitioning: repartition upstream by ``xxhash64(media_id)``
+    for uniform decode cost (same pattern as the text pipeline)."""
+
+    def compute(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "media_id": pdf.media_id.to_numpy(),
+                "kind": pdf.kind.to_numpy(),
+                "n_bytes": np.fromiter((len(b) for b in pdf.payload), dtype=np.int64, count=n),
+                "magic_ok": np.fromiter(
+                    (bytes(b).startswith(_MAGIC.get(k, b"")) for b, k in zip(pdf.payload, pdf.kind)),
+                    dtype=bool,
+                    count=n,
+                ),
+                "width": np.zeros(n, dtype=np.int32),
+                "height": np.zeros(n, dtype=np.int32),
+                "mean_luma": np.zeros(n, dtype=np.float64),
+                "feature": np.empty(n, dtype=object),
+            }
+            for i, (payload, kind) in enumerate(zip(pdf.payload, pdf.kind)):
+                if kind == "image":
+                    img = decode_image(bytes(payload), fake=fake_decode)
+                    out["height"][i], out["width"][i] = img.shape[0], img.shape[1]
+                    out["mean_luma"][i] = float(img.mean())
+                    # 8-bin histogram as the stand-in embedding
+                    hist, _ = np.histogram(img, bins=8, range=(0, 256))
+                    out["feature"][i] = (hist / hist.sum()).astype(np.float32).tolist()
+                else:
+                    out["feature"][i] = []
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(compute, schema=FEATURE_SCHEMA)

@@ -1,0 +1,102 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline (all JVM-side: ``zip_with`` +
+``aggregate`` higher-order functions, no Python in the loop); the scale path
+buckets vectors with random-hyperplane LSH so the candidate join touches
+~1/2^bits of the corpus — the same build-side-bounding idea as the
+reference's `-I` index batching (``minimap2-coverage.c:446-458``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force: broadcast the (small) query set against the corpus,
+    per-query top-k by cosine. → (query_id, vec_id, cosine) with deterministic
+    tie-break (cosine desc, vec_id asc)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    cos = (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cosine")
+    scored = c.join(F.broadcast(q)).filter(F.col("query_id") != F.col(id_col)).select(
+        "query_id", id_col, cos
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+        .orderBy("query_id", F.desc("cosine"), id_col)
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit i = sign(v·h_i).
+    Hyperplanes are a deterministic seeded matrix, embedded as literal columns
+    (broadcast-equivalent; no Python at eval time). → (id, bucket int)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bit_cols = []
+    for i in range(n_bits):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit_cols.append((_dot(F.col(vec_col), h) > 0).cast("int") * F.lit(2**i))
+    bucket = sum(bit_cols[1:], bit_cols[0]).alias("bucket")
+    return emb.select(F.col(id_col), F.col(vec_col), bucket)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within bucket. Recall grows with multi-probe /
+    fewer bits; this is the 1/2^bits-cost operating point."""
+    b_corpus = hyperplane_buckets(emb, n_bits, dim, id_col, vec_col)
+    b_query = hyperplane_buckets(queries, n_bits, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
+    )
+    cos = (_dot(F.col("qvec"), F.col(vec_col)) / (_norm(F.col("qvec")) * _norm(F.col(vec_col)))).alias("cosine")
+    scored = b_corpus.join(F.broadcast(b_query), "bucket").filter(
+        F.col("query_id") != F.col(id_col)
+    ).select("query_id", id_col, cos)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+        .orderBy("query_id", F.desc("cosine"), id_col)
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis operators over a documents table.
+
+Web-text analogs of the reference's per-record scalar kernels (§2.4): token
+counting (M1), character-class quality signals (M2), document fingerprinting
+(the minimizer idea, ``lqmap.c:236`` — min-hash of k-gram windows as a
+1-value sketch), and language-ID (M4-shaped scoring) as a Spark stage usable
+outside the full pipeline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..models import langid_model
+
+
+def token_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token/char counts + quality ratios, all JVM-side (codegen)."""
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    return df.select(
+        F.col(key_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (alpha / F.greatest(F.length(text_col), F.lit(1))).alias("alpha_frac"),
+        (digits / F.greatest(F.length(text_col), F.lit(1))).alias("digit_frac"),
+        (F.length(text_col) / F.greatest(F.size(toks), F.lit(1))).alias("chars_per_token"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", ngram: int = 5
+) -> DataFrame:
+    """Min-hash fingerprint: md5 over every word ``ngram``, keep the minimum —
+    a 1-row sketch identifying near-identical docs cheaply (minimizer analog).
+    md5 (not xxhash) so a DuckDB oracle can reproduce it exactly."""
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(arr)
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0] — docs with
+    # fewer than `ngram` tokens must yield an empty gram list instead
+    grams = F.when(
+        n >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(ngram - 1)),
+            lambda i: F.md5(F.array_join(F.slice(arr, i, ngram), " ").cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(key_col),
+        F.array_min(grams).alias("fingerprint"),
+    ).filter(F.col("fingerprint").isNotNull())
+
+
+def langid_table(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc language prediction (fastText-analog scorer) as a standalone
+    stage — Arrow-batched, broadcast-free (model rebuilt per worker from
+    embedded seeds, the `-d` index-reuse analog)."""
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("lang_pred", T.StringType()),
+            T.StructField("lang_score", T.DoubleType()),
+        ]
+    )
+
+    def compute(batches):
+        lid = langid_model()
+        for pdf in batches:
+            preds, margins = lid.score_batch(pdf[text_col].fillna("").str.slice(0, 512))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "lang_pred": preds,
+                    "lang_score": margins,
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def hash_priority_sample(
+    df: DataFrame, n: int, key_col: str = "doc_id", seed: int = 7, oracle_safe: bool = False
+) -> DataFrame:
+    """Deterministic, parallel-stable top-n sample (replaces the reference's
+    scan-order reservoir, ``lq_utils.py:371-411`` — SURVEY.md §2.5 SA1):
+    priority = hash(key, seed), take the n smallest. Same marginal
+    distribution as a uniform sample, identical on any partitioning.
+
+    ``oracle_safe`` uses md5-of-string priority (reproducible in DuckDB);
+    the default uses xxhash64 (cheaper, JVM-side)."""
+    if oracle_safe:
+        prio = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(str(seed))).cast("binary"))
+    else:
+        prio = F.xxhash64(F.col(key_col), F.lit(seed))
+    return (
+        df.withColumn("prio", prio)
+        .orderBy("prio", key_col)
+        .limit(n)
+        .drop("prio")
+    )

@@ -1,0 +1,120 @@
+"""Correctness of the dedup + similarity-search operators: the LSH paths are
+rows-only in the driver contract, so exactness is proven here against planted
+near-duplicates and brute-force baselines."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from longqc_spark.operators.dedup import (
+    minhash_jaccard_estimate,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from longqc_spark.operators.simsearch import cosine_topk, lsh_topk
+
+
+def _planted_docs(spark):
+    """10 base docs; docs 100+i are near-copies of doc i (1 token changed of
+    ~60); docs 200+ are unrelated."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{j}" for j in range(500)]
+    rows = []
+    for i in range(10):
+        toks = [vocab[x] for x in rng.integers(0, 500, 60)]
+        rows.append((i, " ".join(toks)))
+        near = list(toks)
+        near[5] = "CHANGED"
+        rows.append((100 + i, " ".join(near)))
+    for i in range(10):
+        toks = [vocab[x] for x in rng.integers(0, 500, 60)]
+        rows.append((200 + i, " ".join(toks)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _exact_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.lower().split()), set(b.lower().split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_matches_python(spark):
+    docs = _planted_docs(spark)
+    got = ngram_jaccard_pairs(docs, min_jaccard=0.5).toPandas()
+    pdf = docs.toPandas().set_index("doc_id").text
+    pairs = {(r.key_a, r.key_b): r.jaccard for r in got.itertuples()}
+    for i in range(10):
+        key = (i, 100 + i)
+        assert key in pairs
+        assert pairs[key] == pytest.approx(_exact_jaccard(pdf[i], pdf[100 + i]))
+    # unrelated docs share few tokens → no pair at 0.5
+    assert all(b - a == 100 for a, b in pairs)
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    docs = _planted_docs(spark)
+    got = minhash_jaccard_estimate(docs, threshold=0.5).toPandas()
+    found = {(r.key_a, r.key_b) for r in got.itertuples()}
+    assert {(i, 100 + i) for i in range(10)} <= found
+    # estimates in a sane band around the true shingle jaccard (~0.85)
+    assert (got.est_jaccard >= 0.5).all()
+
+
+def test_simhash_planted_pairs_within_hamming(spark):
+    docs = _planted_docs(spark)
+    sims = simhash_signatures(docs)
+    # planted pairs sit at hamming 3-6 → 8 chunks guarantee radius ≤ 7
+    got = simhash_near_pairs(sims, max_hamming=7, n_chunks=8).toPandas()
+    found = {(r.key_a, r.key_b) for r in got.itertuples()}
+    assert {(i, 100 + i) for i in range(10)} <= found
+
+
+def test_simhash_deterministic(spark):
+    docs = _planted_docs(spark)
+    a = simhash_signatures(docs).toPandas().set_index("doc_id").simhash
+    b = simhash_signatures(docs.repartition(7)).toPandas().set_index("doc_id").simhash
+    pd.testing.assert_series_equal(a.sort_index(), b.sort_index())
+
+
+def test_cosine_topk_exact(spark, sf01):
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).toPandas()
+    pdf = emb.toPandas()
+    q = np.array(pdf[pdf.vec_id == 0].embedding.iloc[0])
+    m = np.vstack(pdf.embedding.to_numpy())
+    cos = m @ q / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    cos[pdf.vec_id == 0] = -np.inf
+    top3 = pdf.vec_id.to_numpy()[np.argsort(-cos)[:3]]
+    assert list(got.vec_id) == list(top3)
+    assert got.cosine.to_numpy() == pytest.approx(np.sort(cos)[::-1][:3])
+
+
+def test_lsh_topk_structure_on_driver_embeddings(spark, sf01):
+    # driver embeddings are isotropic noise (intra≈inter cosine) — assert
+    # structural properties only: per-query rank monotone, ≤ k rows
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    got = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_bits=4).toPandas()
+    assert (got.groupby("query_id").cosine.apply(lambda s: s.is_monotonic_decreasing)).all()
+    assert (got.groupby("query_id").size() <= 3).all()
+    assert (got.query_id != got.vec_id).all()
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    """Planted clusters: 10 centers × 20 members; LSH top-k must recover
+    same-cluster neighbors found by exact search with high recall."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 64)) * 3
+    rows = []
+    for c in range(10):
+        for j in range(20):
+            v = centers[c] + rng.standard_normal(64) * 0.5
+            rows.append((c * 20 + j, [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = lsh_topk(emb, queries, k=5, n_bits=4).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    g = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & g) / len(e) >= 0.6

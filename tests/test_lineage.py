@@ -1,0 +1,74 @@
+"""Checkpoint/resume semantics (north_rule resumability; SURVEY.md §7.5.7):
+kill mid-run → restart → exact resume, committed partitions are no-ops,
+final output identical to an uninterrupted run."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from longqc_spark.lineage import (
+    audit_table,
+    load_manifest,
+    read_labels,
+    run_qc_with_lineage,
+)
+
+
+@pytest.fixture()
+def docs(spark, corpus_path):
+    return spark.read.parquet(corpus_path)
+
+
+def test_kill_and_resume_exact(spark, docs, tmp_path):
+    out = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_qc_with_lineage(docs, out, n_buckets=4, fail_after_bucket=1)
+    m = load_manifest(out)
+    assert set(m["committed"]) == {"0", "1"}
+
+    # restart: only buckets 2,3 run; 0,1 untouched (mtime unchanged)
+    mtimes = {
+        b: os.path.getmtime(os.path.join(out, "data", f"bucket={b}")) for b in (0, 1)
+    }
+    m2 = run_qc_with_lineage(docs, out, n_buckets=4)
+    assert set(m2["committed"]) == {"0", "1", "2", "3"}
+    assert m2["run_id"] == m["run_id"]
+    for b in (0, 1):
+        assert os.path.getmtime(os.path.join(out, "data", f"bucket={b}")) == mtimes[b]
+
+    # resumed output == uninterrupted run
+    clean = str(tmp_path / "clean")
+    run_qc_with_lineage(docs, clean, n_buckets=4)
+    a = read_labels(spark, out).select("url", "keep", "scrubbed_text").toPandas()
+    b = read_labels(spark, clean).select("url", "keep", "scrubbed_text").toPandas()
+    pa = a.sort_values("url").reset_index(drop=True)
+    pb = b.sort_values("url").reset_index(drop=True)
+    assert pa.equals(pb)
+    assert len(pa) == docs.count()
+
+
+def test_rerun_completed_is_noop(spark, docs, tmp_path):
+    out = str(tmp_path / "run")
+    run_qc_with_lineage(docs, out, n_buckets=2)
+    m1 = load_manifest(out)
+    m2 = run_qc_with_lineage(docs, out, n_buckets=2)
+    assert m1 == m2  # identical manifests — nothing recomputed
+
+
+def test_audit_table_consistent(spark, docs, tmp_path):
+    out = str(tmp_path / "run")
+    run_qc_with_lineage(docs, out, n_buckets=4)
+    audit = audit_table(spark, out)
+    total = audit.agg(F.sum("n_in"), F.sum("n_kept")).collect()[0]
+    labels = read_labels(spark, out)
+    assert total[0] == labels.count()
+    assert total[1] == labels.filter(F.col("keep")).count()
+    assert audit.count() == 4
+
+
+def test_bucket_mismatch_rejected(spark, docs, tmp_path):
+    out = str(tmp_path / "run")
+    run_qc_with_lineage(docs, out, n_buckets=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_qc_with_lineage(docs, out, n_buckets=4)
