@@ -261,6 +261,28 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:  # multimodal, 
     )
 
 
+def q_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:  # streaming twin
+    from longqc_spark.streaming.occupancy import tumbling_counts
+
+    ev = _read(spark, sf, "events")
+    return tumbling_counts(ev).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+        "event_type",
+        "n",
+        # round: double-sum association order differs between engines
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def q_interval_occupancy(spark: SparkSession, sf: str) -> DataFrame:  # A13 analog
+    from longqc_spark.streaming.occupancy import interval_occupancy
+
+    # deterministic subset (limit() picks arbitrary rows under parallelism)
+    ev = _read(spark, sf, "events").filter(F.col("event_id") < 2000)
+    return interval_occupancy(ev, cap_seconds=10)
+
+
 def q_token_quality(spark: SparkSession, sf: str) -> DataFrame:  # M1/M2 quality
     from longqc_spark.operators.text import token_stats
 
@@ -293,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "token_quality": q_token_quality,
         "media_features": q_media_features,
+        "tumbling_counts": q_tumbling_counts,
+        "interval_occupancy": q_interval_occupancy,
     }
 
 
@@ -460,5 +484,20 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(length(text), 1) AS digit_frac,
                    length(text) * 1.0 / greatest(n_tokens, 1) AS chars_per_token
             FROM t ORDER BY doc_id
+        """,
+        "tumbling_counts": """
+            SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                   strftime(date_trunc('minute', ts) + INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S') AS win_end,
+                   event_type, count(*) AS n, round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type
+        """,
+        "interval_occupancy": """
+            SELECT sec, count(*) AS n_active FROM (
+                SELECT unnest(range(
+                    CAST(floor(epoch(ts)) AS BIGINT),
+                    CAST(floor(epoch(ts)) AS BIGINT)
+                        + greatest(least(CAST(floor(value) AS BIGINT), 10), 0) + 1)) AS sec
+                FROM events WHERE event_id < 2000
+            ) GROUP BY sec ORDER BY sec
         """,
     }

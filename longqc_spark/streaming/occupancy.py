@@ -1,0 +1,112 @@
+"""Windowed / streaming aggregations over the events table.
+
+Reference analogs:
+* A13 pore-occupancy time series (``lq_nanopore.py:294-325``): per-second
+  count of active channels from per-record intervals → here, per-second
+  active-event concurrency via ``explode(sequence(...))``.
+* The chunk loop with running accumulators (``longQC.py:299-360``) is a
+  hand-rolled micro-batch pipeline → here, a real Structured Streaming
+  facade: ``Trigger.AvailableNow`` micro-batches with watermarked tumbling
+  windows, exactly-once parquet append via ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 minute") -> DataFrame:
+    """Batch tumbling-window aggregate: per (window, event_type) count + sum.
+    Same plan streaming uses — the batch twin is the oracle-checkable spec."""
+    # TIMESTAMP_NTZ → TIMESTAMP (session TZ is UTC): watermarks require it,
+    # and batch must match the streaming twin's types exactly
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def interval_occupancy(
+    events: DataFrame, duration_col: str = "value", cap_seconds: int = 60
+) -> DataFrame:
+    """Per-second concurrency (pore-occupancy analog): each event is active
+    [ts, ts + min(duration, cap)); explode one row per active second, count
+    per second. → (sec long, n_active long)."""
+    start = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    # clamp to [0, cap]: a negative duration would make sequence() descend
+    dur = F.greatest(F.least(F.col(duration_col).cast("long"), F.lit(cap_seconds)), F.lit(0))
+    return (
+        events.select(F.explode(F.sequence(start, start + dur)).alias("sec"))
+        .groupBy("sec")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("sec")
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    width: str = "1 minute",
+    watermark: str = "5 minutes",
+    out_dir: str | None = None,
+    query_name: str = "occupancy",
+):
+    """Streaming twin of ``tumbling_counts``: parquet source micro-batched via
+    AvailableNow, watermark for late data, memory sink (or exactly-once
+    parquet append via foreachBatch when ``out_dir`` given).
+
+    Returns the StreamingQuery; callers ``awaitTermination()`` (AvailableNow
+    terminates when the backlog is drained).
+    """
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    if out_dir is None:
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # exactly-once: epoch-suffixed dir + atomic rename (Iceberg-commit
+        # analog; a retried epoch overwrites its own dir, never duplicates)
+        target = os.path.join(out_dir, f"epoch={epoch_id}")
+        batch_df.write.mode("overwrite").parquet(target)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Driver-side fits (pure-numpy scipy stand-ins) + the summary report stage."""
+
+import math
+
+import numpy as np
+import pytest
+
+from longqc_spark.fits import digamma, gamma_mle, gmm_1d, norm_lognorm_em, trigamma
+
+
+def test_digamma_known_values():
+    # ψ(1) = -γ, ψ(0.5) = -γ - 2 ln 2
+    g = 0.5772156649015329
+    assert digamma(1.0) == pytest.approx(-g, abs=1e-10)
+    assert digamma(0.5) == pytest.approx(-g - 2 * math.log(2), abs=1e-10)
+    # recurrence ψ(x+1) = ψ(x) + 1/x
+    assert digamma(3.7) == pytest.approx(digamma(2.7) + 1 / 2.7, abs=1e-10)
+
+
+def test_trigamma_known_values():
+    assert trigamma(1.0) == pytest.approx(math.pi**2 / 6, abs=1e-10)
+    assert trigamma(2.5) == pytest.approx(trigamma(1.5) - 1 / 1.5**2, abs=1e-10)
+
+
+def test_gamma_mle_recovers_params():
+    rng = np.random.default_rng(3)
+    x = rng.gamma(shape=4.0, scale=120.0, size=200_000)
+    k, theta = gamma_mle(float(x.mean()), float(np.log(x).mean()))
+    assert k == pytest.approx(4.0, rel=0.02)
+    assert theta == pytest.approx(120.0, rel=0.02)
+
+
+def test_gmm_separates_two_modes():
+    rng = np.random.default_rng(4)
+    x = np.concatenate([rng.normal(0, 1, 5000), rng.normal(10, 2, 15000)])
+    comps = gmm_1d(x, k=2)
+    assert comps[0]["mu"] == pytest.approx(0.0, abs=0.15)
+    assert comps[1]["mu"] == pytest.approx(10.0, abs=0.15)
+    assert comps[0]["weight"] == pytest.approx(0.25, abs=0.03)
+
+
+def test_norm_lognorm_em():
+    rng = np.random.default_rng(5)
+    x = np.concatenate(
+        [rng.normal(50, 5, 8000), rng.lognormal(mean=5.0, sigma=0.3, size=12000)]
+    )
+    fit = norm_lognorm_em(x)
+    assert fit["normal"]["mu"] == pytest.approx(50, rel=0.1)
+    assert fit["lognormal"]["mu"] == pytest.approx(5.0, abs=0.1)
+    assert fit["lognormal_mode"] == pytest.approx(math.exp(5.0 - 0.09), rel=0.15)
+
+
+def test_summarize_report(spark, corpus_path, tmp_path):
+    from longqc_spark.pipeline import qc_pipeline
+    from longqc_spark.report import summarize, write_html_report, write_json_report
+
+    labels = qc_pipeline(spark.read.parquet(corpus_path))
+    s = summarize(labels)
+    assert s["totals"]["n_docs"] == 1000
+    assert 0 < s["totals"]["keep_rate"] < 1
+    assert s["totals"]["n50_words"] > 0
+    assert sum(s["reasons"].values()) > 0
+    assert sum(s["histograms"]["n_words_b50"].values()) == 1000
+    assert s["fits"]["gamma_length"]["shape"] > 0
+    assert len(s["fits"]["gmm_perplexity"]) == 2
+    assert "en" in s["langs"]
+    # decision cascade fires: synthetic corpus keeps ~60% → no error
+    assert "low_keep_rate" not in s["errors"]
+
+    jp, hp = str(tmp_path / "r.json"), str(tmp_path / "r.html")
+    write_json_report(s, jp)
+    write_html_report(s, hp)
+    import json
+
+    assert json.load(open(jp))["totals"]["n_docs"] == 1000
+    assert "<h1>" in open(hp).read()
