@@ -283,6 +283,45 @@ def q_interval_occupancy(spark: SparkSession, sf: str) -> DataFrame:  # A13 anal
     return interval_occupancy(ev, cap_seconds=10)
 
 
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:  # skew-proof agg
+    from longqc_spark.operators.relational import salted_count
+
+    ev = _read(spark, sf, "events")
+    return salted_count(ev, "event_type", n_salts=16, agg_col="value").withColumn(
+        "sum_value", F.round("sum_value", 6)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:  # SE2/SE4
+    from longqc_spark.operators.relational import set_ops_summary
+
+    ev = _read(spark, sf, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    return set_ops_summary(buyers, clickers)
+
+
+def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:  # rollup/cube
+    ord_ = _read(spark, sf, "orders")
+    return (
+        ord_.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .na.fill("ALL", ["o_orderstatus", "o_orderpriority"])
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:  # A9 approx path
+    li = _read(spark, sf, "lineitem")
+    # exact percentile (report scale) — approx_percentile is the 10^12-row
+    # fallback; the oracle checks the exact one
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("l_returnflag")
+
+
 def q_token_quality(spark: SparkSession, sf: str) -> DataFrame:  # M1/M2 quality
     from longqc_spark.operators.text import token_stats
 
@@ -317,6 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "tumbling_counts": q_tumbling_counts,
         "interval_occupancy": q_interval_occupancy,
+        "salted_agg": q_salted_agg,
+        "set_ops": q_set_ops,
+        "cube_counts": q_cube_counts,
+        "approx_quantiles": q_approx_quantiles,
     }
 
 
@@ -499,5 +542,31 @@ def oracle_sql() -> dict[str, str]:
                         + greatest(least(CAST(floor(value) AS BIGINT), 10), 0) + 1)) AS sec
                 FROM events WHERE event_id < 2000
             ) GROUP BY sec ORDER BY sec
+        """,
+        "salted_agg": """
+            SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "set_ops": """
+            WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+                 clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+            SELECT
+                (SELECT count(*) FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)) AS only_a,
+                (SELECT count(*) FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)) AS only_b,
+                (SELECT count(*) FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers)) AS in_both
+        """,
+        "cube_counts": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "approx_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.95) AS p95,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -1,0 +1,77 @@
+"""spark-submit entry point (north_rule: "launched via spark-submit
+--py-files on multi-executor clusters").
+
+    spark-submit --py-files longqc_spark.zip -m longqc_spark.cli \
+        --input /path/documents_parquet --out /path/qc_out \
+        [--buckets 4096] [--preset default|driver_docs] [--report]
+
+Local smoke:
+    python -m longqc_spark.cli --input data_cc/documents_cc_smoke.parquet \
+        --out /tmp/qc_out --buckets 4 --report
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CONFIG, DRIVER_DOCS_CONFIG
+from .lineage import audit_table, read_labels, run_qc_with_lineage
+from .report import summarize, write_html_report, write_json_report
+
+PRESETS = {"default": DEFAULT_CONFIG, "driver_docs": DRIVER_DOCS_CONFIG}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="longqc-spark")
+    p.add_argument("--input", required=True, help="parquet path of the documents table")
+    p.add_argument("--out", required=True, help="output dir (labels + manifest + reports)")
+    p.add_argument("--buckets", type=int, default=16, help="checkpoint partitions")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--key-col", default="url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
+    p.add_argument("--local-cores", type=int, default=None,
+                   help="build a local[N] session (omit under spark-submit)")
+    args = p.parse_args(argv)
+
+    if args.local_cores:
+        from .session import get_spark
+
+        spark = get_spark("longqc-cli", cores=args.local_cores)
+    else:
+        spark = SparkSession.builder.appName("longqc-spark").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = PRESETS[args.preset]
+    docs = spark.read.parquet(args.input)
+    manifest = run_qc_with_lineage(
+        docs,
+        args.out,
+        cfg=cfg,
+        key_col=args.key_col,
+        text_col=args.text_col,
+        n_buckets=args.buckets,
+    )
+    n_committed = len(manifest["committed"])
+    print(f"committed {n_committed}/{args.buckets} buckets → {args.out}/data", file=sys.stderr)
+
+    if args.report:
+        labels = read_labels(spark, args.out)
+        summary = summarize(labels, cfg)
+        write_json_report(summary, os.path.join(args.out, "report.json"))
+        write_html_report(summary, os.path.join(args.out, "report.html"))
+        audit_table(spark, args.out).show(truncate=False)
+        print(
+            f"keep_rate={summary['totals']['keep_rate']:.4f} "
+            f"errors={list(summary['errors'])} warnings={list(summary['warnings'])}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

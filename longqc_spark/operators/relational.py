@@ -109,6 +109,43 @@ def top_k(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
     )
 
 
+def salted_count(
+    df: DataFrame, key_col: str, n_salts: int = 16, agg_col: str | None = None
+) -> DataFrame:
+    """Two-phase skew-proof aggregation (north_rule: salting for hot keys;
+    reference analog: repetitive-minimizer suppression, ``lqmap.c:166-173``).
+
+    Phase 1 groups by (key, random salt) — a hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the partials. Result is identical to
+    a plain groupBy (count/sum are associative); only the shuffle layout
+    changes. AQE's skew handling covers joins; this covers aggregations.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    partial_aggs = [F.count(F.lit(1)).alias("_pn")]
+    final_aggs = [F.sum("_pn").alias("n")]
+    if agg_col:
+        partial_aggs.append(F.sum(agg_col).alias("_ps"))
+        final_aggs.append(F.sum("_ps").alias(f"sum_{agg_col}"))
+    return (
+        salted.groupBy(key_col, "_salt")
+        .agg(*partial_aggs)
+        .groupBy(key_col)
+        .agg(*final_aggs)
+        .orderBy(key_col)
+    )
+
+
+def set_ops_summary(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SE-family demo: |A∖B|, |B∖A|, |A∩B| via except/intersect (SE2/SE4)."""
+    only_a = a.exceptAll(b).count()
+    only_b = b.exceptAll(a).count()
+    both = a.intersect(b).count()
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(only_a, only_b, both)], "only_a long, only_b long, in_both long"
+    )
+
+
 def lag_gaps(df: DataFrame, part_col: str, ts_col: str) -> DataFrame:
     """W3 — per-key gaps between consecutive timestamps (reference
     ``lq_coverage.py:643-644`` internal-gap analysis)."""
