@@ -322,6 +322,38 @@ def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:  # A9 approx 
     ).orderBy("l_returnflag")
 
 
+def q_active_regions(spark: SparkSession, sf: str) -> DataFrame:  # M10/W2 sweep
+    from longqc_spark.streaming.occupancy import active_regions
+
+    ev = _read(spark, sf, "events").filter(F.col("event_id") < 2000)
+    return active_regions(ev, min_active=3, cap_seconds=10)
+
+
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:  # CDC MERGE emulation
+    """MERGE INTO emulation (no Delta in image): target=customer balances,
+    source=per-user purchase sums; matched → add, unmatched → insert."""
+    cust = _read(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_acctbal").alias("balance")
+    )
+    delta = (
+        _read(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spent"))
+    )
+    merged = cust.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        F.round(
+            F.coalesce(F.col("balance"), F.lit(0.0))
+            + F.coalesce(F.col("spent"), F.lit(0.0)),
+            6,
+        ).alias("new_balance"),
+        (F.col("balance").isNotNull() & F.col("spent").isNotNull()).alias("updated"),
+        F.col("balance").isNull().alias("inserted"),
+    )
+    return merged.orderBy("user_id")
+
+
 def q_token_quality(spark: SparkSession, sf: str) -> DataFrame:  # M1/M2 quality
     from longqc_spark.operators.text import token_stats
 
@@ -356,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "tumbling_counts": q_tumbling_counts,
         "interval_occupancy": q_interval_occupancy,
+        "active_regions": q_active_regions,
+        "merge_upsert": q_merge_upsert,
         "salted_agg": q_salted_agg,
         "set_ops": q_set_ops,
         "cube_counts": q_cube_counts,
@@ -542,6 +576,47 @@ def oracle_sql() -> dict[str, str]:
                         + greatest(least(CAST(floor(value) AS BIGINT), 10), 0) + 1)) AS sec
                 FROM events WHERE event_id < 2000
             ) GROUP BY sec ORDER BY sec
+        """,
+        "active_regions": """
+            WITH deltas AS (
+                SELECT sec, sum(delta) AS d FROM (
+                    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, 1 AS delta
+                    FROM events WHERE event_id < 2000
+                    UNION ALL
+                    SELECT CAST(floor(epoch(ts)) AS BIGINT)
+                           + greatest(least(CAST(floor(value) AS BIGINT), 10), 0) + 1, -1
+                    FROM events WHERE event_id < 2000
+                ) GROUP BY sec
+            ), c AS (
+                SELECT sec, sum(d) OVER (ORDER BY sec) AS active FROM deltas
+            ), f AS (
+                SELECT sec, active, CASE WHEN active >= 3 THEN 1 ELSE 0 END AS ok,
+                       lead(sec) OVER (ORDER BY sec) AS next_sec
+                FROM c
+            ), flips AS (
+                SELECT *, CASE WHEN ok <> coalesce(lag(ok) OVER (ORDER BY sec), 0)
+                               THEN 1 ELSE 0 END AS flip
+                FROM f
+            ), isl AS (
+                SELECT *, sum(flip) OVER (ORDER BY sec) AS island FROM flips
+            )
+            SELECT min(sec) AS region_start, max(next_sec) AS region_end,
+                   max(active) AS peak_active
+            FROM isl WHERE ok = 1 GROUP BY island ORDER BY region_start
+        """,
+        "merge_upsert": """
+            WITH delta AS (
+                SELECT user_id, sum(value) AS spent FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id
+            ), cust AS (
+                SELECT c_custkey AS user_id, c_acctbal AS balance FROM customer
+            )
+            SELECT coalesce(cust.user_id, delta.user_id) AS user_id,
+                   round(coalesce(balance, 0) + coalesce(spent, 0), 6) AS new_balance,
+                   (balance IS NOT NULL AND spent IS NOT NULL) AS updated,
+                   (balance IS NULL) AS inserted
+            FROM cust FULL OUTER JOIN delta ON cust.user_id = delta.user_id
+            ORDER BY user_id
         """,
         "salted_agg": """
             SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -162,6 +162,14 @@ def compute_stats(
     lid = langid_model()
     lm = ngram_lm()
     n_docs = len(texts)
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                c: pd.Series(dtype=("object" if c == "lang_pred" else
+                                    "int64" if c in ("n_chars", "n_words", "n_lines", "stopword_count") else "float64"))
+                for c in STAT_COLUMNS
+            }
+        )
 
     n_chars = texts.str.len().astype("int64")
     n_lines = (texts.str.count("\n") + 1).where(n_chars > 0, 0).astype("int64")

@@ -151,26 +151,26 @@ class LangIdModel:
         counts = np.maximum(n_tri, 1).astype(np.float64)
         if tri.shape[0] == 0:
             return preds, margins
-        # zero-mask for the 2 doc-spanning trigram positions at each doc tail
-        # so contiguous reduceat segments sum exactly the in-doc trigrams
-        # (keeps results independent of batch composition)
-        mask = np.ones(tri.shape[0], dtype=np.float32)
-        tails = ends[:-1]
-        if tails.size:
-            gap = np.concatenate([tails - 2, tails - 1])
-            gap = gap[(gap >= 0) & (gap < tri.shape[0])].astype(np.int32)
-            mask[gap] = 0.0
-        seg_starts = np.clip(starts, 0, tri.shape[0] - 1)
-        # per-language 1-D gather (fast path) + segmented sum, reusing one
-        # output buffer (page-fault-free after the first take).
-        # reduceat quirk: an empty segment (start_i == start_{i+1}) returns the
-        # element at start_i — masked out below via `valid`
+        # Interleaved reduceat segments [start_d, start_d + n_tri_d) so each
+        # doc's segment contains EXACTLY its in-doc trigrams; the 2 trailing
+        # doc-spanning positions fall into discarded odd segments. This makes
+        # per-doc sums bit-identical regardless of batch composition
+        # (reduceat's pairwise-block summation tree depends on segment LENGTH,
+        # so zero-padding segments would change rounding).
+        seg = np.empty(2 * n_docs, dtype=np.intp)
+        seg[0::2] = np.clip(starts, 0, tri.shape[0] - 1)
+        seg[1::2] = np.clip(starts + n_tri, 0, tri.shape[0])
+        # reduceat indices must be < len; only the final bound can equal len
+        # (that segment implicitly runs to the end of the array)
+        if seg[-1] >= tri.shape[0]:
+            seg = seg[:-1]
+        # reduceat quirk: an empty segment (idx_i == idx_{i+1}) returns the
+        # element at idx_i — masked out below via `valid`
         means = np.empty((len(self.langs), n_docs), dtype=np.float64)
         g = np.empty(tri.shape[0], dtype=np.float32)
         for li in range(len(self.langs)):
             np.take(self.logprob[li], tri, out=g, mode="clip")
-            g *= mask
-            means[li] = np.add.reduceat(g, seg_starts) / counts
+            means[li] = np.add.reduceat(g, seg)[0::2][:n_docs] / counts
         order = np.argsort(-means, axis=0)
         best, second = order[0], order[1]
         rng = np.arange(n_docs)

@@ -54,6 +54,61 @@ def interval_occupancy(
     )
 
 
+def active_regions(
+    events: DataFrame, min_active: int = 3, duration_col: str = "value", cap_seconds: int = 60
+) -> DataFrame:
+    """Maximal time regions with concurrency ≥ ``min_active`` — the full
+    reliable-region sweep analog (reference ``lqutils.c:83-155``): endpoint
+    events → running coverage (window sum) → gaps-and-islands grouping via
+    lag + conditional cumsum. → (region_start, region_end, peak_active)."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import Window as W
+
+    start = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    dur = F.greatest(F.least(F.col(duration_col).cast("long"), F.lit(cap_seconds)), F.lit(0))
+    # ±1 endpoint events (the radix-sorted endpoint sweep, lqutils.c:95-153)
+    deltas = events.select(
+        F.explode(
+            F.array(
+                F.struct(start.alias("sec"), F.lit(1).alias("delta")),
+                F.struct((start + dur + 1).alias("sec"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.sec", "e.delta")
+    per_sec = deltas.groupBy("sec").agg(F.sum("delta").alias("d"))
+    # running coverage at each change-point; the global orderBy window is a
+    # single-task tail, fine at report scale (change points ≪ events); the
+    # 10^12-row variant pre-aggregates per coarse time bucket first
+    wo = W.orderBy("sec")
+    wcum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    allc = (
+        per_sec.withColumn("active", F.sum("d").over(wcum))
+        .withColumn("ok", (F.col("active") >= min_active).cast("int"))
+        .withColumn("next_sec", F.lead("sec").over(wo))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(F.col("ok") != F.lag("ok", 1, 0).over(wo), 1).otherwise(0)
+            ).over(wcum),
+        )
+    )
+    # an ok-island spans [min(sec), first below-threshold change-point);
+    # coverage holds constant between change points, so the island's last
+    # row's next_sec IS the exclusive end
+    return (
+        allc.filter(F.col("ok") == 1)
+        .groupBy("island")
+        .agg(
+            F.min("sec").alias("region_start"),
+            F.max("next_sec").alias("region_end"),
+            F.max("active").alias("peak_active"),
+        )
+        .drop("island")
+        .orderBy("region_start")
+    )
+
+
 def stream_tumbling_counts(
     spark: SparkSession,
     input_dir: str,

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) over the shared kernels — the engine's
+single source of truth must hold invariants on arbitrary unicode input, not
+just the synthetic corpus."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from longqc_spark.config import DEFAULT_CONFIG
+from longqc_spark.kernels import (
+    _dup_line_frac,
+    _top_ngram_frac,
+    compute_stats,
+    scrub_batch,
+    scrub_text,
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts)
+def test_stat_vector_invariants(batch):
+    s = compute_stats(pd.Series(batch, dtype=object))
+    assert len(s) == len(batch)
+    for col in (
+        "symbol_char_frac",
+        "alpha_char_frac",
+        "alpha_word_frac",
+        "dup_line_frac",
+        "top_ngram_frac_2",
+        "frac_tokens_above_q",
+    ):
+        v = s[col].to_numpy()
+        assert np.isfinite(v).all(), col
+        assert (v >= 0).all() and (v <= 1.0 + 1e-12).all(), col
+    assert (s.n_chars >= 0).all() and (s.n_words >= 0).all()
+    assert (s.n_words <= s.n_chars + 1).all()
+    assert np.isfinite(s.perplexity.to_numpy()).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts)
+def test_batch_split_invariance_property(batch):
+    s_all = compute_stats(pd.Series(batch, dtype=object))
+    cut = len(batch) // 2
+    s1 = compute_stats(pd.Series(batch[:cut], dtype=object))
+    s2 = compute_stats(pd.Series(batch[cut:], dtype=object))
+    both = pd.concat([s1, s2], ignore_index=True)
+    for c in s_all.columns:
+        a, b = s_all[c].to_numpy(), both[c].to_numpy()
+        if s_all[c].dtype == object:
+            assert (a == b).all(), c
+        else:
+            assert np.array_equal(a, b), c
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_scrub_invariants(text):
+    out, n_pii, n_tox, spans = scrub_text(text, DEFAULT_CONFIG)
+    # spans are disjoint, ascending, within the ORIGINAL text
+    last = -1
+    for a, b, kind in spans:
+        assert 0 <= a < b <= len(text)
+        assert a >= last
+        last = b
+    assert n_pii + n_tox == len(spans)
+    if not spans:
+        assert out == text
+    # scrubbing the scrubbed text yields no PII spans for the same patterns
+    out2, p2, t2, _ = scrub_text(out, DEFAULT_CONFIG)
+    assert p2 == 0 and out2 == out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from("ab c\n".split(" ") + ["ab", "cd", "x"]), max_size=40))
+def test_top_ngram_flat_matches_reference(tokens):
+    """Flat hashed counting == exact Counter spec on arbitrary token lists."""
+    text = " ".join(tokens)
+    s = compute_stats(pd.Series([text], dtype=object))
+    low = [t.lower() for t in text.split()]
+    for n, col in ((2, "top_ngram_frac_2"), (3, "top_ngram_frac_3")):
+        assert abs(s[col].iloc[0] - _top_ngram_frac(low, n)) < 1e-12
+
+
+def test_edge_cases_through_spark_pipeline(spark):
+    """Pathological docs through the full Spark pipeline: no crash, sane labels."""
+    from longqc_spark.pipeline import qc_pipeline
+
+    rows = [
+        ("u1", ""),  # empty
+        ("u2", " \n \n  "),  # whitespace only
+        ("u3", "x" * 100_000),  # one giant token
+        ("u4", "☃ ☃ ☃ émojis höher ünïcode " * 30),  # non-ascii
+        ("u5", "a@b.co " * 200),  # scrub-heavy
+        ("u6", "\n" * 500),  # newlines only
+        ("u7", "the " * 5000),  # single repeated stopword
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    got = qc_pipeline(docs).toPandas().set_index("url").sort_index()
+    assert len(got) == 7
+    assert not got.keep.loc[["u1", "u2", "u3", "u6"]].any()
+    assert got.loc["u5", "pii_match_count"] == 200
+    assert (got.reasons.map(len) > 0).loc[lambda s: ~got.keep].all()
