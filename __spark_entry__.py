@@ -354,6 +354,19 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:  # CDC MERGE emul
     return merged.orderBy("user_id")
 
 
+def q_mean_stddev(spark: SparkSession, sf: str) -> DataFrame:  # A7 GC-stats analog
+    docs = _read(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.round(F.stddev("n_chars"), 6).alias("sd_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_token_quality(spark: SparkSession, sf: str) -> DataFrame:  # M1/M2 quality
     from longqc_spark.operators.text import token_stats
 
@@ -394,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "cube_counts": q_cube_counts,
         "approx_quantiles": q_approx_quantiles,
+        "mean_stddev": q_mean_stddev,
     }
 
 
@@ -643,5 +657,11 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_extendedprice, 0.95) AS p95,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "mean_stddev": """
+            SELECT source, count(*) AS n,
+                   round(avg(n_chars), 6) AS mean_chars,
+                   round(stddev_samp(n_chars), 6) AS sd_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
     }
