@@ -162,7 +162,7 @@ def corpus_path(root: str, scale: str) -> str:
     return os.path.join(root, f"documents_cc_{scale}.parquet")
 
 
-_SCALES = {"smoke": 1_000, "correctness": 10_000, "bench": 100_000}
+_SCALES = {"smoke": 1_000, "correctness": 10_000, "bench": 100_000, "scaling": 400_000}
 
 
 def write_corpus(root: str, scale: str = "smoke", seed: int = 42) -> str:

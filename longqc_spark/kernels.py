@@ -35,9 +35,23 @@ from .models import hash_tokens, langid_model, ngram_keys, ngram_lm
 # ---------------------------------------------------------------------------
 
 _ALPHA_RE = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
+_NOT_ALPHA_RE = re.compile(r"[^A-Za-zÀ-ÖØ-öø-ÿ]")
 _SYMBOL_RE = re.compile(r"[^\w\s]", re.UNICODE)
 _STOPWORD_SET = frozenset(STOPWORDS)
 _STOPWORD_HASHES = hash_tokens(np.array(sorted(_STOPWORD_SET), dtype=object))
+
+# grow-only scratch for arange (fresh large allocations page-fault
+# expensively on this host; workers are long-lived so reuse wins)
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _arange(n: int) -> np.ndarray:
+    buf = _SCRATCH.get("arange")
+    if buf is None or buf.shape[0] < n:
+        buf = np.arange(max(n, 1 << 20), dtype=np.int64)
+        _SCRATCH["arange"] = buf
+    return buf[:n]
+
 
 STAT_COLUMNS: tuple[str, ...] = (
     "n_chars",
@@ -171,10 +185,19 @@ def compute_stats(
             }
         )
 
+    arr0 = texts.to_numpy()
     n_chars = texts.str.len().astype("int64")
-    n_lines = (texts.str.count("\n") + 1).where(n_chars > 0, 0).astype("int64")
-    alpha_chars = texts.str.count(_ALPHA_RE).astype("float64")
-    symbol_chars = texts.str.count(_SYMBOL_RE).astype("float64")
+    # char-class counts via re.sub of the RARE class (cost ∝ match count;
+    # findall-based str.count allocates one object per matched char)
+    n_lines = pd.Series(
+        np.fromiter((t.count("\n") + 1 if t else 0 for t in arr0), np.int64, n_docs)
+    )
+    alpha_chars = pd.Series(
+        np.fromiter((len(_NOT_ALPHA_RE.sub("", t)) for t in arr0), np.int64, n_docs)
+    ).astype("float64")
+    symbol_chars = pd.Series(
+        np.fromiter((len(t) - len(_SYMBOL_RE.sub("", t)) for t in arr0), np.int64, n_docs)
+    ).astype("float64")
     safe_chars = n_chars.replace(0, 1).astype("float64")
 
     # ---- flat token stream ----
@@ -184,7 +207,7 @@ def compute_stats(
     total = flat.shape[0]
     doc_ids = np.repeat(np.arange(n_docs), n_tok)
     starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
-    pos_in_doc = np.arange(total) - np.repeat(starts, n_tok)
+    pos_in_doc = _arange(total) - np.repeat(starts, n_tok)
     safe_tok = np.maximum(n_tok, 1).astype(np.float64)
 
     # factorize: all per-token work (length, regex, hashing, stopword
@@ -316,12 +339,25 @@ def scrub_batch(texts: pd.Series, cfg: QCConfig, emit_spans: bool = False) -> pd
     aggregates in the main flow, ``longQC.py:348-357``).
     """
     texts = texts.fillna("")
-    scrubbed = np.empty(len(texts), dtype=object)
-    n_pii = np.zeros(len(texts), dtype=np.int64)
-    n_tox = np.zeros(len(texts), dtype=np.int64)
-    span_col = np.empty(len(texts), dtype=object) if emit_spans else None
-    for i, text in enumerate(texts.to_numpy()):
-        s, p, t, spans = scrub_text(text, cfg)
+    n = len(texts)
+    scrubbed = np.empty(n, dtype=object)
+    n_pii = np.zeros(n, dtype=np.int64)
+    n_tox = np.zeros(n, dtype=np.int64)
+    span_col = np.empty(n, dtype=object) if emit_spans else None
+    # vectorized candidate pre-filter: every PII pattern needs '@' or a
+    # digit, toxicity needs a lexicon hit — docs with neither skip the
+    # per-doc regex cascade entirely (same shared scrub_text for the rest,
+    # so semantics are unchanged)
+    arr = texts.to_numpy()
+    maybe_pii = (texts.str.contains("@", regex=False) | texts.str.contains(r"\d", regex=True)).to_numpy()
+    maybe_tox = texts.str.contains(TOX_PATTERN).to_numpy()
+    candidates = maybe_pii | maybe_tox
+    for i in np.flatnonzero(~candidates):
+        scrubbed[i] = arr[i]
+        if emit_spans:
+            span_col[i] = []
+    for i in np.flatnonzero(candidates):
+        s, p, t, spans = scrub_text(arr[i], cfg)
         scrubbed[i] = s
         n_pii[i] = p
         n_tox[i] = t
