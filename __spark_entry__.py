@@ -217,7 +217,7 @@ def q_running_sum(spark: SparkSession, sf: str) -> DataFrame:  # W2 sweep analog
     return ev.select(
         "user_id",
         "event_id",
-        F.sum("value").over(w).alias("running_value"),
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
     ).orderBy("user_id", "event_id")
 
 
@@ -612,8 +612,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_sum": """
             SELECT user_id, event_id,
-                   sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
             FROM events WHERE user_id < 50
             ORDER BY user_id, event_id
         """,

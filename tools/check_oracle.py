@@ -33,7 +33,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def values_match(a: pd.DataFrame, b: pd.DataFrame, tol: float = 1e-9) -> bool:
+def values_match(a: pd.DataFrame, b: pd.DataFrame, tol: float = 0.0) -> bool:
+    """Strict by default: the driver's value-hash comparison may be exact, so
+    every query must produce BIT-IDENTICAL values in both engines (decimal
+    sums / explicit rounding make that achievable)."""
     if a.shape != b.shape:
         return False
     for c in a.columns:
