@@ -415,6 +415,70 @@ def q_tpch_q5like(spark: SparkSession, sf: str) -> DataFrame:  # multi-way join
     )
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:  # stateful sessionization (batch twin)
+    from longqc_spark.streaming.sessions import sessionize_batch
+
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
+    return (
+        sessionize_batch(ev, gap_seconds=3600.0)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:  # J3 as-of join
+    from longqc_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    # unique (user, ts) on the right: ties would make "latest at ts" ambiguous
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks.filter(F.col("user_id") < 200).drop("event_id"),
+        purchases,
+        key="user_id",
+        ts="ts",
+        right_vals=["purchase_value"],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("matched_ts"),
+    ).orderBy("user_id", "click_ts")
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:  # J3 range/band join
+    from longqc_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf, "events")
+    sec = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    intervals = (
+        ev.filter(F.col("event_type") == "purchase")
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("interval_id"),
+            sec.alias("s"),
+            (sec + F.greatest(F.least(F.floor(F.col("value")).cast("long"), F.lit(60)), F.lit(0)) + 1).alias("e"),
+        )
+    )
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("point_id"), sec.alias("p")
+    )
+    pairs = range_join(points, intervals, "p", "s", "e", bucket_width=32)
+    return pairs.select("point_id", "interval_id").orderBy("point_id", "interval_id")
+
+
 def q_mean_stddev(spark: SparkSession, sf: str) -> DataFrame:  # A7 GC-stats analog
     docs = _read(spark, sf, "documents")
     return (
@@ -469,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "approx_quantiles": q_approx_quantiles,
         "mean_stddev": q_mean_stddev,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5like": q_tpch_q5like,
@@ -727,6 +794,55 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 6) AS mean_chars,
                    round(stddev_samp(n_chars), 6) AS sd_chars
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch(ts) AS sec, value FROM events WHERE user_id < 100
+            ), marked AS (
+                SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                                 OR sec - lag(sec) OVER w > 3600 THEN 1 ELSE 0 END AS new_session
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+            ), ids AS (
+                SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked
+            )
+            SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+                   count(*) AS n_events, round(sum(value), 6) AS total_value
+            FROM ids GROUP BY user_id, session_id
+            ORDER BY user_id, session_start
+        """,
+        "asof_join": """
+            WITH clicks AS (
+                SELECT user_id, ts FROM events
+                WHERE event_type = 'click' AND user_id < 200
+            ), purchases AS (
+                SELECT user_id, ts, max(value) AS purchase_value FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   round(p.purchase_value, 6) AS purchase_value,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.user_id, click_ts
+        """,
+        "range_join": """
+            WITH intervals AS (
+                SELECT event_id AS interval_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                           + greatest(least(CAST(floor(value) AS BIGINT), 60), 0) + 1 AS e
+                FROM events WHERE event_type = 'purchase' AND event_id % 5 = 0
+            ), points AS (
+                SELECT event_id AS point_id, CAST(floor(epoch(ts)) AS BIGINT) AS p
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT point_id, interval_id
+            FROM points JOIN intervals ON p >= s AND p < e
+            ORDER BY point_id, interval_id
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,132 @@
+"""Custom stateful streaming operator: per-user sessionization via
+``applyInPandasWithState``.
+
+The reference's cross-chunk running accumulators (``longQC.py:294-360``:
+``cum_n_seq``, adapter counters carried across the chunk loop) are exactly
+per-key mutable state over a micro-batched stream. This operator groups
+events per user, maintains (session_start, last_ts, n_events, total_value)
+state, and emits a session row when the gap exceeds ``gap_seconds`` (or on
+timeout). The batch twin (``sessionize_batch``) computes identical sessions
+with a lag/cumsum window — used as the oracle in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("session_end", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _session_fn(gap_seconds: float):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            s, last, n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, s, last, n, tot]], columns=SESSION_SCHEMA.fieldNames()
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("sec")
+        out = []
+        if state.exists:
+            s, last, n, tot = state.get
+        else:
+            s = last = None
+            n, tot = 0, 0.0
+        for sec, value in zip(rows["sec"], rows["value"]):
+            if last is not None and sec - last > gap_seconds:
+                out.append([user_id, s, last, n, tot])
+                s, n, tot = sec, 0, 0.0
+            if s is None:
+                s = sec
+            last = sec
+            n += 1
+            tot += float(value)
+        state.update((s, last, n, tot))
+        state.setTimeoutDuration(3_600_000)
+        if out:
+            yield pd.DataFrame(out, columns=SESSION_SCHEMA.fieldNames())
+
+    return fn
+
+
+def sessionize_stream(
+    spark, input_dir: str, schema, gap_seconds: float = 300.0, query_name: str = "sessions"
+):
+    """Streaming sessionization: closed sessions are emitted as gaps appear;
+    the final open session per user is flushed by processing-time timeout."""
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("double").alias("sec"),
+            "value",
+        )
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            SESSION_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: float = 300.0) -> DataFrame:
+    """Batch twin (the spec): lag-gap change points → session ids → agg."""
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy("sec")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = (
+        events.select("user_id", sec.alias("sec"), "value")
+        .withColumn("prev", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            F.when(F.col("prev").isNull() | (F.col("sec") - F.col("prev") > gap_seconds), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wc))
+    )
+    return (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.min("sec").alias("session_start"),
+            F.max("sec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("session_id")
+    )

@@ -78,6 +78,33 @@ def test_rules_are_codegen_not_python(spark, corpus_path):
     assert plan.count("MapInPandas") == 1
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf001, tmp_path):
+    """Bucketing co-locates join keys: a join between two tables bucketed on
+    the key needs NO Exchange (the 100 TB co-located-join strategy)."""
+    # (warehouse dir is a static conf — uses ./spark-warehouse, gitignored;
+    # a previously failed run can leave orphan dirs the catalog doesn't know)
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ev_b", "cnt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    ev.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable("ev_b")
+    ev.groupBy("user_id").count().write.bucketBy(8, "user_id").mode("overwrite").saveAsTable(
+        "cnt_b"
+    )
+    # force a sort-merge join (the broadcast fallback would hide the point)
+    joined = spark.table("ev_b").hint("merge").join(spark.table("cnt_b"), "user_id")
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan  # no shuffle: co-located
+    assert "SortMergeJoin" in plan
+    # sanity: same result as the unbucketed join
+    assert joined.count() == ev.join(ev.groupBy("user_id").count(), "user_id").count()
+    spark.sql("DROP TABLE ev_b")
+    spark.sql("DROP TABLE cnt_b")
+
+
 def test_topk_uses_take_ordered(spark, sf001):
     from longqc_spark.operators.relational import top_k
 
