@@ -192,6 +192,13 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:  # simsearch (LSH), r
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, n_bits=4)
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:  # simsearch (IVF), rows-only
+    from longqc_spark.operators.simsearch import ivf_topk
+
+    emb = _read(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_cells=8, n_probe=2)
+
+
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:  # minimizer sketch
     from longqc_spark.operators.text import doc_fingerprint
 
@@ -517,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
         "hash_sample": q_hash_sample,
         "running_sum": q_running_sum,

@@ -100,6 +100,27 @@ def test_lsh_topk_structure_on_driver_embeddings(spark, sf01):
     assert (got.query_id != got.vec_id).all()
 
 
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF with n_probe=2 over 10 planted clusters must recover most exact
+    neighbors (cells align with clusters)."""
+    from longqc_spark.operators.simsearch import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 64)) * 3
+    rows = []
+    for c in range(10):
+        for j in range(20):
+            v = centers[c] + rng.standard_normal(64) * 0.5
+            rows.append((c * 20 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, n_cells=10, n_probe=2, sample_n=200).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    g = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & g) / len(e) >= 0.8
+
+
 def test_lsh_topk_recall_on_clustered_vectors(spark):
     """Planted clusters: 10 centers × 20 members; LSH top-k must recover
     same-cluster neighbors found by exact search with high recall."""
