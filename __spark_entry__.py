@@ -422,6 +422,35 @@ def q_tpch_q5like(spark: SparkSession, sf: str) -> DataFrame:  # multi-way join
     )
 
 
+def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:  # SE3 distinct-set
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:  # W4 sliding frame
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg4"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    ).orderBy("user_id", "event_id")
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:  # stateful sessionization (batch twin)
     from longqc_spark.streaming.sessions import sessionize_batch
 
@@ -541,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "approx_quantiles": q_approx_quantiles,
         "mean_stddev": q_mean_stddev,
+        "collect_set": q_collect_set,
+        "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -802,6 +833,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 6) AS mean_chars,
                    round(stddev_samp(n_chars), 6) AS sd_chars
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "collect_set": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+                   count(DISTINCT event_type) AS n_types
+            FROM events WHERE user_id < 100
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg4,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_n
+            FROM events WHERE user_id < 30
+            ORDER BY user_id, event_id
         """,
         "sessionize": """
             WITH e AS (
