@@ -534,6 +534,130 @@ def q_token_quality(spark: SparkSession, sf: str) -> DataFrame:  # M1/M2 quality
     return token_stats(_read(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (embedding-cosine)
+    from longqc_spark.operators.simsearch import embed_neardup
+
+    emb = _read(spark, sf, "embeddings")
+    # round for oracle parity (engines agree to ~1e-7; threshold margin 5e-4)
+    return embed_neardup(emb, threshold=0.45).withColumn("cosine", F.round("cosine", 4))
+
+
+def q_minhash_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash with a SQL-expressible permutation family (min of md5(perm ||
+    shingle) — lexicographic min of a cryptographic hash IS a random
+    permutation), so the signature math itself is oracle-checked cross-engine;
+    the fast path (`minhash_signatures`, flat-stream numpy) covers scale."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(" ", F.slice("ts", i + 1, F.lit(3))),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    perms = spark.range(8).select(F.col("id").alias("perm"))
+    return (
+        sh.crossJoin(perms)
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle")).cast("binary"))
+            ).alias("minhash")
+        )
+        .orderBy("doc_id", "perm")
+    )
+
+
+def q_rank_windows(spark: SparkSession, sf: str) -> DataFrame:  # W: per-group top-k
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("source", "rn")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:  # semi-structured props
+    ev = _read(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k") / F.count(F.lit(1)), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:  # exact n-distinct
+    ev = _read(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_base64_payload(spark: SparkSession, sf: str) -> DataFrame:  # M17 base64
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    # Spark's base64 emits MIME-chunked output (CRLF every 76 chars); the
+    # unchunked form is the cross-engine canonical one
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), r"[\r\n]", "")
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.length(F.unbase64(b64)).cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+def q_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Levenshtein identity of a text prefix vs a fixed marker — the M7
+    adapter-identity analog (reference computes edlib NW-identity of read
+    head/tail vs adapter, ``lq_adapt.py:31,66``)."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    marker = "key agg row scan slow"
+    lev = F.levenshtein(F.substring("text", 1, 21), F.lit(marker))
+    return docs.select(
+        "doc_id",
+        lev.cast("long").alias("lev"),
+        F.round(F.lit(1.0) - lev / F.lit(21.0), 6).alias("identity"),
+    ).orderBy("doc_id")
+
+
+def q_regex_counts(spark: SparkSession, sf: str) -> DataFrame:  # M8 regex scan parity
+    docs = _read(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.regexp_count("text", F.lit(r"\bscan\b"))).cast("long").alias("n_scan"),
+            F.sum(F.regexp_count("text", F.lit(r"\b(join|agg)\b"))).cast("long").alias("n_join_agg"),
+            F.sum(F.regexp_count("text", F.lit(r"[0-9]+"))).cast("long").alias("n_nums"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "length_stats": q_length_stats,
@@ -578,6 +702,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5like": q_tpch_q5like,
+        "embed_neardup": q_embed_neardup,
+        "minhash_sql": q_minhash_sql,
+        "rank_windows": q_rank_windows,
+        "json_extract": q_json_extract,
+        "distinct_users": q_distinct_users,
+        "base64_payload": q_base64_payload,
+        "edit_distance": q_edit_distance,
+        "regex_counts": q_regex_counts,
     }
 
 
@@ -936,5 +1068,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+            ORDER BY key_a, key_b
+        """,
+        "minhash_sql": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+                FROM documents WHERE doc_id < 120
+            ), ok AS (SELECT * FROM toks WHERE len(ts) >= 3),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[(i+1):(i+3)], ' ') AS shingle
+                FROM ok, unnest(range(len(ts) - 2)) AS u(i)
+            ),
+            p AS (SELECT unnest(range(8)) AS perm)
+            SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS minhash
+            FROM sh, p GROUP BY doc_id, perm ORDER BY doc_id, perm
+        """,
+        "rank_windows": """
+            SELECT source, doc_id, n_chars,
+                   rank()       OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   row_number() OVER w AS rn
+            FROM documents
+            WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+            QUALIFY rn <= 5
+            ORDER BY source, rn
+        """,
+        "json_extract": """
+            WITH e AS (
+                SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, count(*) AS n, sum(k) AS sum_k, max(k) AS max_k,
+                   round(sum(k) * 1.0 / count(*), 6) AS avg_k
+            FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "base64_payload": """
+            SELECT doc_id, to_base64(CAST(text AS BLOB)) AS b64,
+                   CAST(octet_length(from_base64(to_base64(CAST(text AS BLOB)))) AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "edit_distance": """
+            SELECT doc_id,
+                   CAST(levenshtein(substr(text, 1, 21), 'key agg row scan slow') AS BIGINT) AS lev,
+                   round(1.0 - levenshtein(substr(text, 1, 21), 'key agg row scan slow') / 21.0, 6)
+                       AS identity
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "regex_counts": r"""
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(text, '\bscan\b'))) AS BIGINT) AS n_scan,
+                   CAST(sum(len(regexp_extract_all(text, '\b(join|agg)\b'))) AS BIGINT) AS n_join_agg,
+                   CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_nums
+            FROM documents GROUP BY source ORDER BY source
         """,
     }

@@ -134,3 +134,29 @@ def norm_lognorm_em(x: np.ndarray, iters: int = 200) -> dict:
         "lognormal": {"weight": 1 - w, "mu": mu_l, "sigma": sig_l},
         "lognormal_mode": math.exp(mu_l - sig_l**2),
     }
+
+
+def kde_gaussian(
+    x: np.ndarray, grid: np.ndarray | None = None, n_grid: int = 128, bandwidth: float | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gaussian KDE evaluated on a grid (MF7 analog; the reference overlays
+    ``scipy.stats.gaussian_kde`` on every histogram plot, e.g.
+    ``lq_nanopore.py`` plot paths). Pure numpy; Scott's rule bandwidth
+    (the scipy default) unless given. Runs on a bounded driver-side sample —
+    at corpus scale feed it the hash-priority sample, never raw data.
+
+    Returns (grid, density); density integrates to ~1 over the grid span.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x = x[np.isfinite(x)]
+    if x.size == 0:
+        raise ValueError("kde_gaussian: empty input")
+    sd = float(x.std(ddof=1)) if x.size > 1 else 1.0
+    if bandwidth is None:
+        bandwidth = max(sd * x.size ** (-1.0 / 5.0), 1e-12)  # Scott's rule
+    if grid is None:
+        lo, hi = x.min() - 3 * bandwidth, x.max() + 3 * bandwidth
+        grid = np.linspace(lo, hi, n_grid)
+    z = (grid[:, None] - x[None, :]) / bandwidth
+    dens = np.exp(-0.5 * z * z).sum(axis=1) / (x.size * bandwidth * math.sqrt(2 * math.pi))
+    return grid, dens

@@ -182,3 +182,43 @@ def lsh_topk(
         .drop("rank")
         .orderBy("query_id", F.desc("cosine"), id_col)
     )
+
+
+def embed_neardup(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    cosine(a, b) > threshold — the semantic-dedup sibling of MinHash-LSH
+    (same all-vs-all similarity shape as the reference's J2 overlap join,
+    ``lqmap.c:140-205``, with cosine in place of shared-minimizer count).
+
+    ``n_bits=0`` is the exact path: a theta self-join (`key_a < key_b`) with
+    the cosine as a JVM-side higher-order expression — quadratic, for
+    report-scale corpora and as the oracle for the bucketed path.
+    ``n_bits>0`` prefilters pairs through random-hyperplane LSH buckets
+    (equi-join on the bucket id → shuffle hash join, AQE-skewable): at corpus
+    scale only near-parallel vectors share all sign bits, cutting candidates
+    ~2^bits× at some recall cost (raise recall by unioning rotations).
+    """
+    a = emb.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    if n_bits > 0:
+        ba = hyperplane_buckets(emb, n_bits=n_bits, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).alias("key_a"), F.col("bucket").alias("bucket_a")
+        )
+        bb = ba.select(F.col("key_a").alias("key_b"), F.col("bucket_a").alias("bucket_b"))
+        a = a.join(ba, "key_a")
+        b = b.join(bb, "key_b")
+        pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("key_a") < F.col("key_b")))
+    else:
+        pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    cosine = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("key_a", "key_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") > threshold)
+        .orderBy("key_a", "key_b")
+    )

@@ -139,3 +139,26 @@ def test_lsh_topk_recall_on_clustered_vectors(spark):
     e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     g = {(r.query_id, r.vec_id) for r in approx.itertuples()}
     assert len(e & g) / len(e) >= 0.6
+
+
+def test_embed_neardup_exact_and_bucketed(spark):
+    """Embedding-cosine near-dup: exact path finds exactly the planted
+    near-copies (vec, vec+tiny noise); the LSH-bucketed path finds most of
+    them with 2^bits fewer candidate pairs."""
+    from longqc_spark.operators.simsearch import embed_neardup
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in v + rng.standard_normal(64) * 0.05]))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    exact = embed_neardup(emb, threshold=0.9).toPandas()
+    # every planted pair, nothing else (random 64-d gaussians: cos ~ N(0, 1/8))
+    assert {(r.key_a, r.key_b) for r in exact.itertuples()} == {(i, 1000 + i) for i in range(40)}
+    assert (exact["cosine"] > 0.9).all()
+    bucketed = embed_neardup(emb, threshold=0.9, n_bits=2).toPandas()
+    got = {(r.key_a, r.key_b) for r in bucketed.itertuples()}
+    assert got <= {(i, 1000 + i) for i in range(40)}
+    assert len(got) / 40 >= 0.6  # 2-bit buckets: recall traded for 4x candidate cut

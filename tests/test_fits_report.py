@@ -50,6 +50,21 @@ def test_norm_lognorm_em():
     assert fit["lognormal_mode"] == pytest.approx(math.exp(5.0 - 0.09), rel=0.15)
 
 
+def test_kde_gaussian():
+    from longqc_spark.fits import kde_gaussian
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(5.0, 2.0, 20000)
+    grid, dens = kde_gaussian(x, n_grid=256)
+    assert np.trapz(dens, grid) == pytest.approx(1.0, abs=0.02)
+    assert grid[np.argmax(dens)] == pytest.approx(5.0, abs=0.5)
+    # matches the closed-form N(5,2) density at the mode to KDE accuracy
+    assert dens.max() == pytest.approx(1 / (2 * math.sqrt(2 * math.pi)), rel=0.05)
+    # fixed grid + bandwidth path
+    g2, d2 = kde_gaussian(x, grid=np.linspace(0, 10, 11), bandwidth=0.5)
+    assert g2.shape == d2.shape == (11,)
+
+
 def test_summarize_report(spark, corpus_path, tmp_path):
     from longqc_spark.pipeline import qc_pipeline
     from longqc_spark.report import summarize, write_html_report, write_json_report

@@ -61,3 +61,20 @@ def test_union_of_chunked_tsvs(spark, tmp_path):
     da = spark.read.csv(a, sep="\t", schema=schema)
     db = spark.read.csv(b, sep="\t", schema=schema)
     assert da.unionByName(db).count() == 2
+
+
+def test_xml_scan(spark, tmp_path):
+    """S9 XML scan (reference parses RunInfo.xml driver-side,
+    ``lq_rs.py``-adjacent platform metadata) — Spark 4 ships a native XML
+    source; tiny platform-metadata files parse distributed like any other."""
+    p = str(tmp_path / "runinfo.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<Runs>"
+            '<Run id="r1"><Flowcell>FC1</Flowcell><Cycles>100</Cycles></Run>'
+            '<Run id="r2"><Flowcell>FC2</Flowcell><Cycles>200</Cycles></Run>'
+            "</Runs>"
+        )
+    df = spark.read.format("xml").option("rowTag", "Run").load(p)
+    got = {r["_id"]: r["Cycles"] for r in df.collect()}
+    assert got == {"r1": 100, "r2": 200}
