@@ -71,10 +71,15 @@ def main() -> None:
     docs_per_sec_driver = n_docs / timings["qc_pipeline_documents"]
 
     # -- QC pipeline over the synthetic CC corpus (north_rule shape) --
+    # Production posture (same as tools/bench_scaling.py): the corpus is
+    # written with 4k-row row groups, so the scan parallelizes by itself —
+    # skip the salted repartition (num_partitions=0) and size splits so all
+    # cores get work (on a real Iceberg table, file layout does this).
     cc_path = write_corpus(DATA_CC, "bench")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     cc = spark.read.parquet(cc_path)
     n_cc = cc.count()
-    timings["qc_pipeline_cc100k"] = timed_pipeline(cc)
+    timings["qc_pipeline_cc100k"] = timed_pipeline(cc, num_partitions=0)
     docs_per_sec_cc = n_cc / timings["qc_pipeline_cc100k"]
 
     # -- dedup throughput: MinHash-LSH near-dup over a 20k-doc slice --

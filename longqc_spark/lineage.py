@@ -55,12 +55,44 @@ def load_manifest(out_dir: str) -> dict:
 
 
 def _commit_manifest(out_dir: str, manifest: dict) -> None:
-    tmp = _manifest_path(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _manifest_path(out_dir))  # atomic commit point
+    """Atomic commit, Iceberg-style: every commit first writes an immutable
+    versioned snapshot file (``manifest-v{N}.json`` — the metadata.json
+    chain), then swaps the current pointer (``manifest.json`` — the
+    version-hint). Old snapshots stay readable: bucket data dirs are
+    append-only, so ``read_labels(as_of=N)`` is true time travel."""
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    body = json.dumps(manifest, indent=1, sort_keys=True)
+    vpath = os.path.join(out_dir, f"manifest-v{manifest['version']}.json")
+    for path in (vpath, _manifest_path(out_dir)):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic commit point
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """Snapshot history (Iceberg ``table.history()`` analog): one row per
+    committed version, oldest first."""
+    out = []
+    for name in sorted(
+        (n for n in os.listdir(out_dir) if n.startswith("manifest-v") and n.endswith(".json")),
+        key=lambda n: int(n[len("manifest-v") : -len(".json")]),
+    ):
+        with open(os.path.join(out_dir, name)) as f:
+            m = json.load(f)
+        out.append(
+            {
+                "version": m["version"],
+                "run_id": m["run_id"],
+                "n_committed_buckets": len(m["committed"]),
+                "committed_at": max(
+                    (v["committed_at"] for v in m["committed"].values()), default=None
+                ),
+            }
+        )
+    return out
 
 
 def run_qc_with_lineage(
@@ -155,5 +187,18 @@ def audit_table(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
-def read_labels(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "data"))
+def read_labels(spark: SparkSession, out_dir: str, as_of: int | None = None) -> DataFrame:
+    """Read the committed labels; ``as_of`` time-travels to snapshot version N
+    (reads exactly the buckets committed in ``manifest-v{N}.json`` — reader
+    isolation: buckets committed later are invisible)."""
+    if as_of is None:
+        return spark.read.parquet(os.path.join(out_dir, "data"))
+    vpath = os.path.join(out_dir, f"manifest-v{as_of}.json")
+    with open(vpath) as f:
+        m = json.load(f)
+    paths = [
+        os.path.join(out_dir, "data", f"bucket={b}") for b in sorted(m["committed"], key=int)
+    ]
+    if not paths:
+        raise ValueError(f"snapshot v{as_of} has no committed buckets")
+    return spark.read.parquet(*paths)

@@ -72,3 +72,27 @@ def test_bucket_mismatch_rejected(spark, docs, tmp_path):
     run_qc_with_lineage(docs, out, n_buckets=2)
     with pytest.raises(ValueError, match="n_buckets"):
         run_qc_with_lineage(docs, out, n_buckets=4)
+
+
+def test_snapshot_history_and_time_travel(spark, docs, tmp_path):
+    """Every bucket commit is an immutable snapshot version; read_labels(as_of=N)
+    sees exactly the buckets committed at vN (Iceberg time-travel semantics)."""
+    from longqc_spark.lineage import snapshots
+
+    out = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_qc_with_lineage(docs, out, n_buckets=4, fail_after_bucket=1)
+    run_qc_with_lineage(docs, out, n_buckets=4)
+
+    hist = snapshots(out)
+    assert [s["version"] for s in hist] == [1, 2, 3, 4]
+    assert [s["n_committed_buckets"] for s in hist] == [1, 2, 3, 4]
+    assert len({s["run_id"] for s in hist}) == 1
+
+    m = load_manifest(out)
+    full = read_labels(spark, out)
+    v2 = read_labels(spark, out, as_of=2)
+    assert v2.count() == sum(m["committed"][b]["n_in"] for b in ("0", "1"))
+    assert read_labels(spark, out, as_of=4).count() == full.count()
+    # snapshot rows are a subset of the final table (reader isolation)
+    assert v2.join(full, "url", "left_anti").count() == 0
