@@ -658,6 +658,58 @@ def q_regex_counts(spark: SparkSession, sf: str) -> DataFrame:  # M8 regex scan 
     )
 
 
+def q_unpivot_stats(spark: SparkSession, sf: str) -> DataFrame:  # wide→long reshape
+    docs = _read(spark, sf, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    return wide.unpivot(
+        ["source"], ["n_docs", "total_chars", "max_chars"], "metric", "v"
+    ).orderBy("source", "metric")
+
+
+def q_posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:  # UDTF 1→n with position
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 10)
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    return (
+        docs.select("doc_id", F.posexplode(ts).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def q_vector_norms(spark: SparkSession, sf: str) -> DataFrame:  # HOF array math
+    emb = _read(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    l2 = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+    mean = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    ) / F.size("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2"),
+        F.round(mean, 6).alias("mean_val"),
+        F.size("embedding").cast("long").alias("dim"),
+    ).orderBy("vec_id")
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:  # partial-rollup agg
+    ev = _read(spark, sf, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(hour(ts) AS STRING), 'ALL') AS hr,
+               count(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+        ORDER BY event_type, hr
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "length_stats": q_length_stats,
@@ -710,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base64_payload": q_base64_payload,
         "edit_distance": q_edit_distance,
         "regex_counts": q_regex_counts,
+        "unpivot_stats": q_unpivot_stats,
+        "posexplode_tokens": q_posexplode_tokens,
+        "vector_norms": q_vector_norms,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -1131,5 +1187,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '\b(join|agg)\b'))) AS BIGINT) AS n_join_agg,
                    CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_nums
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "unpivot_stats": """
+            WITH wide AS (
+                SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                       max(n_chars) AS max_chars
+                FROM documents GROUP BY source
+            )
+            SELECT source, metric, CAST(v AS BIGINT) AS v
+            FROM wide UNPIVOT (v FOR metric IN (n_docs, total_chars, max_chars))
+            ORDER BY source, metric
+        """,
+        "posexplode_tokens": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+                FROM documents WHERE doc_id < 10
+            )
+            SELECT doc_id, i AS pos, ts[i + 1] AS token
+            FROM t, unnest(range(len(ts))) AS u(i)
+            ORDER BY doc_id, pos
+        """,
+        "vector_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_aggregate(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2,
+                   round(list_aggregate(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)), 'sum') / len(embedding), 6) AS mean_val,
+                   CAST(len(embedding) AS BIGINT) AS dim
+            FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+        """,
+        "grouping_sets": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(hour(ts) AS VARCHAR), 'ALL') AS hr,
+                   count(*) AS n
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+            ORDER BY event_type, hr
         """,
     }
