@@ -710,6 +710,29 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:  # partial-rollu
     )
 
 
+def q_extract_text(spark: SparkSession, sf: str) -> DataFrame:  # S2-analog scan normalize
+    """html binary → text extraction (top of the CC funnel). The testdata
+    documents carry markup-free text, so wrapping it in html (script +
+    comment + tags) and extracting must return the original bytes — which is
+    what the DuckDB oracle asserts (extraction inverts the wrap)."""
+    from longqc_spark.pipeline import with_extracted_text
+
+    docs = _read(spark, sf, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><script>var x = 1;</script><!-- c --></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    ex = with_extracted_text(wrapped, html_col="html", text_col="extracted_text")
+    return ex.select("doc_id", "extracted_text").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "length_stats": q_length_stats,
@@ -766,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": q_posexplode_tokens,
         "vector_norms": q_vector_norms,
         "grouping_sets": q_grouping_sets,
+        "extract_text": q_extract_text,
     }
 
 
@@ -1224,5 +1248,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
             ORDER BY event_type, hr
+        """,
+        "extract_text": """
+            SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
         """,
     }

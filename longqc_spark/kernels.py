@@ -373,3 +373,44 @@ def scrub_batch(texts: pd.Series, cfg: QCConfig, emit_spans: bool = False) -> pd
     if emit_spans:
         out["scrub_spans"] = span_col
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (top of the CC funnel: WARC payload → document text)
+# ---------------------------------------------------------------------------
+
+# Deterministic extraction SPEC (this implementation is the reference —
+# "byte-identical extracted text per url" means both engines call exactly
+# this function, the same single-source-of-truth discipline as the stats):
+#   1. utf-8 decode, errors → U+FFFD;
+#   2. drop <script>/<style> blocks, then <!-- comments -->;
+#   3. strip every remaining <...> tag (regex spec, not an HTML5 tree parse:
+#      a literal '>' inside an attribute value ends the tag — documented
+#      determinism over parser-version-dependent DOM repair);
+#   4. unescape character entities;
+#   5. whitespace is preserved verbatim (quality rules downstream own it).
+_SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def extract_text_batch(html_bytes: pd.Series) -> pd.Series:
+    """``html binary`` column → extracted text, one Arrow batch at a time."""
+    import html as _html
+
+    s = html_bytes.map(
+        lambda b: b.decode("utf-8", "replace")
+        if isinstance(b, (bytes, bytearray))
+        else ("" if b is None else str(b))
+    )
+    s = s.str.replace(_SCRIPT_STYLE_RE, "", regex=True)
+    s = s.str.replace(_COMMENT_RE, "", regex=True)
+    s = s.str.replace(_TAG_RE, "", regex=True)
+    # entity unescape only where '&' occurs (same prefilter idea as the scrub)
+    amp = s.str.contains("&", regex=False).to_numpy()
+    if amp.any():
+        arr = s.to_numpy(copy=True)
+        for i in np.flatnonzero(amp):
+            arr[i] = _html.unescape(arr[i])
+        s = pd.Series(arr, index=s.index)
+    return s

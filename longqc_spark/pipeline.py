@@ -21,6 +21,7 @@ independently of the decision config.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .config import DEFAULT_CONFIG, QCConfig
@@ -92,6 +93,29 @@ def salted_repartition(df: DataFrame, key: str, num_partitions: int, seed: int =
     bound is per-partition work for the Arrow UDF stage.
     """
     return df.repartition(num_partitions, F.xxhash64(F.col(key), F.lit(seed)))
+
+
+# ---------------------------------------------------------------------------
+# Stage 1b: html → text extraction (when the table carries only raw payloads)
+# ---------------------------------------------------------------------------
+
+
+def with_extracted_text(
+    docs: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """WARC-payload extraction stage: ``html binary`` → ``text string`` via
+    the shared ``kernels.extract_text_batch`` spec (byte-identical per url by
+    construction — the labeler calls the same function). A scalar Arrow UDF:
+    pure map, fuses into the same stage as the scan, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _extract(h: pd.Series) -> pd.Series:
+        from longqc_spark.kernels import extract_text_batch
+
+        return extract_text_batch(h)
+
+    return docs.withColumn(text_col, _extract(F.col(html_col)))
 
 
 # ---------------------------------------------------------------------------

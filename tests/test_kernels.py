@@ -10,6 +10,7 @@ from longqc_spark.kernels import (
     _dup_line_frac,
     _top_ngram_frac,
     compute_stats,
+    extract_text_batch,
     scrub_batch,
     scrub_text,
 )
@@ -86,3 +87,30 @@ def test_scrub_batch_columns():
     df = scrub_batch(pd.Series(["a@b.co hi", "clean"]), DEFAULT_CONFIG)
     assert df.scrubbed_text.tolist() == ["<EMAIL> hi", "clean"]
     assert df.pii_match_count.tolist() == [1, 0]
+
+
+def test_extract_text_strips_script_style_comments_tags():
+    html = (
+        b"<html><head><script type='t'>var x = '<p>hidden</p>';</script>"
+        b"<style>a { color: red }</style><!-- secret --></head>"
+        b"<body><p>Hello &amp; welcome</p></body></html>"
+    )
+    out = extract_text_batch(pd.Series([html, None, b"plain, no markup"]))
+    assert out.tolist() == ["Hello & welcome", "", "plain, no markup"]
+
+
+def test_extract_text_invalid_utf8_replaced():
+    out = extract_text_batch(pd.Series([b"<b>a\xffb</b>"]))
+    assert out.tolist() == ["a�b"]
+
+
+def test_extract_text_preserves_whitespace_verbatim():
+    html = b"<div>line1\n\n  line2\t</div>"
+    assert extract_text_batch(pd.Series([html])).tolist() == ["line1\n\n  line2\t"]
+
+
+def test_extract_roundtrip_on_corpus(corpus_pdf):
+    """input_hint invariant: byte-identical extracted text per url — the
+    synthetic corpus wraps text in markup that extraction must invert."""
+    out = extract_text_batch(corpus_pdf["html"])
+    assert (out == corpus_pdf["text"]).all()

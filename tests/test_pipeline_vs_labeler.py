@@ -61,3 +61,33 @@ def test_parallelism_invariance(spark, corpus_path):
     assert (a.keep == b.keep).all()
     assert (a.scrubbed_text == b.scrubbed_text).all()
     pd.testing.assert_series_equal(a.perplexity, b.perplexity)
+
+
+def test_spark_extraction_byte_identical(spark, corpus_path, corpus_pdf):
+    """with_extracted_text (Arrow UDF) vs the shared kernel run serially —
+    the 'byte-identical extracted text per url' invariant, Spark side."""
+    from longqc_spark.pipeline import with_extracted_text
+
+    docs = spark.read.parquet(corpus_path).select("url", "html")
+    got = (
+        with_extracted_text(docs, text_col="extracted")
+        .select("url", "extracted")
+        .toPandas()
+        .set_index("url")
+        .sort_index()
+    )
+    ref = corpus_pdf.set_index("url").sort_index()
+    assert (got.extracted == ref.text).all()
+
+
+def test_pipeline_from_html_matches_pipeline_from_text(spark, corpus_path):
+    """Full funnel: html binary → extract → QC labels equals the text-column
+    path (the corpus html wraps text invertibly)."""
+    from longqc_spark.pipeline import with_extracted_text
+
+    docs = spark.read.parquet(corpus_path)
+    from_html = qc_pipeline(with_extracted_text(docs.drop("text")))
+    a = from_html.toPandas().set_index("url").sort_index()
+    b = qc_pipeline(docs).toPandas().set_index("url").sort_index()
+    assert (a.keep == b.keep).all()
+    assert (a.scrubbed_text == b.scrubbed_text).all()
