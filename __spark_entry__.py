@@ -572,6 +572,42 @@ def q_minhash_sql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_simhash_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash with a SQL-expressible hash family (first 32 bits of md5 per
+    token; per-bit majority vote over all token occurrences), so the signature
+    math itself is oracle-checked cross-engine — the fast path
+    (`dedup.simhash_signatures`, flat-stream numpy over 64-bit hashes) covers
+    scale. Entirely JVM-side here: split → explode → bit explode → two aggs."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+    )
+    bits = h.select(
+        "doc_id", "h32", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    ).select("doc_id", "bit", F.expr("shiftrightunsigned(h32, bit) & 1").alias("b"))
+    per_bit = bits.groupBy("doc_id", "bit").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("b").alias("ones")
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END")
+            ).alias("simhash32")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_rank_windows(spark: SparkSession, sf: str) -> DataFrame:  # W: per-group top-k
     from pyspark.sql import Window
 
@@ -779,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5like": q_tpch_q5like,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
+        "simhash_sql": q_simhash_sql,
         "rank_windows": q_rank_windows,
         "json_extract": q_json_extract,
         "distinct_users": q_distinct_users,
@@ -1251,5 +1288,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_text": """
             SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+        """,
+        "simhash_sql": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents WHERE doc_id < 200
+            ), h AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h32
+                FROM toks WHERE tok <> ''
+            ), bits AS (
+                SELECT doc_id, b.bit AS bit, count(*) AS n,
+                       sum((h32 >> b.bit) & 1) AS ones
+                FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+                GROUP BY doc_id, b.bit
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN 2 * ones > n
+                                 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+                       AS simhash32
+            FROM bits GROUP BY doc_id ORDER BY doc_id
         """,
     }
