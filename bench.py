@@ -82,6 +82,15 @@ def main() -> None:
     timings["qc_pipeline_cc100k"] = timed_pipeline(cc, num_partitions=0)
     docs_per_sec_cc = n_cc / timings["qc_pipeline_cc100k"]
 
+    # -- full funnel: html binary → text extraction → QC (north_star shape,
+    # top of the Common-Crawl funnel included) --
+    from longqc_spark.pipeline import with_extracted_text
+
+    timings["qc_fullfunnel_cc100k"] = timed_pipeline(
+        with_extracted_text(cc.drop("text")), num_partitions=0
+    )
+    docs_per_sec_funnel = n_cc / timings["qc_fullfunnel_cc100k"]
+
     # -- dedup throughput: MinHash-LSH near-dup over a 20k-doc slice --
     from pyspark.sql import functions as SF
 
@@ -117,6 +126,7 @@ def main() -> None:
         "sf": float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0.1),
         "docs_per_sec_driver_table": round(docs_per_sec_driver, 1),
         "docs_per_sec_cc100k": round(docs_per_sec_cc, 1),
+        "docs_per_sec_fullfunnel": round(docs_per_sec_funnel, 1),
         "dedup_docs_per_sec": round(dedup_docs_per_sec, 1),
         "cores": cores,
     }
