@@ -1,9 +1,13 @@
 """spark-submit entry point (north_rule: "launched via spark-submit
 --py-files on multi-executor clusters").
 
-    spark-submit --py-files longqc_spark.zip -m longqc_spark.cli \
-        --input /path/documents_parquet --out /path/qc_out \
+    spark-submit --master <cluster> --py-files longqc_spark.zip \
+        tools/submit_qc.py --input /path/documents_parquet --out /path/qc_out \
         [--buckets 4096] [--preset default|driver_docs] [--report]
+
+(spark-submit takes a driver *script*, not ``-m module`` — tools/submit_qc.py
+is that script; tests/test_submit.py runs the whole launch mode end-to-end
+with imports resolving from the zip only.)
 
 Local smoke:
     python -m longqc_spark.cli --input data_cc/documents_cc_smoke.parquet \
