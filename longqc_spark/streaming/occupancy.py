@@ -117,6 +117,7 @@ def stream_tumbling_counts(
     watermark: str = "5 minutes",
     out_dir: str | None = None,
     query_name: str = "occupancy",
+    output_mode: str = "complete",
 ):
     """Streaming twin of ``tumbling_counts``: parquet source micro-batched via
     AvailableNow, watermark for late data, memory sink (or exactly-once
@@ -144,8 +145,13 @@ def stream_tumbling_counts(
         )
     )
     if out_dir is None:
+        # complete = running totals (reference's cross-chunk accumulators);
+        # append = finalize-on-watermark, where data later than the watermark
+        # horizon is DROPPED and a window emits once, immutable — the posture
+        # a production audit sink wants (tests/test_streaming.py proves the
+        # late-drop semantics).
         return (
-            agg.writeStream.outputMode("complete")
+            agg.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(query_name)
             .trigger(availableNow=True)

@@ -60,3 +60,71 @@ def test_interval_occupancy(spark, sf001):
         (F.least(F.col("value").cast("long"), F.lit(10)) + 1).alias("d")
     ).agg(F.sum("d")).collect()[0][0]
     assert occ.n_active.sum() == expected
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + watermark: events arriving after their window has been
+    finalized (watermark passed the window end AND the state was evicted at a
+    batch boundary — Spark's one-sided lateness guarantee) are DROPPED;
+    out-of-order events whose window is still live are merged.
+
+    Micro-batch schedule (2-minute watermark delay, 1-minute windows):
+      batch 0: 10:00:10, 10:00:20, 10:05  → watermark advances to 10:03
+      batch 1: 10:03:30, 10:06            → [10:00) window finalizes+emits;
+                                            watermark advances to 10:04
+      batch 2: 10:00:40, 10:02:40 (both older than finalized horizon →
+               dropped), 10:10 (pushes final watermark so the 10:03/10:05/
+               10:06 windows finalize before the stream drains)."""
+    import datetime as dt
+    import os
+
+    def ts(m, s):
+        return dt.datetime(2024, 1, 1, 10, m, s)
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    batches = [
+        [ts(0, 10), ts(0, 20), ts(5, 0)],
+        [ts(3, 30), ts(6, 0)],
+        [ts(0, 40), ts(2, 40), ts(10, 0)],
+    ]
+    for i, tss in enumerate(batches):
+        f = os.path.join(d, f"f{i}.parquet")
+        pd.DataFrame(
+            {"ts": tss, "event_type": ["a"] * len(tss), "value": [1.0] * len(tss)}
+        ).to_parquet(f, index=False, coerce_timestamps="us")
+        # FileStreamSource admits files in modification-time order
+        os.utime(f, (1_700_000_000 + i * 1000,) * 2)
+
+    schema = spark.read.parquet(d).schema
+    q = stream_tumbling_counts(
+        spark,
+        d,
+        schema,
+        width="1 minute",
+        watermark="2 minutes",
+        query_name="late_demo",
+        output_mode="append",
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 2  # exactly the two post-finalization arrivals
+    got = (
+        spark.table("late_demo")
+        .toPandas()
+        .sort_values("win_start")
+        .reset_index(drop=True)
+    )
+    # [10:00) n=2 (10:00:40 NOT counted), then one row per live window;
+    # the 10:10 window never finalizes (append emits only after the
+    # watermark passes the window end).
+    assert [(w.minute, n) for w, n in zip(got.win_start, got.n)] == [
+        (0, 2),
+        (3, 1),
+        (5, 1),
+        (6, 1),
+    ]
