@@ -50,6 +50,12 @@ class QCConfig:
     max_top_ngram_frac_3: float = 0.18
     max_top_ngram_frac_4: float = 0.16
 
+    # Gopher line-shape rules: ≤90% of lines may start with a bullet glyph,
+    # ≤30% may end with an ellipsis. C4 code rule: any '{' drops the page.
+    max_bullet_line_frac: float = 0.90
+    max_ellipsis_line_frac: float = 0.30
+    max_brace_chars: int = 0
+
     # Language ID (fastText-style analog)
     allowed_langs: tuple[str, ...] = ("en",)
     min_lang_score: float = 0.20            # margin best-vs-second, per char trigram
@@ -82,6 +88,9 @@ class QCConfig:
         "top_2gram_frac_high",
         "top_3gram_frac_high",
         "top_4gram_frac_high",
+        "bullet_line_frac_high",
+        "ellipsis_line_frac_high",
+        "has_braces",
         "lang_not_allowed",
         "lang_score_low",
         "perplexity_high",

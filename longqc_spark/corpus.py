@@ -41,9 +41,14 @@ CLASSES: tuple[str, ...] = (
     "pii",
     "tox",
     "gibberish",
+    "bullets",
+    "ellipsis",
+    "code",
 )
 # clean-heavy mixture, every other class present
-_CLASS_P = np.array([0.40, 0.09, 0.09, 0.09, 0.09, 0.09, 0.06, 0.09])
+_CLASS_P = np.array(
+    [0.27, 0.09, 0.09, 0.09, 0.09, 0.09, 0.06, 0.09, 0.05, 0.05, 0.03]
+)
 
 
 def _sentence(rng: np.random.Generator, vocab: list[str], n_words: int) -> str:
@@ -124,6 +129,34 @@ def _gen_text(rng: np.random.Generator, cls: str) -> tuple[str, str]:
             w = TOX_WORDS[int(rng.integers(0, len(TOX_WORDS)))]
             toks.insert(int(rng.integers(0, len(toks) + 1)), w)
         return " ".join(toks), "en"
+    if cls == "bullets":
+        # jitter across max_bullet_line_frac=0.90: some keep, some drop
+        n = int(rng.integers(60, 200))
+        lines = _lines(rng, en, n).split("\n")
+        frac = float(rng.uniform(0.75, 1.0))
+        k = int(round(len(lines) * frac))
+        pos = rng.permutation(len(lines))[:k]
+        for p in pos:
+            lines[int(p)] = "• " + lines[int(p)]
+        return "\n".join(lines), "en"
+    if cls == "ellipsis":
+        # jitter across max_ellipsis_line_frac=0.30
+        n = int(rng.integers(60, 200))
+        lines = _lines(rng, en, n).split("\n")
+        frac = float(rng.uniform(0.10, 0.55))
+        k = int(round(len(lines) * frac))
+        pos = rng.permutation(len(lines))[:k]
+        for p in pos:
+            lines[int(p)] = lines[int(p)].rstrip(" .") + "..."
+        return "\n".join(lines), "en"
+    if cls == "code":
+        # C4 brace rule: k=0 keeps, k>0 drops
+        n = int(rng.integers(60, 200))
+        toks = _lines(rng, en, n).split(" ")
+        k = int(rng.integers(0, 4))
+        for _ in range(k):
+            toks.insert(int(rng.integers(0, len(toks) + 1)), "{var}")
+        return " ".join(toks), "en"
     # gibberish: random letter strings — unigram-hostile → high perplexity
     n = int(rng.integers(60, 200))
     alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
@@ -158,8 +191,13 @@ def generate_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
+# bump when generation logic changes: write_corpus caches by filename, so the
+# version suffix is what invalidates stale fixture parquets under data_cc/
+_CORPUS_GEN = 2
+
+
 def corpus_path(root: str, scale: str) -> str:
-    return os.path.join(root, f"documents_cc_{scale}.parquet")
+    return os.path.join(root, f"documents_cc_{scale}_g{_CORPUS_GEN}.parquet")
 
 
 _SCALES = {"smoke": 1_000, "correctness": 10_000, "bench": 100_000, "scaling": 400_000}

@@ -71,7 +71,14 @@ STAT_COLUMNS: tuple[str, ...] = (
     "logprob_mean",
     "perplexity",
     "frac_tokens_above_q",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "brace_char_count",
 )
+
+# Gopher line-shape specs (shared by both engines; see config.QCConfig)
+_BULLET_CHARS = ("•", "-", "*")
+_ELLIPSIS_SUFFIXES = ("...", "…")
 
 
 def _top_ngram_frac(tokens: list[str], n: int) -> float:
@@ -133,18 +140,25 @@ def _flat_top_ngram_frac(
     return np.divide(covered, n_tok, out=out, where=n_tok > 0)
 
 
-def _flat_dup_line_frac(texts: pd.Series) -> np.ndarray:
-    """Per-doc fraction of non-empty stripped lines that repeat an earlier
-    line — flat-stream version of ``_dup_line_frac``."""
+def _flat_line_stats(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One pass over the flat line stream → per-doc
+    ``(dup_line_frac, bullet_line_frac, ellipsis_line_frac)``.
+
+    dup_line_frac: fraction of non-empty stripped lines repeating an earlier
+    line (flat-stream version of ``_dup_line_frac``). bullet/ellipsis: Gopher
+    line-shape fractions over the same non-empty stripped lines."""
     n_docs = len(texts)
     split = texts.str.split("\n")
     n_lines = np.fromiter(map(len, split), dtype=np.int64, count=n_docs)
     flat = pd.Series(list(chain.from_iterable(split)), dtype=object)
-    stripped = flat.str.strip().to_numpy()
+    stripped_s = flat.str.strip()
+    stripped = stripped_s.to_numpy()
     nonempty = np.fromiter(map(len, stripped), dtype=np.int64) > 0
     doc_ids = np.repeat(np.arange(n_docs), n_lines)[nonempty]
-    hashes = hash_tokens(stripped[nonempty])
     total = np.bincount(doc_ids, minlength=n_docs)
+    safe_total = np.maximum(total, 1).astype(np.float64)
+
+    hashes = hash_tokens(stripped[nonempty])
     sort_idx = np.lexsort((hashes, doc_ids))
     h, d = hashes[sort_idx], doc_ids[sort_idx]
     boundary = np.empty(h.shape[0], dtype=bool)
@@ -152,10 +166,18 @@ def _flat_dup_line_frac(texts: pd.Series) -> np.ndarray:
         boundary[0] = True
         boundary[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
     distinct = np.bincount(d[boundary], minlength=n_docs) if h.shape[0] else np.zeros(n_docs, dtype=np.int64)
-    out = np.zeros(n_docs, dtype=np.float64)
+    dup = np.zeros(n_docs, dtype=np.float64)
     many = total > 1
-    out[many] = 1.0 - distinct[many] / total[many]
-    return out
+    dup[many] = 1.0 - distinct[many] / total[many]
+
+    first = stripped_s.str.slice(0, 1).to_numpy()[nonempty]
+    bullet_hits = np.isin(first, _BULLET_CHARS).astype(np.float64)
+    bullet = np.bincount(doc_ids, weights=bullet_hits, minlength=n_docs) / safe_total
+    is_ell = stripped_s.str.endswith(_ELLIPSIS_SUFFIXES).to_numpy()[nonempty]
+    ellipsis = (
+        np.bincount(doc_ids, weights=is_ell.astype(np.float64), minlength=n_docs) / safe_total
+    )
+    return dup, bullet, ellipsis
 
 
 def compute_stats(
@@ -180,7 +202,7 @@ def compute_stats(
         return pd.DataFrame(
             {
                 c: pd.Series(dtype=("object" if c == "lang_pred" else
-                                    "int64" if c in ("n_chars", "n_words", "n_lines", "stopword_count") else "float64"))
+                                    "int64" if c in ("n_chars", "n_words", "n_lines", "stopword_count", "brace_char_count") else "float64"))
                 for c in STAT_COLUMNS
             }
         )
@@ -237,7 +259,8 @@ def compute_stats(
     logprob_mean[nonempty] = sums[nonempty] / n_tok[nonempty]
     frac_above = np.bincount(doc_ids, weights=(lps > q_threshold).astype(np.float64), minlength=n_docs) / safe_tok
 
-    dup_line = _flat_dup_line_frac(texts)
+    dup_line, bullet_line, ellipsis_line = _flat_line_stats(texts)
+    brace_count = np.fromiter((t.count("{") for t in arr0), np.int64, n_docs)
     # langid reads a bounded prefix (spec: langid_max_chars) — trigram volume
     # is ~6× token volume, so this is the kernel's main memory-traffic knob
     lang_pred, lang_score = lid.score_batch(texts.str.slice(0, langid_max_chars))
@@ -261,6 +284,9 @@ def compute_stats(
             "logprob_mean": logprob_mean,
             "perplexity": np.exp(-logprob_mean),
             "frac_tokens_above_q": frac_above,
+            "bullet_line_frac": bullet_line,
+            "ellipsis_line_frac": ellipsis_line,
+            "brace_char_count": brace_count,
         }
     )
 

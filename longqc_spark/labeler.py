@@ -35,6 +35,9 @@ def rule_failures(stats: pd.DataFrame, cfg: QCConfig) -> pd.DataFrame:
     f["top_2gram_frac_high"] = stats.top_ngram_frac_2 > cfg.max_top_ngram_frac_2
     f["top_3gram_frac_high"] = stats.top_ngram_frac_3 > cfg.max_top_ngram_frac_3
     f["top_4gram_frac_high"] = stats.top_ngram_frac_4 > cfg.max_top_ngram_frac_4
+    f["bullet_line_frac_high"] = stats.bullet_line_frac > cfg.max_bullet_line_frac
+    f["ellipsis_line_frac_high"] = stats.ellipsis_line_frac > cfg.max_ellipsis_line_frac
+    f["has_braces"] = stats.brace_char_count > cfg.max_brace_chars
     f["lang_not_allowed"] = ~stats.lang_pred.isin(cfg.allowed_langs)
     f["lang_score_low"] = stats.lang_score < cfg.min_lang_score
     f["perplexity_high"] = stats.perplexity > cfg.max_perplexity

@@ -49,6 +49,9 @@ STATS_FIELDS: list[T.StructField] = [
     T.StructField("logprob_mean", T.DoubleType()),
     T.StructField("perplexity", T.DoubleType()),
     T.StructField("frac_tokens_above_q", T.DoubleType()),
+    T.StructField("bullet_line_frac", T.DoubleType()),
+    T.StructField("ellipsis_line_frac", T.DoubleType()),
+    T.StructField("brace_char_count", T.LongType()),
 ]
 
 SCRUB_FIELDS: list[T.StructField] = [
@@ -177,6 +180,9 @@ def rule_conditions(cfg: QCConfig = DEFAULT_CONFIG) -> dict[str, Column]:
         "top_2gram_frac_high": c("top_ngram_frac_2") > cfg.max_top_ngram_frac_2,
         "top_3gram_frac_high": c("top_ngram_frac_3") > cfg.max_top_ngram_frac_3,
         "top_4gram_frac_high": c("top_ngram_frac_4") > cfg.max_top_ngram_frac_4,
+        "bullet_line_frac_high": c("bullet_line_frac") > cfg.max_bullet_line_frac,
+        "ellipsis_line_frac_high": c("ellipsis_line_frac") > cfg.max_ellipsis_line_frac,
+        "has_braces": c("brace_char_count") > cfg.max_brace_chars,
         "lang_not_allowed": ~c("lang_pred").isin(*cfg.allowed_langs),
         "lang_score_low": c("lang_score") < cfg.min_lang_score,
         "perplexity_high": c("perplexity") > cfg.max_perplexity,

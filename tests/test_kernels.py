@@ -114,3 +114,19 @@ def test_extract_roundtrip_on_corpus(corpus_pdf):
     synthetic corpus wraps text in markup that extraction must invert."""
     out = extract_text_batch(corpus_pdf["html"])
     assert (out == corpus_pdf["text"]).all()
+
+
+def test_line_shape_and_brace_stats():
+    s = compute_stats(
+        pd.Series(
+            [
+                "• one\n• two\nplain line here",          # 2/3 bullet lines
+                "first part...\nsecond line .\nthird…",   # 2/3 ellipsis lines
+                "int main() { return 0; } { }",           # 2 open braces
+                "no shapes at all",
+            ]
+        )
+    )
+    assert s.bullet_line_frac.tolist() == pytest.approx([2 / 3, 0.0, 0.0, 0.0])
+    assert s.ellipsis_line_frac.tolist() == pytest.approx([0.0, 2 / 3, 0.0, 0.0])
+    assert s.brace_char_count.tolist() == [0, 0, 2, 0]
