@@ -1287,7 +1287,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, hr
         """,
         "extract_text": """
-            SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+            SELECT doc_id, chr(10) || text || chr(10) AS extracted_text
+            FROM documents ORDER BY doc_id
         """,
         "simhash_sql": """
             WITH toks AS (

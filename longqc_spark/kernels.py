@@ -410,13 +410,17 @@ def scrub_batch(texts: pd.Series, cfg: QCConfig, emit_spans: bool = False) -> pd
 # this function, the same single-source-of-truth discipline as the stats):
 #   1. utf-8 decode, errors → U+FFFD;
 #   2. drop <script>/<style> blocks, then <!-- comments -->;
-#   3. strip every remaining <...> tag (regex spec, not an HTML5 tree parse:
+#   3. block-level tags (p/div/br/li/ul/ol/h1-6/tr/table/blockquote, opening
+#      or closing) become "\n" so the line-shape quality rules (dup-line,
+#      bullet, ellipsis) see real line structure;
+#   4. strip every remaining <...> tag (regex spec, not an HTML5 tree parse:
 #      a literal '>' inside an attribute value ends the tag — documented
 #      determinism over parser-version-dependent DOM repair);
-#   4. unescape character entities;
-#   5. whitespace is preserved verbatim (quality rules downstream own it).
+#   5. unescape character entities;
+#   6. whitespace is otherwise preserved verbatim (rules downstream own it).
 _SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_BLOCK_TAG_RE = re.compile(r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>")
 _TAG_RE = re.compile(r"<[^>]*>")
 
 
@@ -431,6 +435,7 @@ def extract_text_batch(html_bytes: pd.Series) -> pd.Series:
     )
     s = s.str.replace(_SCRIPT_STYLE_RE, "", regex=True)
     s = s.str.replace(_COMMENT_RE, "", regex=True)
+    s = s.str.replace(_BLOCK_TAG_RE, "\n", regex=True)
     s = s.str.replace(_TAG_RE, "", regex=True)
     # entity unescape only where '&' occurs (same prefilter idea as the scrub)
     amp = s.str.contains("&", regex=False).to_numpy()

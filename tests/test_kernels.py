@@ -96,7 +96,8 @@ def test_extract_text_strips_script_style_comments_tags():
         b"<body><p>Hello &amp; welcome</p></body></html>"
     )
     out = extract_text_batch(pd.Series([html, None, b"plain, no markup"]))
-    assert out.tolist() == ["Hello & welcome", "", "plain, no markup"]
+    # block-level <p> tags become newlines; inline/head tags vanish
+    assert out.tolist() == ["\nHello & welcome\n", "", "plain, no markup"]
 
 
 def test_extract_text_invalid_utf8_replaced():
@@ -105,8 +106,13 @@ def test_extract_text_invalid_utf8_replaced():
 
 
 def test_extract_text_preserves_whitespace_verbatim():
-    html = b"<div>line1\n\n  line2\t</div>"
+    html = b"<span>line1\n\n  line2\t</span>"
     assert extract_text_batch(pd.Series([html])).tolist() == ["line1\n\n  line2\t"]
+
+
+def test_extract_text_block_tags_make_lines():
+    html = b"<body><p>a</p><p>b</p>one<br>two<em>x</em></body>"
+    assert extract_text_batch(pd.Series([html])).tolist() == ["\na\n\nb\none\ntwox"]
 
 
 def test_extract_roundtrip_on_corpus(corpus_pdf):
