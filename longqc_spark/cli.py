@@ -10,7 +10,7 @@ is that script; tests/test_submit.py runs the whole launch mode end-to-end
 with imports resolving from the zip only.)
 
 Local smoke:
-    python -m longqc_spark.cli --input data_cc/documents_cc_smoke_g2.parquet \
+    python -m longqc_spark.cli --input data_cc/documents_cc_smoke_g3.parquet \
         --out /tmp/qc_out --buckets 4 --report
 """
 

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from .config import TOX_WORDS
+from .kernels import extract_text_batch
 from .models import SEED_TEXT
 
 _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -167,6 +168,24 @@ def _gen_text(rng: np.random.Generator, cls: str) -> tuple[str, str]:
     return " ".join(words), "en"
 
 
+# Realistic page chrome around the generated prose: script + style + comment
+# noise the extractor must strip, one <p> per prose line. The ``text`` column
+# is DEFINED as ``extract_text_batch(html)`` so the input_hint invariant
+# (byte-identical extracted text per url) holds by construction and the F1
+# gate + bench exercise real extraction work.
+_HTML_HEAD = (
+    '<html><head><script type="text/javascript">var t = "<p>not text</p>";'
+    "</script><style>p { margin: 0 }</style>"
+    "<!-- generator: longqc-corpus --></head><body>"
+)
+_HTML_FOOT = "</body></html>"
+
+
+def _render_html(prose: str) -> bytes:
+    body = "".join(f"<p>{ln}</p>" for ln in prose.split("\n"))
+    return (_HTML_HEAD + body + _HTML_FOOT).encode("utf-8")
+
+
 def generate_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
     """Generate the documents_cc table as pandas (small scales only)."""
     rng = np.random.default_rng(seed)
@@ -177,23 +196,19 @@ def generate_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
     rows = []
     for i in range(n_docs):
         cls = CLASSES[cls_idx[i]]
-        text, lang = _gen_text(rng, cls)
+        prose, lang = _gen_text(rng, cls)
         url = f"https://host{hosts[i]}.example/{cls}/p{i}"
         rows.append(
-            (
-                url,
-                _EPOCH + dt.timedelta(seconds=int(i)),
-                b"<html><body>" + text.encode("utf-8") + b"</body></html>",
-                text,
-                lang,
-            )
+            (url, _EPOCH + dt.timedelta(seconds=int(i)), _render_html(prose), lang)
         )
-    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
+    pdf["text"] = extract_text_batch(pdf["html"])
+    return pdf[["url", "warc_ts", "html", "text", "lang"]]
 
 
 # bump when generation logic changes: write_corpus caches by filename, so the
 # version suffix is what invalidates stale fixture parquets under data_cc/
-_CORPUS_GEN = 2
+_CORPUS_GEN = 3
 
 
 def corpus_path(root: str, scale: str) -> str:
