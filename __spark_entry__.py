@@ -746,6 +746,45 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:  # partial-rollu
     )
 
 
+def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:  # W: equal-frequency bins
+    """ntile(10) decile summary of order totals — the equal-frequency twin of
+    the fixed-width histogram (A11); rank ties broken by key for cross-engine
+    determinism."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_corr_stats(spark: SparkSession, sf: str) -> DataFrame:  # A7 second-moment family
+    """Pearson correlation + sample covariance per group (the GC-mean/sd
+    family, reference lq_gcfrac.py:20-23, extended to second moments)."""
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_discount"), 8).alias("sd_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_extract_text(spark: SparkSession, sf: str) -> DataFrame:  # S2-analog scan normalize
     """html binary → text extraction (top of the CC funnel). The testdata
     documents carry markup-free text, so wrapping it in html (script +
@@ -827,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": q_vector_norms,
         "grouping_sets": q_grouping_sets,
         "extract_text": q_extract_text,
+        "ntile_deciles": q_ntile_deciles,
+        "corr_stats": q_corr_stats,
     }
 
 
@@ -1289,6 +1330,24 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": """
             SELECT doc_id, chr(10) || text || chr(10) AS extracted_text
             FROM documents ORDER BY doc_id
+        """,
+        "ntile_deciles": """
+            WITH t AS (
+                SELECT o_totalprice,
+                       ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+                FROM orders
+            )
+            SELECT decile, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total,
+                   min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM t GROUP BY decile ORDER BY decile
+        """,
+        "corr_stats": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+                   round(stddev_samp(l_discount), 8) AS sd_discount
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "simhash_sql": """
             WITH toks AS (

@@ -7,9 +7,9 @@ synthetic CC corpus at local[2] / local[8] / local[32] (steady-state: second
 full pass timed), prints throughput for each, and computes efficiency for the
 two N→4N pairs (2→8 and 8→32).
 
-Context recorded alongside: this host is a 32-vCPU SMT VM — a pure-ALU spin
+Context recorded alongside: this host is a 32-vCPU VM that stops scaling past ~8-16 cores — a pure-ALU spin
 benchmark tops out at ~0.77 efficiency for 8→32, so 2→8 is the pair that
-isolates the ENGINE's scaling from the host's SMT/bandwidth ceiling.
+isolates the ENGINE's scaling from the host's ceiling.
 
 Usage: PYTHONPATH=/root/repo python tools/bench_scaling.py [--out BENCH.md]
 """
