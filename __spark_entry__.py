@@ -746,6 +746,22 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:  # partial-rollu
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:  # BPE-ish tokenizer count
+    """GPT-2-style pre-tokenizer count: runs of letters / digits / other
+    symbols, each with an optional leading space (ASCII classes only so the
+    Java-regex and RE2 engines match identically). Whitespace-split count
+    alongside for the ratio — both JVM-side, no UDF."""
+    pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+"
+    docs = _read(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{pat}', 0))").cast("long").alias("n_bpe"),
+        F.size(F.filter(F.split("text", "\\s+"), lambda t: t != F.lit("")))
+        .cast("long")
+        .alias("n_ws"),
+    ).orderBy("doc_id")
+
+
 def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:  # W: equal-frequency bins
     """ntile(10) decile summary of order totals — the equal-frequency twin of
     the fixed-width histogram (A11); rank ties broken by key for cross-engine
@@ -868,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "ntile_deciles": q_ntile_deciles,
         "corr_stats": q_corr_stats,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
@@ -1329,6 +1346,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_text": """
             SELECT doc_id, chr(10) || text || chr(10) AS extracted_text
+            FROM documents ORDER BY doc_id
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')) AS BIGINT) AS n_bpe,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws
             FROM documents ORDER BY doc_id
         """,
         "ntile_deciles": """
