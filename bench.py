@@ -83,11 +83,10 @@ def main() -> None:
     docs_per_sec_cc = n_cc / timings["qc_pipeline_cc100k"]
 
     # -- full funnel: html binary → text extraction → QC (north_star shape,
-    # top of the Common-Crawl funnel included) --
-    from longqc_spark.pipeline import with_extracted_text
-
+    # top of the Common-Crawl funnel included; extraction fused into the one
+    # Arrow pass — one Python stage, one serialization of the wide column) --
     timings["qc_fullfunnel_cc100k"] = timed_pipeline(
-        with_extracted_text(cc.drop("text")), num_partitions=0
+        cc.drop("text"), num_partitions=0, html_col="html"
     )
     docs_per_sec_funnel = n_cc / timings["qc_fullfunnel_cc100k"]
 

@@ -132,26 +132,36 @@ def with_stats_and_scrub(
     text_col: str = "text",
     key_cols: list[str] | None = None,
     emit_spans: bool = False,
+    html_col: str | None = None,
 ) -> DataFrame:
     """Add the full qc_stats vector + scrub output; drops the raw text column
     (column pruning: downstream stages never reship the original bytes —
     the sdust principle of emitting only the 6 needed stats, sdust.c:211-217).
     ``emit_spans`` additionally ships per-match spans (costly through Arrow;
     report/audit paths only).
+
+    ``html_col``: start from raw payload bytes instead of ``text_col`` —
+    extraction runs INSIDE the same Arrow pass (one Python stage, one
+    serialization of the wide column, instead of a scalar-UDF hop followed by
+    this one; the standalone `with_extracted_text` stage exists for pipelines
+    that persist the extracted text).
     """
     key_cols = key_cols or ["url"]
     schema = _stats_schema([(k, df.schema[k].dataType) for k in key_cols], emit_spans)
     keys = list(key_cols)
+    wide_col = html_col or text_col
 
     def compute(batches):
+        from .kernels import extract_text_batch
+
         for pdf in batches:
-            texts = pdf[text_col]
+            texts = extract_text_batch(pdf[html_col]) if html_col else pdf[text_col]
             stats = compute_stats(texts, langid_max_chars=cfg.langid_max_chars)
             scrub = scrub_batch(texts, cfg, emit_spans=emit_spans)
             out = pdf[keys].reset_index(drop=True)
             yield out.join(stats).join(scrub)
 
-    return df.select(*keys, text_col).mapInPandas(compute, schema=schema)
+    return df.select(*keys, wide_col).mapInPandas(compute, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +225,7 @@ def qc_pipeline(
     text_col: str = "text",
     key_cols: list[str] | None = None,
     emit_spans: bool = False,
+    html_col: str | None = None,
 ) -> DataFrame:
     """documents(url, …, text, …) → labels DataFrame.
 
@@ -233,6 +244,11 @@ def qc_pipeline(
     key = (key_cols or ["url"])[0]
     parted = docs if num_partitions == 0 else salted_repartition(docs, key, num_partitions)
     stats = with_stats_and_scrub(
-        parted, cfg, text_col=text_col, key_cols=key_cols, emit_spans=emit_spans
+        parted,
+        cfg,
+        text_col=text_col,
+        key_cols=key_cols,
+        emit_spans=emit_spans,
+        html_col=html_col,
     )
     return with_labels(stats, cfg)

@@ -91,3 +91,22 @@ def test_pipeline_from_html_matches_pipeline_from_text(spark, corpus_path):
     b = qc_pipeline(docs).toPandas().set_index("url").sort_index()
     assert (a.keep == b.keep).all()
     assert (a.scrubbed_text == b.scrubbed_text).all()
+
+
+def test_fused_html_pipeline_matches_two_stage(spark, corpus_path):
+    """qc_pipeline(html_col=...) — extraction fused into the single Arrow
+    pass — must equal the two-stage extract-then-QC path exactly."""
+    from longqc_spark.pipeline import with_extracted_text
+
+    docs = spark.read.parquet(corpus_path)
+    fused = (
+        qc_pipeline(docs.drop("text"), html_col="html")
+        .toPandas().set_index("url").sort_index()
+    )
+    staged = (
+        qc_pipeline(with_extracted_text(docs.drop("text")))
+        .toPandas().set_index("url").sort_index()
+    )
+    assert (fused.keep == staged.keep).all()
+    assert (fused.scrubbed_text == staged.scrubbed_text).all()
+    pd.testing.assert_series_equal(fused.perplexity, staged.perplexity)
