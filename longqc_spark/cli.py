@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--preset", choices=sorted(PRESETS), default="default")
     p.add_argument("--key-col", default="url")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--html-col", default=None,
+                   help="start from raw payload bytes in this column "
+                        "(extraction fused into the Arrow pass)")
+    p.add_argument("--dedup", action="store_true",
+                   help="exact-dedup stage before QC (min key per distinct text)")
     p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
     p.add_argument("--local-cores", type=int, default=None,
                    help="build a local[N] session (omit under spark-submit)")
@@ -59,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
         key_col=args.key_col,
         text_col=args.text_col,
         n_buckets=args.buckets,
+        html_col=args.html_col,
+        dedup=args.dedup,
     )
     n_committed = len(manifest["committed"])
     print(f"committed {n_committed}/{args.buckets} buckets → {args.out}/data", file=sys.stderr)

@@ -30,7 +30,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .config import DEFAULT_CONFIG, QCConfig
 from .pipeline import qc_pipeline
@@ -103,11 +103,22 @@ def run_qc_with_lineage(
     text_col: str = "text",
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
+    html_col: str | None = None,
+    dedup: bool = False,
 ) -> dict:
     """Run the QC pipeline bucket-by-bucket with committed checkpoints.
 
     Returns the final manifest. ``fail_after_bucket`` injects a crash after
     that bucket's commit (kill/restart testing, SURVEY.md §7.5.7).
+    ``html_col``: start from raw payload bytes (extraction fused into the
+    Arrow pass). ``dedup``: GLOBAL exact-dedup stage before QC — keep one doc
+    per distinct payload, min key wins (deterministic, so a resumed run
+    recomputes identical winners and committed buckets stay consistent);
+    per-bucket ``n_dup_dropped`` is recorded in the lineage row. Note the
+    dedup window keys on the payload hash while buckets key on ``key_col``:
+    lazily re-evaluated per bucket here (single-node stand-in); on a cluster,
+    materialize the deduped table once (one shuffle) before the bucketed
+    write.
     """
     os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
     manifest = load_manifest(out_dir)
@@ -128,7 +139,20 @@ def run_qc_with_lineage(
             shutil.rmtree(tmp_dir)
 
         part = docs.filter(bucket_expr(key_col, n_buckets) == b)
-        labels = qc_pipeline(part, cfg, text_col=text_col, key_cols=[key_col])
+        n_pre_dedup = None
+        if dedup:
+            n_pre_dedup = part.count()
+            wide = html_col or text_col
+            w = Window.partitionBy(F.md5(F.col(wide).cast("binary"))).orderBy(key_col)
+            deduped = (
+                docs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            part = deduped.filter(bucket_expr(key_col, n_buckets) == b)
+        labels = qc_pipeline(
+            part, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
+        )
         labels.write.mode("overwrite").parquet(tmp_dir)
 
         spark = docs.sparkSession
@@ -153,6 +177,11 @@ def run_qc_with_lineage(
             "metrics": {
                 "avg_perplexity": row["avg_perplexity"],
                 "avg_words": row["avg_words"],
+                **(
+                    {"n_dup_dropped": float(n_pre_dedup - row["n_in"])}
+                    if n_pre_dedup is not None
+                    else {}
+                ),
             },
             "committed_at": time.time(),
         }

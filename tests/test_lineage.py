@@ -96,3 +96,28 @@ def test_snapshot_history_and_time_travel(spark, docs, tmp_path):
     assert read_labels(spark, out, as_of=4).count() == full.count()
     # snapshot rows are a subset of the final table (reader isolation)
     assert v2.join(full, "url", "left_anti").count() == 0
+
+
+def test_dedup_and_html_funnel_lineage(spark, docs, tmp_path, corpus_pdf):
+    """Full production posture: html payloads in, exact dedup before QC,
+    per-bucket n_dup_dropped in the lineage metrics, resumable as ever."""
+    # plant exact duplicates: 10 docs re-appended under fresh urls
+    dup = docs.limit(10).withColumn("url", F.concat(F.lit("zdup://"), "url"))
+    with_dups = docs.unionByName(dup)
+
+    out = str(tmp_path / "dedup_run")
+    m = run_qc_with_lineage(
+        with_dups.drop("text"), out, n_buckets=4, html_col="html", dedup=True
+    )
+    dropped = sum(v["metrics"]["n_dup_dropped"] for v in m["committed"].values())
+    assert dropped == 10.0
+    labels = read_labels(spark, out)
+    assert labels.count() == docs.count()
+    # min-key winner: the original url survives, the zdup:// clone never does
+    assert labels.filter(F.col("url").startswith("zdup://")).count() == 0
+    # labels from the html funnel match the pandas labeler exactly
+    got = labels.select("url", "keep").toPandas().set_index("url").sort_index()
+    from longqc_spark.labeler import label_corpus
+
+    ref = label_corpus(corpus_pdf).set_index("url").sort_index()
+    assert (got.keep == ref.keep.loc[got.index]).all()
