@@ -113,3 +113,15 @@ def test_topk_uses_take_ordered(spark, sf001):
     plan = _plan(top_k(toks, ["token"], 10))
     # global limit after sort should be TakeOrderedAndProject, not a full sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fused_funnel_single_python_stage(spark, corpus_path):
+    """qc_pipeline(html_col=...) must run extraction + stats + scrub in ONE
+    Python stage: exactly one MapInPandas operator, no scalar-UDF
+    (ArrowEvalPython) hop — the wide column crosses the Arrow boundary once."""
+    from longqc_spark.pipeline import qc_pipeline
+
+    docs = spark.read.parquet(corpus_path).drop("text")
+    plan = _plan(qc_pipeline(docs, html_col="html"))
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
