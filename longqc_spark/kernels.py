@@ -140,9 +140,13 @@ def _flat_top_ngram_frac(
     return np.divide(covered, n_tok, out=out, where=n_tok > 0)
 
 
-def _flat_line_stats(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _flat_line_stats(
+    texts: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """One pass over the flat line stream → per-doc
-    ``(dup_line_frac, bullet_line_frac, ellipsis_line_frac)``.
+    ``(dup_line_frac, bullet_line_frac, ellipsis_line_frac, n_segments)``
+    where n_segments = number of newline-split segments (callers zero it for
+    empty docs to get n_lines).
 
     dup_line_frac: fraction of non-empty stripped lines repeating an earlier
     line (flat-stream version of ``_dup_line_frac``). bullet/ellipsis: Gopher
@@ -177,7 +181,7 @@ def _flat_line_stats(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarr
     ellipsis = (
         np.bincount(doc_ids, weights=is_ell.astype(np.float64), minlength=n_docs) / safe_total
     )
-    return dup, bullet, ellipsis
+    return dup, bullet, ellipsis, n_lines
 
 
 def compute_stats(
@@ -209,17 +213,6 @@ def compute_stats(
 
     arr0 = texts.to_numpy()
     n_chars = texts.str.len().astype("int64")
-    # char-class counts via re.sub of the RARE class (cost ∝ match count;
-    # findall-based str.count allocates one object per matched char)
-    n_lines = pd.Series(
-        np.fromiter((t.count("\n") + 1 if t else 0 for t in arr0), np.int64, n_docs)
-    )
-    alpha_chars = pd.Series(
-        np.fromiter((len(_NOT_ALPHA_RE.sub("", t)) for t in arr0), np.int64, n_docs)
-    ).astype("float64")
-    symbol_chars = pd.Series(
-        np.fromiter((len(t) - len(_SYMBOL_RE.sub("", t)) for t in arr0), np.int64, n_docs)
-    ).astype("float64")
     safe_chars = n_chars.replace(0, 1).astype("float64")
 
     # ---- flat token stream ----
@@ -243,6 +236,20 @@ def compute_stats(
     # stopword membership via token hashes (uint64 isin beats object isin
     # ~10×; SipHash collisions against a 29-word list are negligible)
     u_stop = np.isin(u_hash, _STOPWORD_HASHES).astype(np.float64)
+    # char-class counts on UNIQUE tokens only (alpha/symbol chars never occur
+    # in whitespace, so per-doc totals over the token stream are exactly the
+    # per-doc totals over the text; the regex runs once per unique token —
+    # cost ∝ unique-token volume, not corpus volume), fanned out via codes
+    u_arr = uniq.to_numpy()
+    n_uniq = len(u_arr)
+    u_alpha_cnt = np.fromiter(
+        (len(_NOT_ALPHA_RE.sub("", t)) for t in u_arr), np.float64, n_uniq
+    )
+    u_sym_cnt = np.fromiter(
+        (len(t) - len(_SYMBOL_RE.sub("", t)) for t in u_arr), np.float64, n_uniq
+    )
+    alpha_chars = np.bincount(doc_ids, weights=u_alpha_cnt[codes], minlength=n_docs)
+    symbol_chars = np.bincount(doc_ids, weights=u_sym_cnt[codes], minlength=n_docs)
 
     mean_word_len = np.bincount(doc_ids, weights=u_len[codes], minlength=n_docs) / safe_tok
     alpha_word_frac = np.bincount(doc_ids, weights=u_alpha[codes], minlength=n_docs) / safe_tok
@@ -259,7 +266,8 @@ def compute_stats(
     logprob_mean[nonempty] = sums[nonempty] / n_tok[nonempty]
     frac_above = np.bincount(doc_ids, weights=(lps > q_threshold).astype(np.float64), minlength=n_docs) / safe_tok
 
-    dup_line, bullet_line, ellipsis_line = _flat_line_stats(texts)
+    dup_line, bullet_line, ellipsis_line, n_segments = _flat_line_stats(texts)
+    n_lines = np.where(n_chars.to_numpy() > 0, n_segments, 0)
     brace_count = np.fromiter((t.count("{") for t in arr0), np.int64, n_docs)
     # langid reads a bounded prefix (spec: langid_max_chars) — trigram volume
     # is ~6× token volume, so this is the kernel's main memory-traffic knob
@@ -269,7 +277,7 @@ def compute_stats(
         {
             "n_chars": n_chars.to_numpy(),
             "n_words": n_tok,
-            "n_lines": n_lines.to_numpy(),
+            "n_lines": n_lines,
             "mean_word_len": mean_word_len,
             "symbol_char_frac": (symbol_chars / safe_chars).to_numpy(),
             "alpha_char_frac": (alpha_chars / safe_chars).to_numpy(),
