@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from .config import STOPWORDS, TOX_WORDS, QCConfig
-from .models import hash_tokens, langid_model, ngram_keys, ngram_lm
+from .models import hash_tokens, langid_model, ngram_keys, ngram_keys_all, ngram_lm
 
 # ---------------------------------------------------------------------------
 # Tokenization / char classes (fixed: both sides must agree exactly)
@@ -103,15 +103,16 @@ def _dup_line_frac(text: str) -> float:
 
 
 def _flat_top_ngram_frac(
-    hashes: np.ndarray,
+    keys_full: np.ndarray,
     pos_in_doc: np.ndarray,
     doc_ids: np.ndarray,
     n_tok: np.ndarray,
     order: int,
 ) -> np.ndarray:
     """Per-doc fraction of tokens covered by the most frequent word n-gram,
-    computed over the flat token stream: hashed n-gram keys → lexsort by
-    (doc, key) → run-length counts → per-doc max via ``np.maximum.at``.
+    computed over the flat token stream: hashed n-gram keys (``keys_full`` =
+    precomputed ``ngram_keys`` for this order) → lexsort by (doc, key) →
+    run-length counts → per-doc max via ``np.maximum.at``.
 
     Hashed counting (64-bit keys) is the declared spec; collision probability
     per doc is ~m²/2⁶⁵ — negligible, and both engines share this code.
@@ -121,7 +122,7 @@ def _flat_top_ngram_frac(
     valid = pos_in_doc >= (order - 1)
     if not valid.any():
         return out
-    keys = ngram_keys(hashes, order)[valid]
+    keys = keys_full[valid]
     docs = doc_ids[valid]
     # single-sort composite key: doc id in the top 24 bits, 40-bit ngram hash
     # below (within-doc collision odds ~m²/2⁴¹ — negligible, and shared by
@@ -255,11 +256,14 @@ def compute_stats(
     alpha_word_frac = np.bincount(doc_ids, weights=u_alpha[codes], minlength=n_docs) / safe_tok
     stopword_count = np.bincount(doc_ids, weights=u_stop[codes], minlength=n_docs).astype(np.int64)
     hashes = u_hash[codes]
-    top2 = _flat_top_ngram_frac(hashes, pos_in_doc, doc_ids, n_tok, 2)
-    top3 = _flat_top_ngram_frac(hashes, pos_in_doc, doc_ids, n_tok, 3)
-    top4 = _flat_top_ngram_frac(hashes, pos_in_doc, doc_ids, n_tok, 4)
+    # one incremental hashing sweep shared by the top-ngram stats (orders
+    # 2-4) and the 5-gram LM (orders 1-5)
+    keys_all = ngram_keys_all(hashes, 5)
+    top2 = _flat_top_ngram_frac(keys_all[2], pos_in_doc, doc_ids, n_tok, 2)
+    top3 = _flat_top_ngram_frac(keys_all[3], pos_in_doc, doc_ids, n_tok, 3)
+    top4 = _flat_top_ngram_frac(keys_all[4], pos_in_doc, doc_ids, n_tok, 4)
 
-    lps = lm.token_logprobs_flat(hashes, pos_in_doc)
+    lps = lm.token_logprobs_flat(hashes, pos_in_doc, keys_by_order=keys_all)
     logprob_mean = np.full(n_docs, -20.0, dtype=np.float64)
     nonempty = n_tok > 0
     sums = np.bincount(doc_ids, weights=lps, minlength=n_docs)

@@ -213,6 +213,24 @@ def ngram_keys(hashes: np.ndarray, order: int) -> np.ndarray:
     return h
 
 
+def ngram_keys_all(hashes: np.ndarray, max_order: int) -> dict[int, np.ndarray]:
+    """All n-gram keys for orders 1..max_order in ONE incremental sweep:
+    keys_k = keys_{k-1} + shift(hashes, k-1)·K^{k-1} — mod-2^64 addition
+    commutes, so every array is bit-identical to ``ngram_keys(hashes, k)``
+    (including the deterministic partial sums below position k-1) at ~1 pass
+    per order instead of k."""
+    out: dict[int, np.ndarray] = {1: hashes.astype(np.uint64, copy=True)}
+    k = _POLY_K
+    with np.errstate(over="ignore"):
+        for order in range(2, max_order + 1):
+            h = out[order - 1].copy()
+            s = order - 1
+            h[s:] += hashes[:-s] * k
+            k = k * _POLY_K
+            out[order] = h
+    return out
+
+
 def ngram_buckets(hashes: np.ndarray, order: int) -> np.ndarray:
     """``ngram_keys`` folded into the LM bucket space (int32 indices — this
     numpy's int64 fancy-index path is pathologically slow)."""
@@ -241,17 +259,29 @@ class HashedNgramLM:
         self.totals = [float(c.sum()) for c in self.counts]
         self.vocab = max(1.0, float((self.counts[1] > 0).sum()))
 
-    def token_logprobs_flat(self, hashes: np.ndarray, pos_in_doc: np.ndarray) -> np.ndarray:
+    def token_logprobs_flat(
+        self,
+        hashes: np.ndarray,
+        pos_in_doc: np.ndarray,
+        keys_by_order: dict[int, np.ndarray] | None = None,
+    ) -> np.ndarray:
         """Per-token log P(token | up to 4 in-doc preceding tokens), stupid
         backoff, over a flat multi-document token stream.
 
         ``pos_in_doc[i]`` = 0-based position of token i inside its document;
-        n-grams never cross document boundaries.
+        n-grams never cross document boundaries. ``keys_by_order``: optional
+        precomputed ``ngram_keys_all`` output (callers that also need the raw
+        keys share one hashing sweep).
         """
         n = hashes.shape[0]
         if n == 0:
             return np.zeros(0, dtype=np.float64)
-        buckets = {k: ngram_buckets(hashes, k) for k in range(1, _MAX_ORDER + 1)}
+        if keys_by_order is None:
+            keys_by_order = ngram_keys_all(hashes, _MAX_ORDER)
+        buckets = {
+            k: (keys_by_order[k] % np.uint64(_LM_BUCKETS)).astype(np.int32)
+            for k in range(1, _MAX_ORDER + 1)
+        }
         log_alpha = math.log(_BACKOFF)
         uni = self.counts[1][buckets[1]]
         out = np.log((uni + 1.0) / (self.totals[1] + self.vocab))
