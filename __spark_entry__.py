@@ -422,6 +422,73 @@ def q_tpch_q5like(spark: SparkSession, sf: str) -> DataFrame:  # multi-way join
     )
 
 
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:  # SE2/J1 (TPC-H Q4 shape)
+    """Orders with >=1 qualifying lineitem: left-semi join (EXISTS), the
+    membership-set analog of longQC.py:376-389's NG-set test."""
+    orders = _read(spark, sf, "orders")
+    big = _read(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q17 shape
+    """Correlated scalar subquery decorrelated Spark-side: per-part avg
+    aggregate broadcast-joined back (small-fraction selection, F11 analog)."""
+    li = _read(spark, sf, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_having_topk(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q18 shape
+    """Large-volume orders: agg → HAVING filter → join back to orders → top-k
+    (sum_qty is exact — integer-valued doubles — so ordering is stable)."""
+    li = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders")
+    oq = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty")).filter(
+        F.col("sum_qty") > 160
+    )
+    return (
+        oq.join(orders, oq.l_orderkey == orders.o_orderkey)
+        .select("o_orderkey", "o_orderpriority", "sum_qty")
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q_range_frame(spark: SparkSession, sf: str) -> DataFrame:  # W4 RANGE frame
+    """Time-based sliding window: sum over the trailing 600s per user via a
+    RANGE frame on event-time microseconds (bit-exact: integer summand)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.floor(F.col("value") * 100)).over(w).alias("w_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:  # SE3 distinct-set
     ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
     return (
@@ -868,6 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5like": q_tpch_q5like,
+        "semi_join": q_semi_join,
+        "scalar_subquery": q_scalar_subquery,
+        "having_topk": q_having_topk,
+        "range_frame": q_range_frame,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
         "simhash_sql": q_simhash_sql,
@@ -1243,6 +1314,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "semi_join": """
+            SELECT o_orderpriority, count(*) AS n FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "scalar_subquery": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_extendedprice), 4) AS total
+            FROM lineitem l
+            WHERE l.l_quantity < 0.5 * (
+                SELECT avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+            )
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "having_topk": """
+            WITH oq AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 160
+            )
+            SELECT o_orderkey, o_orderpriority, sum_qty
+            FROM oq JOIN orders ON l_orderkey = o_orderkey
+            ORDER BY sum_qty DESC, o_orderkey LIMIT 20
+        """,
+        "range_frame": """
+            SELECT user_id, event_id,
+                   sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+                   ) AS w_sum
+            FROM events WHERE user_id < 40
+            ORDER BY user_id, event_id
         """,
         "embed_neardup": """
             SELECT a.vec_id AS key_a, b.vec_id AS key_b,
