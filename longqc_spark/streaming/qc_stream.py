@@ -1,0 +1,135 @@
+"""Streaming facade for the full QC pipeline.
+
+The reference's chunk loop (``longQC.py:299-360``) is a hand-rolled
+micro-batch pipeline: bounded-memory chunks flow through the stat/scrub
+kernels while running accumulators carry state across chunks, and append-mode
+sinks (``lq_utils.py:363-365``) make each chunk's output durable as it lands.
+This module is that loop as real Structured Streaming:
+
+* ``readStream`` over the documents directory with ``maxFilesPerTrigger``
+  = the chunk size knob (``-m`` mem budget, ``longQC.py:932-934``);
+* ``Trigger.AvailableNow`` = drain the backlog then stop (batch parity);
+* ``foreachBatch`` runs the SAME ``qc_pipeline`` DAG per micro-batch — one
+  code path for batch and stream, so stream==batch equality is testable;
+* exactly-once sink: each epoch writes to an epoch-suffixed dir with atomic
+  rename; a retried epoch overwrites its own dir, never duplicates
+  (Iceberg-append analog);
+* resume: Spark's streaming checkpoint (offsets + commits WAL) makes a
+  restarted query continue from the first uncommitted micro-batch — the
+  streaming twin of ``lineage.run_qc_with_lineage``'s manifest resume.
+
+At scale: the same code runs against a cloud landing bucket or Kafka source;
+epoch dirs become Iceberg appends inside the ``foreachBatch`` transaction,
+and the per-epoch metric rows land in the audit table with the epoch id as
+the lineage key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_CONFIG, QCConfig
+from ..pipeline import qc_pipeline
+
+
+def stream_qc(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    cfg: QCConfig = DEFAULT_CONFIG,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+    max_files_per_trigger: int = 1,
+    fail_after_batches: int | None = None,
+):
+    """Micro-batched QC over a document directory; returns the running
+    StreamingQuery (AvailableNow — terminates once the backlog drains).
+
+    ``fail_after_batches=n`` injects a crash after n epochs have committed
+    (kill/restart testing): restart with the same ``out_dir`` and the query
+    resumes from the checkpoint without recomputing committed epochs.
+    """
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if fail_after_batches is not None:
+            n_done = len(
+                [n for n in os.listdir(out_dir) if n.startswith("epoch=")]
+            ) if os.path.exists(out_dir) else 0
+            if n_done >= fail_after_batches:
+                raise RuntimeError(f"injected failure before epoch {epoch_id}")
+        # inside foreachBatch the micro-batch is a plain DataFrame: the exact
+        # batch qc_pipeline DAG runs per chunk (num_partitions=0 — a
+        # micro-batch is already small and file-partitioned)
+        labels = qc_pipeline(
+            batch_df,
+            cfg,
+            num_partitions=0,
+            text_col=text_col,
+            key_cols=[key_col],
+            html_col=html_col,
+        )
+        tmp = os.path.join(out_dir, f".tmp-epoch-{epoch_id}")
+        final = os.path.join(out_dir, f"epoch={epoch_id}")
+        labels.write.mode("overwrite").parquet(tmp)
+        # lineage row for the epoch (audit-table analog), committed with the
+        # data by the same rename
+        row = (
+            spark.read.parquet(tmp)
+            .agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.count_if(F.col("keep")).alias("n_kept"),
+                F.bit_xor(F.xxhash64(key_col)).alias("input_fingerprint"),
+            )
+            .collect()[0]
+        )
+        with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+            json.dump(
+                {
+                    "epoch_id": epoch_id,
+                    "n_in": row["n_in"],
+                    "n_kept": row["n_kept"],
+                    "input_fingerprint": str(row["input_fingerprint"]),
+                },
+                f,
+            )
+        if os.path.exists(final):  # retried epoch: idempotent overwrite
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)  # atomic commit point
+
+    return (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_labels(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All committed epochs as one labels DataFrame."""
+    paths = [
+        os.path.join(out_dir, n) for n in sorted(os.listdir(out_dir)) if n.startswith("epoch=")
+    ]
+    return spark.read.parquet(*paths)
+
+
+def stream_lineage(out_dir: str) -> list[dict]:
+    """Per-epoch lineage rows, epoch order."""
+    rows = []
+    for n in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, n, "_lineage.json")
+        if n.startswith("epoch=") and os.path.exists(p):
+            with open(p) as f:
+                rows.append(json.load(f))
+    return sorted(rows, key=lambda r: r["epoch_id"])

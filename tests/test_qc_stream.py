@@ -1,0 +1,70 @@
+"""Streaming QC facade: micro-batched qc_pipeline must equal the batch run
+exactly (chunk-loop parity, SURVEY.md §2.11), and a killed stream must resume
+from the checkpoint without duplicating or losing documents."""
+
+import pandas as pd
+import pytest
+from pyspark.errors.exceptions.captured import StreamingQueryException
+
+from longqc_spark.pipeline import qc_pipeline
+from longqc_spark.streaming.qc_stream import (
+    read_stream_labels,
+    stream_lineage,
+    stream_qc,
+)
+
+
+def _stage_docs(spark, corpus_path, tmp_path, n_files=4):
+    docs = spark.read.parquet(corpus_path)
+    d = str(tmp_path / "docs_dir")
+    docs.repartition(n_files).write.mode("overwrite").parquet(d)
+    return d, docs
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values("url").reset_index(drop=True)[sorted(pdf.columns)]
+
+
+def test_stream_qc_matches_batch(spark, corpus_path, tmp_path):
+    d, docs = _stage_docs(spark, corpus_path, tmp_path)
+    out = str(tmp_path / "qc_out")
+
+    q = stream_qc(spark, d, docs.schema, out)
+    q.awaitTermination(300)
+
+    got = _norm(read_stream_labels(spark, out).toPandas())
+    want = _norm(qc_pipeline(spark.read.parquet(d), num_partitions=0).toPandas())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want)
+
+    rows = stream_lineage(out)
+    assert len(rows) >= 2, "expected several micro-batches"
+    assert sum(r["n_in"] for r in rows) == len(want)
+    assert sum(r["n_kept"] for r in rows) == int(want["keep"].sum())
+
+
+def test_stream_qc_resume_after_kill(spark, corpus_path, tmp_path):
+    d, docs = _stage_docs(spark, corpus_path, tmp_path)
+    out = str(tmp_path / "qc_resume")
+
+    q = stream_qc(spark, d, docs.schema, out, fail_after_batches=2)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+    pre = stream_lineage(out)
+    assert len(pre) == 2, "exactly the committed epochs survive the kill"
+
+    # restart with the same out_dir: checkpoint resume, no recompute of
+    # committed epochs, remaining backlog drains
+    q2 = stream_qc(spark, d, docs.schema, out)
+    q2.awaitTermination(300)
+
+    post = stream_lineage(out)
+    assert [r["epoch_id"] for r in post[:2]] == [r["epoch_id"] for r in pre]
+    assert [r["input_fingerprint"] for r in post[:2]] == [
+        r["input_fingerprint"] for r in pre
+    ], "committed epochs untouched by the resumed run"
+
+    got = _norm(read_stream_labels(spark, out).toPandas())
+    want = _norm(qc_pipeline(spark.read.parquet(d), num_partitions=0).toPandas())
+    assert got["url"].is_unique, "no duplicated documents across the restart"
+    pd.testing.assert_frame_equal(got, want)
