@@ -489,6 +489,62 @@ def q_range_frame(spark: SparkSession, sf: str) -> DataFrame:  # W4 RANGE frame
     )
 
 
+def q_month_revenue(spark: SparkSession, sf: str) -> DataFrame:  # temporal rollup
+    """Calendar-bucketed aggregate (date_trunc month), the binned-stats A9
+    analog on the time axis."""
+    orders = _read(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_lead_first(spark: SparkSession, sf: str) -> DataFrame:  # W5 lead/first_value
+    """Per-key lead + running first_value with an explicit ROWS frame
+    (deterministic tie-break on event_id)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 30)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lead("value", 1).over(wo).alias("next_value"),
+            F.first("value").over(wf).alias("first_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:  # native sessions
+    """Spark's built-in session_window (30-min inactivity gap) — the
+    gaps-and-islands twin of streaming.sessions; oracle reproduces the exact
+    window semantics (end = last event + gap) via lag+cumsum islands."""
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 60).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:  # SE3 distinct-set
     ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
     return (
@@ -939,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": q_scalar_subquery,
         "having_topk": q_having_topk,
         "range_frame": q_range_frame,
+        "month_revenue": q_month_revenue,
+        "lead_first": q_lead_first,
+        "session_window_native": q_session_window_native,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
         "simhash_sql": q_simhash_sql,
@@ -1350,6 +1409,45 @@ def oracle_sql() -> dict[str, str]:
                    ) AS w_sum
             FROM events WHERE user_id < 40
             ORDER BY user_id, event_id
+        """,
+        "month_revenue": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1 ORDER BY month
+        """,
+        "lead_first": """
+            SELECT user_id, event_id,
+                   lead(value, 1) OVER w AS next_value,
+                   first_value(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS first_value
+            FROM events WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id
+        """,
+        "session_window_native": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts)) > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WHERE user_id < 60
+            ), s AS (
+                SELECT *, sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS session_id
+                FROM e
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                       AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS total
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_start
         """,
         "embed_neardup": """
             SELECT a.vec_id AS key_a, b.vec_id AS key_b,

@@ -125,3 +125,49 @@ def test_fused_funnel_single_python_stage(spark, corpus_path):
     plan = _plan(qc_pipeline(docs, html_col="html"))
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A pathologically hot key must trigger AQE's skew-join split: the final
+    adaptive plan carries the skew=true marker on the sort-merge join, i.e.
+    the hot partition was subdivided at runtime (the salting-free half of the
+    heavy-hitter strategy, SURVEY.md §4; the salted-repartition half is
+    test-covered via operators.relational.salted_count)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # 90% of left rows share key 0; right side is uniform
+        left = spark.range(120_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's QueryExecution to completion, so
+        # its executedPlan below is the final adaptive plan (count() would
+        # plan a different query)
+        assert len(joined.collect()) == 108_000 + 200  # hot key + 1-in-10 distinct hits
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
