@@ -268,6 +268,24 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:  # multimodal, 
     )
 
 
+def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:  # multimodal UDTF, rows-only
+    """Video frame-sampling: 1 video row → n_frames sampled+resized frame
+    rows (record-expanding UDTF shape); deterministic fake decode."""
+    from longqc_spark.operators.multimodal import sample_frames, synth_media_table
+
+    media = synth_media_table(spark, n=256)
+    return (
+        sample_frames(media, n_frames=4)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.max("n_frames_total").alias("n_frames_total"),
+            F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:  # streaming twin
     from longqc_spark.streaming.occupancy import tumbling_counts
 
@@ -974,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "token_quality": q_token_quality,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "tumbling_counts": q_tumbling_counts,
         "interval_occupancy": q_interval_occupancy,
         "active_regions": q_active_regions,

@@ -113,3 +113,79 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(compute, schema=FEATURE_SCHEMA)
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy — REAL (no image lib needed):
+    integer index gather on both axes, the vectorized inner kernel a
+    production resize UDF would call per batch."""
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(out_h) * (h / out_h)).astype(np.int64)
+    cols = (np.arange(out_w) * (w / out_w)).astype(np.int64)
+    return img[rows][:, cols]
+
+
+def sample_frame_indices(n_total: int, n_sample: int) -> np.ndarray:
+    """Uniform temporal frame sampling (REAL): first frame of each of
+    ``n_sample`` equal spans — deterministic, order-preserving."""
+    n_sample = min(n_sample, n_total)
+    return (np.arange(n_sample) * (n_total / n_sample)).astype(np.int64)
+
+
+def decode_video_frames(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real decode needs pyav/ffmpeg. ``fake=True`` → deterministic
+    pseudo-decode seeded from crc32(payload): (n_frames, h, w, 3) uint8."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires pyav/ffmpeg; install and replace this stub"
+        )
+    h = zlib.crc32(payload)
+    rng = np.random.default_rng(h)
+    n_frames = 8 + h % 56
+    return rng.integers(0, 256, size=(n_frames, 12 + h % 20, 16 + (h >> 8) % 16, 3), dtype=np.uint8)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, out_size: tuple[int, int] = (8, 8), fake_decode: bool = True
+) -> DataFrame:
+    """Video rows → ``n_frames`` sampled+resized frame-feature rows each
+    (1→n UDTF shape, the record-expanding pattern of SURVEY.md §2.12; the
+    reference analog is per-read window sampling, ``lq_gcfrac.py:37-47``).
+
+    Only the decode is stubbed: sampling indices, resize, and the Arrow
+    batch plumbing (one mapInPandas pass, list-accumulated frame rows) are
+    the production implementation."""
+    oh, ow = out_size
+
+    def compute(batches):
+        for pdf in batches:
+            vids = pdf[pdf.kind == "video"]
+            rows = {k: [] for k in ("media_id", "frame_idx", "n_frames_total", "height", "width", "mean_luma", "feature")}
+            for media_id, payload in zip(vids.media_id, vids.payload):
+                frames = decode_video_frames(bytes(payload), fake=fake_decode)
+                for idx in sample_frame_indices(len(frames), n_frames):
+                    fr = resize_image(frames[idx], oh, ow)
+                    hist, _ = np.histogram(fr, bins=8, range=(0, 256))
+                    rows["media_id"].append(media_id)
+                    rows["frame_idx"].append(int(idx))
+                    rows["n_frames_total"].append(len(frames))
+                    rows["height"].append(oh)
+                    rows["width"].append(ow)
+                    rows["mean_luma"].append(float(fr.mean()))
+                    rows["feature"].append((hist / hist.sum()).astype(np.float32).tolist())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(compute, schema=FRAME_SCHEMA)

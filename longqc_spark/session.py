@@ -28,7 +28,11 @@ def get_spark(app: str = "longqc-spark", cores: int | None = None) -> SparkSessi
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 2048 measured ~30% faster than 4096 on the cc100k pipeline at
+        # local[32] (interleaved A/B, med 2.9s vs 4.3s): finer batches give
+        # better task granularity + serialize/compute overlap for wide text
+        # columns crossing the Arrow boundary
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -47,3 +47,39 @@ def test_extract_features_partition_invariant(spark):
     )
     assert a.drop(columns="feature").equals(b.drop(columns="feature"))
     assert all(list(x) == list(y) for x, y in zip(a.feature, b.feature))
+
+
+def test_resize_image_exact_gather():
+    from longqc_spark.operators.multimodal import resize_image
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    out = resize_image(img, 3, 2)
+    assert out.shape == (3, 2, 3)
+    # nearest-neighbor: row i maps to source row floor(i*6/3), col j to floor(j*4/2)
+    assert np.array_equal(out[1, 1], img[2, 2])
+    assert np.array_equal(out[0, 0], img[0, 0])
+
+
+def test_sample_frame_indices():
+    from longqc_spark.operators.multimodal import sample_frame_indices
+
+    idx = sample_frame_indices(100, 4)
+    assert idx.tolist() == [0, 25, 50, 75]
+    # fewer frames than requested → every frame once
+    assert sample_frame_indices(3, 8).tolist() == [0, 1, 2]
+
+
+def test_sample_frames_udtf_shape(spark):
+    from longqc_spark.operators.multimodal import sample_frames
+
+    media = synth_media_table(spark, n=30)  # 10 videos among 30 rows
+    frames = sample_frames(media, n_frames=4, out_size=(8, 8)).toPandas()
+    n_videos = 10
+    assert len(frames) == n_videos * 4  # 1→n row expansion
+    assert (frames.height == 8).all() and (frames.width == 8).all()
+    assert frames.groupby("media_id").frame_idx.is_monotonic_increasing.all()
+    assert all(len(f) == 8 and abs(sum(f) - 1.0) < 1e-5 for f in frames.feature)
+    # deterministic: second run identical
+    again = sample_frames(media, n_frames=4, out_size=(8, 8)).toPandas()
+    assert frames.sort_values(["media_id", "frame_idx"]).mean_luma.tolist() == \
+        again.sort_values(["media_id", "frame_idx"]).mean_luma.tolist()
