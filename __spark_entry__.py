@@ -563,6 +563,34 @@ def q_session_window_native(spark: SparkSession, sf: str) -> DataFrame:  # nativ
     )
 
 
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:  # C4-style span dedup
+    """Exact duplicated-span detection (the training-data 'dedup repeated
+    3-sentence spans' pattern, C4/Lee-et-al flavor): every 8-token sliding
+    window hashed across docs, spans seen in ≥2 distinct docs histogrammed.
+    All JVM-side: split → HOF transform/slice n-gram expansion → explode →
+    two-level agg. At 100 TB the span column becomes xxhash64(span) before
+    the shuffle (the string never leaves the map side)."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("ts")
+    ).filter(F.size("ts") >= 8)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 7), i -> array_join(slice(ts, i, 8), ' '))")
+        ).alias("span"),
+    )
+    per_span = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("n_occ")
+    )
+    return (
+        per_span.filter(F.col("n_docs") >= 2)
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_spans"), F.sum("n_occ").alias("total_occ"))
+        .orderBy("n_docs")
+    )
+
+
 def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:  # SE3 distinct-set
     ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
     return (
@@ -1017,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_revenue": q_month_revenue,
         "lead_first": q_lead_first,
         "session_window_native": q_session_window_native,
+        "dup_spans": q_dup_spans,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
         "simhash_sql": q_simhash_sql,
@@ -1467,6 +1496,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS total
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_start
+        """,
+        "dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE doc_id < 300
+            ), spans AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(ts) - 7),
+                              i -> array_to_string(ts[i:i+7], ' '))) AS span
+                FROM toks WHERE len(ts) >= 8
+            ), per_span AS (
+                SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+                FROM spans GROUP BY span
+            )
+            SELECT n_docs, count(*) AS n_spans,
+                   CAST(sum(n_occ) AS BIGINT) AS total_occ
+            FROM per_span WHERE n_docs >= 2 GROUP BY n_docs ORDER BY n_docs
         """,
         "embed_neardup": """
             SELECT a.vec_id AS key_a, b.vec_id AS key_b,
