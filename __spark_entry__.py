@@ -591,6 +591,16 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:  # C4-style span ded
     )
 
 
+def q_trace_reconstruct(spark: SparkSession, sf: str) -> DataFrame:  # M13 grouped-map
+    """Per-key run-length reconstruction via groupBy().applyInPandas — the
+    polymerase-read stitching analog (lq_sequel.py:76-137); oracle is the
+    gaps-and-islands + ordered string_agg twin."""
+    from longqc_spark.operators.grouped import reconstruct_traces
+
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 200)
+    return reconstruct_traces(ev).orderBy("user_id")
+
+
 def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:  # SE3 distinct-set
     ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
     return (
@@ -1046,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_first": q_lead_first,
         "session_window_native": q_session_window_native,
         "dup_spans": q_dup_spans,
+        "trace_reconstruct": q_trace_reconstruct,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
         "simhash_sql": q_simhash_sql,
@@ -1515,6 +1526,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_docs, count(*) AS n_spans,
                    CAST(sum(n_occ) AS BIGINT) AS total_occ
             FROM per_span WHERE n_docs >= 2 GROUP BY n_docs ORDER BY n_docs
+        """,
+        "trace_reconstruct": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, event_type, value,
+                       CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS new_run
+                FROM events WHERE user_id < 200
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+                SELECT *, sum(new_run) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                FROM e
+            ), runs AS (
+                SELECT user_id, run_id, any_value(event_type) AS t, count(*) AS c,
+                       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM r GROUP BY user_id, run_id
+            )
+            SELECT user_id,
+                   string_agg(t || ':' || CAST(c AS VARCHAR), '|' ORDER BY run_id)
+                       AS trace,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   count(*) AS n_runs,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM runs GROUP BY user_id ORDER BY user_id
         """,
         "embed_neardup": """
             SELECT a.vec_id AS key_a, b.vec_id AS key_b,

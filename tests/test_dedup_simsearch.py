@@ -162,3 +162,34 @@ def test_embed_neardup_exact_and_bucketed(spark):
     got = {(r.key_a, r.key_b) for r in bucketed.itertuples()}
     assert got <= {(i, 1000 + i) for i in range(40)}
     assert len(got) / 40 >= 0.6  # 2-bit buckets: recall traded for 4x candidate cut
+
+
+def test_reconstruct_traces_hand_computed(spark):
+    """M13 grouped-map analog: run-length stitching on a hand-built frame."""
+    import pandas as pd
+
+    from longqc_spark.operators.grouped import reconstruct_traces
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": [10, 11, 12, 13, 20],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                 "2024-01-01 00:02:00", "2024-01-01 00:03:00",
+                 "2024-01-01 00:00:00"]
+            ),
+            "event_type": ["a", "a", "b", "a", "c"],
+            "value": [1.501, 2.0, 0.999, 0.0, 10.0],
+        }
+    )
+    got = (
+        reconstruct_traces(spark.createDataFrame(pdf))
+        .orderBy("user_id")
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert got.loc[1, "trace"] == "a:2|b:1|a:1"
+    assert got.loc[1, "n_runs"] == 3 and got.loc[1, "n_events"] == 4
+    assert got.loc[1, "total_cents"] == 150 + 200 + 99 + 0
+    assert got.loc[2, "trace"] == "c:1" and got.loc[2, "total_cents"] == 1000
