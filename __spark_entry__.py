@@ -33,6 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from longqc_spark.config import DRIVER_DOCS_CONFIG
     from longqc_spark.pipeline import qc_pipeline
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     docs = _read(spark, "/root/testdata/sf0.001", "documents").withColumn(
         "source_tag", F.col("source")
     )
@@ -1003,7 +1005,28 @@ def q_extract_text(spark: SparkSession, sf: str) -> DataFrame:  # S2-analog scan
     return ex.select("doc_id", "extracted_text").orderBy("doc_id")
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone: a handful of queries cast TIMESTAMP_NTZ to
+    the session-local type (window/session/range-frame semantics), and the
+    DuckDB oracles are written against UTC wall time. The driver may build
+    its own SparkSession with any TZ conf; this makes every query
+    self-contained."""
+
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        k: _utc(v)
+        for k, v in _queries_raw().items()
+    }
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "length_stats": q_length_stats,
         "n50": q_n50,
