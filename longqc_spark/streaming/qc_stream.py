@@ -133,3 +133,45 @@ def stream_lineage(out_dir: str) -> list[dict]:
             with open(p) as f:
                 rows.append(json.load(f))
     return sorted(rows, key=lambda r: r["epoch_id"])
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    key_col: str = "url",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup: cross-micro-batch duplicate drop via Spark's
+    stateful ``dropDuplicates`` (payload-hash key held in the state store —
+    the streaming twin of the batch min-key-per-payload window in
+    ``lineage.run_qc_with_lineage(dedup=True)``).
+
+    Batch parity: the set of distinct payloads is identical to the batch
+    dedup's; the surviving WITNESS per payload is first-arrival in stream
+    order (batch picks min key) — same contract the reference's chunk-ordered
+    dedup would give (``longQC.py:299-360`` processes chunks in scan order).
+    Without a watermark the state grows with distinct-payload cardinality;
+    the 100 TB posture adds ``withWatermark`` on an event-time column to
+    bound state to the late-data horizon.
+    """
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .withColumn("payload_hash", F.md5(F.col(text_col).cast("binary")))
+        .dropDuplicates(["payload_hash"])
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        target = os.path.join(out_dir, f"epoch={epoch_id}")
+        batch_df.write.mode("overwrite").parquet(target)
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -68,3 +68,34 @@ def test_stream_qc_resume_after_kill(spark, corpus_path, tmp_path):
     want = _norm(qc_pipeline(spark.read.parquet(d), num_partitions=0).toPandas())
     assert got["url"].is_unique, "no duplicated documents across the restart"
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_dedup_across_batches(spark, corpus_path, tmp_path):
+    """Stateful dropDuplicates must drop duplicates that arrive in LATER
+    micro-batches than their first occurrence (cross-chunk state — the thing
+    the reference's per-chunk loop cannot do without its NG-set)."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.streaming.qc_stream import read_stream_labels, stream_dedup
+
+    docs = spark.read.parquet(corpus_path).select("url", "text")
+    d = str(tmp_path / "dedup_in")
+    # file 1: the originals; files 2-3: 50 duplicated texts under fresh urls
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    dups = (
+        docs.limit(50)
+        .withColumn("url", F.concat(F.lit("dup1://"), F.col("url")))
+    )
+    dups.coalesce(1).write.mode("append").parquet(d)
+    dups.withColumn("url", F.concat(F.lit("x"), F.col("url"))).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    out = str(tmp_path / "dedup_out")
+    q = stream_dedup(spark, d, spark.read.parquet(d).schema, out)
+    q.awaitTermination(300)
+
+    got = read_stream_labels(spark, out).toPandas()
+    n_distinct = docs.select("text").distinct().count()
+    assert len(got) == n_distinct, "one survivor per distinct payload"
+    assert got.payload_hash.is_unique
