@@ -43,6 +43,43 @@ def synth_media_table(spark, n: int = 256, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "kind", "payload", "declared_mime"]), schema=MEDIA_SCHEMA)
 
 
+def write_media_files(spark, out_dir: str, n: int = 48, seed: int = 42) -> str:
+    """Materialize the synthetic media corpus as one FILE PER OBJECT (the
+    layout ``binaryFile`` expects — a landing bucket of raw .png/.wav/.mp4
+    objects, the FAST5-directory analog ``lq_nanopore.py:217-236``)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = {"image": "png", "audio": "wav", "video": "mp4"}
+    for row in synth_media_table(spark, n=n, seed=seed).collect():
+        with open(os.path.join(out_dir, f"{row.media_id:06d}.{ext[row.kind]}"), "wb") as f:
+            f.write(bytes(row.payload))
+    return out_dir
+
+
+def scan_media_files(spark, in_dir: str) -> DataFrame:
+    """``binaryFile`` source → the MEDIA_SCHEMA shape: path-derived id/kind,
+    payload as the opaque binary column. PushedFilters on path/length work as
+    with any file source; at scale, partition the bucket by kind/date."""
+    ext_kind = F.element_at(F.split(F.col("path"), r"\."), -1)
+    kind = (
+        F.when(ext_kind == "png", "image")
+        .when(ext_kind == "wav", "audio")
+        .otherwise("video")
+    )
+    media_id = F.regexp_extract(F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)", 1)
+    return (
+        spark.read.format("binaryFile")
+        .load(in_dir)
+        .select(
+            media_id.cast("long").alias("media_id"),
+            kind.alias("kind"),
+            F.col("content").alias("payload"),
+            F.concat(kind, F.lit("/x-fake")).alias("declared_mime"),
+        )
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """STUB: real decode needs PIL/libvips (not in this container).
 

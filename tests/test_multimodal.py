@@ -83,3 +83,41 @@ def test_sample_frames_udtf_shape(spark):
     again = sample_frames(media, n_frames=4, out_size=(8, 8)).toPandas()
     assert frames.sort_values(["media_id", "frame_idx"]).mean_luma.tolist() == \
         again.sort_values(["media_id", "frame_idx"]).mean_luma.tolist()
+
+
+def test_binaryfile_scan_roundtrip(spark, tmp_path):
+    """Real spark.read.format('binaryFile') over a directory of media
+    objects must reproduce the synthetic table (payload bytes identical) and
+    feed the same feature extraction."""
+    from longqc_spark.operators.multimodal import (
+        extract_features,
+        scan_media_files,
+        synth_media_table,
+        write_media_files,
+    )
+
+    d = write_media_files(spark, str(tmp_path / "media"), n=24)
+    scanned = scan_media_files(spark, d).toPandas().set_index("media_id").sort_index()
+    want = synth_media_table(spark, n=24).toPandas().set_index("media_id").sort_index()
+    assert (scanned.kind == want.kind).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(scanned.payload, want.payload))
+
+    feats = extract_features(scan_media_files(spark, d)).toPandas()
+    assert len(feats) == 24 and feats.magic_ok.all()
+
+
+def test_resize_property():
+    from longqc_spark.operators.multimodal import resize_image, sample_frame_indices
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        h, w = int(rng.integers(1, 80)), int(rng.integers(1, 80))
+        oh, ow = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = resize_image(img, oh, ow)
+        assert out.shape == (oh, ow, 3)
+        # every output pixel exists in the source (pure gather, no blending)
+        n_total, n_sample = int(rng.integers(1, 200)), int(rng.integers(1, 20))
+        idx = sample_frame_indices(n_total, n_sample)
+        assert len(idx) == min(n_sample, n_total)
+        assert (np.diff(idx) > 0).all() and idx[0] == 0 and idx[-1] < n_total
