@@ -120,21 +120,23 @@ def run_qc_with_lineage(
     materialize the deduped table once (one shuffle) before the bucketed
     write.
     """
-    os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
     manifest = load_manifest(out_dir)
     if manifest["run_id"] is None:
         manifest["run_id"] = uuid.uuid4().hex
         manifest["n_buckets"] = n_buckets
+        manifest["data_root"] = "data"
     if manifest.get("n_buckets") != n_buckets:
         raise ValueError("n_buckets differs from the manifest's — cannot resume")
+    root = manifest.get("data_root", "data")
+    os.makedirs(os.path.join(out_dir, root), exist_ok=True)
 
     for b in range(n_buckets):
         if str(b) in manifest["committed"]:
             continue  # exact resume: committed partition is a no-op
-        final_dir = os.path.join(out_dir, "data", f"bucket={b}")
+        final_dir = os.path.join(out_dir, root, f"bucket={b}")
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)  # uncommitted leftover → idempotent redo
-        tmp_dir = os.path.join(out_dir, "data", f".tmp-bucket-{b}")
+        tmp_dir = os.path.join(out_dir, root, f".tmp-bucket-{b}")
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
 
@@ -191,6 +193,70 @@ def run_qc_with_lineage(
     return manifest
 
 
+def compact_labels(spark: SparkSession, out_dir: str, files_per_bucket: int = 1) -> dict:
+    """Bin-packing compaction (Iceberg ``rewrite_data_files`` analog): rewrite
+    every committed bucket's small files into ``files_per_bucket`` files under
+    a NEW data root, then swap the manifest's ``data_root`` pointer in one
+    commit. Old roots stay on disk untouched, so earlier snapshot versions
+    still time-travel (``read_labels(as_of=N)``) until ``expire_snapshots``
+    reclaims them — the same snapshot-isolation contract Iceberg gives.
+
+    At 100 TB: run per-bucket with a file-size threshold (only rewrite
+    buckets whose file count/size ratio is bad) — here the whole root is
+    rewritten because sandbox buckets are single-digit MB.
+    """
+    manifest = load_manifest(out_dir)
+    if not manifest["committed"]:
+        raise ValueError("nothing committed — nothing to compact")
+    old_root = manifest.get("data_root", "data")
+    new_root = f"data-v{int(manifest.get('version', 0)) + 1}"
+    n_before = n_after = 0
+    for b in sorted(manifest["committed"], key=int):
+        src = os.path.join(out_dir, old_root, f"bucket={b}")
+        dst_tmp = os.path.join(out_dir, new_root, f".tmp-bucket-{b}")
+        dst = os.path.join(out_dir, new_root, f"bucket={b}")
+        n_before += sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+        spark.read.parquet(src).coalesce(files_per_bucket).write.mode("overwrite").parquet(
+            dst_tmp
+        )
+        os.replace(dst_tmp, dst)
+        n_after += sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
+    manifest["data_root"] = new_root
+    manifest["compaction"] = {"from": old_root, "n_files_before": n_before, "n_files_after": n_after}
+    _commit_manifest(out_dir, manifest)  # atomic pointer swap
+    return manifest
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 2) -> list[str]:
+    """Reclaim data roots referenced only by expired snapshot versions
+    (Iceberg ``expire_snapshots`` analog). Keeps the newest ``keep_last``
+    manifest versions; any ``data*`` root no longer referenced by a kept
+    version is deleted. Time travel to expired versions then fails (by
+    design — same as Iceberg)."""
+    versions = sorted(
+        (
+            int(n[len("manifest-v") : -len(".json")])
+            for n in os.listdir(out_dir)
+            if n.startswith("manifest-v") and n.endswith(".json")
+        )
+    )
+    keep = set(versions[-keep_last:])
+    kept_roots = set()
+    for v in keep:
+        with open(os.path.join(out_dir, f"manifest-v{v}.json")) as f:
+            kept_roots.add(json.load(f).get("data_root", "data"))
+    removed = []
+    for v in versions:
+        if v not in keep:
+            with open(os.path.join(out_dir, f"manifest-v{v}.json")) as f:
+                root = json.load(f).get("data_root", "data")
+            os.remove(os.path.join(out_dir, f"manifest-v{v}.json"))
+            if root not in kept_roots and os.path.exists(os.path.join(out_dir, root)):
+                shutil.rmtree(os.path.join(out_dir, root))
+                removed.append(root)
+    return removed
+
+
 def audit_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """The lineage rows as a queryable DataFrame (FIXTURES.md §6 shape)."""
     m = load_manifest(out_dir)
@@ -221,12 +287,14 @@ def read_labels(spark: SparkSession, out_dir: str, as_of: int | None = None) -> 
     (reads exactly the buckets committed in ``manifest-v{N}.json`` — reader
     isolation: buckets committed later are invisible)."""
     if as_of is None:
-        return spark.read.parquet(os.path.join(out_dir, "data"))
+        root = load_manifest(out_dir).get("data_root", "data")
+        return spark.read.parquet(os.path.join(out_dir, root))
     vpath = os.path.join(out_dir, f"manifest-v{as_of}.json")
     with open(vpath) as f:
         m = json.load(f)
+    root = m.get("data_root", "data")
     paths = [
-        os.path.join(out_dir, "data", f"bucket={b}") for b in sorted(m["committed"], key=int)
+        os.path.join(out_dir, root, f"bucket={b}") for b in sorted(m["committed"], key=int)
     ]
     if not paths:
         raise ValueError(f"snapshot v{as_of} has no committed buckets")

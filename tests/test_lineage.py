@@ -4,6 +4,8 @@ final output identical to an uninterrupted run."""
 
 import os
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -121,3 +123,57 @@ def test_dedup_and_html_funnel_lineage(spark, docs, tmp_path, corpus_pdf):
 
     ref = label_corpus(corpus_pdf).set_index("url").sort_index()
     assert (got.keep == ref.keep.loc[got.index]).all()
+
+
+def test_compaction_and_expiry(spark, docs, tmp_path):
+    """rewrite_data_files analog: compaction rewrites into a new data root
+    behind an atomic pointer swap — rows identical, old snapshots still
+    time-travel until expire_snapshots reclaims them."""
+    from longqc_spark.lineage import compact_labels, expire_snapshots, snapshots
+
+    out = str(tmp_path / "compact")
+    run_qc_with_lineage(docs, out, n_buckets=4)
+    v_pre = load_manifest(out)["version"]
+    before = (
+        read_labels(spark, out).select("url", "keep", "scrubbed_text").toPandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+
+    m = compact_labels(spark, out, files_per_bucket=1)
+    assert m["data_root"].startswith("data-v")
+    assert m["compaction"]["n_files_after"] <= m["compaction"]["n_files_before"]
+    after = (
+        read_labels(spark, out).select("url", "keep", "scrubbed_text").toPandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+
+    # snapshot isolation: pre-compaction version reads the OLD root, identical
+    old = (
+        read_labels(spark, out, as_of=v_pre).select("url", "keep", "scrubbed_text")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, old)
+    assert len(snapshots(out)) == v_pre + 1
+
+    # expiry: old root reclaimed, current read unaffected, expired as_of fails
+    removed = expire_snapshots(out, keep_last=1)
+    assert removed == ["data"]
+    assert not os.path.exists(os.path.join(out, "data"))
+    assert read_labels(spark, out).count() == len(before)
+    with pytest.raises(FileNotFoundError):
+        read_labels(spark, out, as_of=v_pre)
+
+
+def test_labels_partition_pruning(spark, docs, tmp_path):
+    """The bucket= layout is a real partition column: a bucket filter must
+    prune at the file level (PartitionFilters in the scan), the read-side
+    twin of the resume anti-join."""
+    out = str(tmp_path / "prune")
+    run_qc_with_lineage(docs, out, n_buckets=4)
+    labels = read_labels(spark, out).filter(F.col("bucket") == 2)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(labels._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    n2 = labels.count()
+    assert 0 < n2 < read_labels(spark, out).count()
