@@ -171,3 +171,44 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime filtering for the 100 TB fact-scan: a selective dim filter
+    must inject a bloom_filter_agg semi-filter onto the fact side of the
+    shuffle join (InjectRuntimeFilter). Local fixtures are far below the
+    production size thresholds, so the thresholds are lowered to prove the
+    rule fires; at scale the defaults (10 GB scan / 10 MB creation side)
+    gate it to exactly the joins that need it."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert j.count() == want  # the filter is a pre-filter, never changes results
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
