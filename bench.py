@@ -42,6 +42,11 @@ BENCH_QUERIES = (
     "topk_tokens",
     "event_gaps",
     "exact_dedup",
+    "session_window_native",
+    "range_frame",
+    "trace_reconstruct",
+    "dup_spans",
+    "tpch_q1",
 )
 
 
