@@ -78,3 +78,22 @@ def test_xml_scan(spark, tmp_path):
     df = spark.read.format("xml").option("rowTag", "Run").load(p)
     got = {r["_id"]: r["Cycles"] for r in df.collect()}
     assert got == {"r1": 100, "r2": 200}
+
+
+def test_orc_roundtrip(spark, sf001, tmp_path):
+    """ORC sink/scan parity with parquet (columnar-format coverage: the
+    audit/labels tables are format-agnostic behind spark.read/write)."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    d = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    assert back.schema == docs.schema
+    a = docs.orderBy("doc_id").toPandas()
+    b = back.orderBy("doc_id").toPandas()
+    assert a.equals(b)
+    # predicate pushdown reaches the ORC reader too
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        back.filter("n_chars > 200")._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
