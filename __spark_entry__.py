@@ -288,6 +288,26 @@ def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:  # multimodal UDT
     )
 
 
+def q_ml_quality(spark: SparkSession, sf: str) -> DataFrame:  # trained scorer, rows-only
+    """pyspark.ml decision-tree quality scorer trained on the rule labels;
+    deterministic (fixed seed/feature order) → stable confusion counts."""
+    from longqc_spark.config import DRIVER_DOCS_CONFIG
+    from longqc_spark.mlquality import score_quality, train_quality_model
+    from longqc_spark.pipeline import qc_pipeline
+
+    docs = _read(spark, sf, "documents")
+    labels = qc_pipeline(docs, cfg=DRIVER_DOCS_CONFIG, key_cols=["doc_id"]).cache()
+    scored = score_quality(train_quality_model(labels, sample_n=None), labels)
+    out = (
+        scored.groupBy("keep", "quality_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("keep", "quality_pred")
+    )
+    result = out.collect()
+    labels.unpersist()
+    return spark.createDataFrame(result, out.schema)
+
+
 def q_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:  # streaming twin
     from longqc_spark.streaming.occupancy import tumbling_counts
 
@@ -1054,6 +1074,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": q_token_quality,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "ml_quality": q_ml_quality,
         "tumbling_counts": q_tumbling_counts,
         "interval_occupancy": q_interval_occupancy,
         "active_regions": q_active_regions,
