@@ -623,6 +623,22 @@ def q_trace_reconstruct(spark: SparkSession, sf: str) -> DataFrame:  # M13 group
     return reconstruct_traces(ev).orderBy("user_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:  # duplicate clusters
+    """Near-dup pairs → duplicate clusters via iterative connected
+    components (min-label propagation); oracle = recursive-CTE transitive
+    closure. Output: (component = min doc_id, size)."""
+    from longqc_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.8)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy("component")
+    )
+
+
 def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:  # SE3 distinct-set
     ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
     return (
@@ -1101,6 +1117,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "dup_spans": q_dup_spans,
         "trace_reconstruct": q_trace_reconstruct,
+        "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
         "simhash_sql": q_simhash_sql,
@@ -1570,6 +1587,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_docs, count(*) AS n_spans,
                    CAST(sum(n_occ) AS BIGINT) AS total_occ
             FROM per_span WHERE n_docs >= 2 GROUP BY n_docs ORDER BY n_docs
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE raw AS (
+                SELECT doc_id AS k,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents WHERE doc_id < 1000
+            ), toks AS (SELECT DISTINCT k, tok FROM raw WHERE tok <> ''),
+            sizes AS (SELECT k, count(*) AS sz FROM toks GROUP BY k),
+            inter AS (
+                SELECT l.k AS key_a, r.k AS key_b, count(*) AS i
+                FROM toks l JOIN toks r ON l.tok = r.tok AND l.k < r.k
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT key_a, key_b
+                FROM inter
+                JOIN sizes sa ON sa.k = key_a
+                JOIN sizes sb ON sb.k = key_b
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+            ), edges AS (
+                SELECT key_a AS a, key_b AS b FROM pairs
+                UNION SELECT key_b, key_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), lbl AS (
+                SELECT a AS node, least(a, min(b)) AS component
+                FROM reach GROUP BY a
+            )
+            SELECT component, count(*) AS size FROM lbl
+            GROUP BY component ORDER BY component
         """,
         "trace_reconstruct": """
             WITH e AS (

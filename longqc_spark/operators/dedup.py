@@ -287,3 +287,56 @@ def simhash_near_pairs(
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
     return cand.select("key_a", "key_b", hamming).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components by
+    iterative min-label propagation (each node repeatedly takes the minimum
+    label in its closed neighborhood; converges in graph-diameter rounds).
+
+    → (node, component) where component = min node id of the cluster —
+    deterministic regardless of partitioning. The keep-one-per-cluster
+    policy is then ``filter(node == component)`` (min-key witness, matching
+    the batch exact-dedup winner rule).
+
+    At 10^12 docs: pairs come from LSH banding, components are shallow
+    (near-dup clusters are cliques-ish, diameter ~2-3), so 3-5 iterations of
+    two shuffles each; ``localCheckpoint`` truncates the growing lineage the
+    same way GraphX/GraphFrames' CC does per superstep. Reference analog:
+    the exclude-list transitive growth of ``longQC.py:376-389`` is the
+    1-hop special case.
+    """
+    edges = pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per superstep
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -193,3 +193,21 @@ def test_reconstruct_traces_hand_computed(spark):
     assert got.loc[1, "n_runs"] == 3 and got.loc[1, "n_events"] == 4
     assert got.loc[1, "total_cents"] == 150 + 200 + 99 + 0
     assert got.loc[2, "trace"] == "c:1" and got.loc[2, "total_cents"] == 1000
+
+
+def test_connected_components_hand_graph(spark):
+    """Two components + a path graph (diameter > 1 forces propagation)."""
+    import pandas as pd
+
+    from longqc_spark.operators.dedup import connected_components
+
+    pairs = pd.DataFrame(
+        {"key_a": [1, 2, 5, 10, 11, 12, 13], "key_b": [2, 3, 6, 11, 12, 13, 14]}
+    )
+    got = (
+        connected_components(spark.createDataFrame(pairs))
+        .toPandas()
+        .set_index("node")["component"]
+        .to_dict()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
