@@ -57,15 +57,20 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Each pipeline runs once untimed (spawns python workers, JITs the
-    # scan/shuffle/Arrow paths, loads page cache) and is timed on the second
-    # pass: executors are long-lived in production, cold-start is not docs/sec.
+    # scan/shuffle/Arrow paths, loads page cache), then takes the BEST of two
+    # timed passes: executors are long-lived in production, cold-start is not
+    # docs/sec, and this shared VM's co-tenants can spike any single pass
+    # 3-5x (BENCH.md) — min-of-2 warm passes is the steady-state estimator.
     def timed_pipeline(df, **kw) -> float:
-        for _ in range(2):
+        best = float("inf")
+        for i in range(3):
             t0 = time.time()
             qc_pipeline(df, **kw).agg(
                 F.count(F.lit(1)), F.count_if(F.col("keep"))
             ).collect()
-        return time.time() - t0
+            if i > 0:  # pass 0 is the untimed warm-up
+                best = min(best, time.time() - t0)
+        return best
 
     # -- QC pipeline over the driver documents table (docs/sec headline) --
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
