@@ -143,6 +143,7 @@ def stream_dedup(
     key_col: str = "url",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    watermark: tuple[str, str] | None = None,
 ):
     """Streaming exact dedup: cross-micro-batch duplicate drop via Spark's
     stateful ``dropDuplicates`` (payload-hash key held in the state store —
@@ -153,17 +154,26 @@ def stream_dedup(
     dedup's; the surviving WITNESS per payload is first-arrival in stream
     order (batch picks min key) — same contract the reference's chunk-ordered
     dedup would give (``longQC.py:299-360`` processes chunks in scan order).
-    Without a watermark the state grows with distinct-payload cardinality;
-    the 100 TB posture adds ``withWatermark`` on an event-time column to
-    bound state to the late-data horizon.
+
+    ``watermark=(event_time_col, delay)`` switches to
+    ``dropDuplicatesWithinWatermark`` — the 100 TB posture: state entries
+    older than the watermark horizon are evicted, bounding the store to the
+    late-data window instead of the distinct-payload cardinality (dedup is
+    then only guaranteed for duplicates arriving within the horizon).
     """
     docs = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
         .withColumn("payload_hash", F.md5(F.col(text_col).cast("binary")))
-        .dropDuplicates(["payload_hash"])
     )
+    if watermark is not None:
+        col, delay = watermark
+        docs = docs.withColumn(col, F.col(col).cast("timestamp")).withWatermark(
+            col, delay
+        ).dropDuplicatesWithinWatermark(["payload_hash"])
+    else:
+        docs = docs.dropDuplicates(["payload_hash"])
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         target = os.path.join(out_dir, f"epoch={epoch_id}")

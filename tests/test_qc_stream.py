@@ -99,3 +99,28 @@ def test_stream_dedup_across_batches(spark, corpus_path, tmp_path):
     n_distinct = docs.select("text").distinct().count()
     assert len(got) == n_distinct, "one survivor per distinct payload"
     assert got.payload_hash.is_unique
+
+
+def test_stream_dedup_within_watermark(spark, corpus_path, tmp_path):
+    """Bounded-state variant: dropDuplicatesWithinWatermark still drops the
+    cross-batch duplicates here (all warc_ts fall inside the horizon), while
+    bounding the state store to the watermark window at scale."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.streaming.qc_stream import read_stream_labels, stream_dedup
+
+    docs = spark.read.parquet(corpus_path).select("url", "warc_ts", "text")
+    d = str(tmp_path / "wm_in")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    docs.limit(40).withColumn("url", F.concat(F.lit("dup://"), F.col("url"))).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+
+    out = str(tmp_path / "wm_out")
+    q = stream_dedup(
+        spark, d, spark.read.parquet(d).schema, out, watermark=("warc_ts", "365 days")
+    )
+    q.awaitTermination(300)
+    got = read_stream_labels(spark, out).toPandas()
+    assert len(got) == docs.select("text").distinct().count()
+    assert got.payload_hash.is_unique
