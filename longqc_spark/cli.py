@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup", action="store_true",
                    help="exact-dedup stage before QC (min key per distinct text)")
     p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
+    p.add_argument("--compact", action="store_true",
+                   help="after the run: bin-packing compaction of the labels "
+                        "store (rewrite_data_files analog, atomic pointer swap)")
+    p.add_argument("--expire-keep", type=int, default=None, metavar="N",
+                   help="after the run: expire all but the newest N snapshots "
+                        "and reclaim unreferenced data roots")
     p.add_argument("--local-cores", type=int, default=None,
                    help="build a local[N] session (omit under spark-submit)")
     args = p.parse_args(argv)
@@ -69,6 +75,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     n_committed = len(manifest["committed"])
     print(f"committed {n_committed}/{args.buckets} buckets → {args.out}/data", file=sys.stderr)
+
+    if args.compact:
+        from .lineage import compact_labels
+
+        m = compact_labels(spark, args.out)
+        c = m["compaction"]
+        print(
+            f"compacted {c['n_files_before']} → {c['n_files_after']} files "
+            f"({m['data_root']})",
+            file=sys.stderr,
+        )
+    if args.expire_keep is not None:
+        from .lineage import expire_snapshots
+
+        removed = expire_snapshots(args.out, keep_last=args.expire_keep)
+        print(f"expired snapshots, reclaimed roots: {removed}", file=sys.stderr)
 
     if args.report:
         labels = read_labels(spark, args.out)
