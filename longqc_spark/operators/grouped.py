@@ -52,4 +52,7 @@ def reconstruct_traces(events: DataFrame, key_col: str = "user_id") -> DataFrame
             }
         )
 
-    return events.groupBy(key_col).applyInPandas(rec, schema=TRACE_SCHEMA)
+    # prune before the grouped shuffle: only the five needed columns cross
+    # Arrow (events carries a wide props payload the kernel never reads)
+    slim = events.select(key_col, "event_id", "ts", "event_type", "value")
+    return slim.groupBy(key_col).applyInPandas(rec, schema=TRACE_SCHEMA)
