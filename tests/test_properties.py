@@ -109,3 +109,47 @@ def test_edge_cases_through_spark_pipeline(spark):
     assert not got.keep.loc[["u1", "u2", "u3", "u6"]].any()
     assert got.loc["u5", "pii_match_count"] == 200
     assert (got.reasons.map(len) > 0).loc[lambda s: ~got.keep].all()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must equal brute-force union-find on random
+    graphs (seeded), including multi-hop chains and singleton-free node sets."""
+    import numpy as np
+    import pandas as pd
+
+    from longqc_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n_nodes, n_edges = 60, int(rng.integers(20, 80))
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        mask = a != b
+        pairs = pd.DataFrame({"key_a": a[mask], "key_b": b[mask]}).drop_duplicates()
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(pairs.key_a, pairs.key_b):
+            parent[find(int(x))] = find(int(y))
+        nodes_in_pairs = sorted(set(pairs.key_a) | set(pairs.key_b))
+        # canonical label = min node of each component
+        comp_min = {}
+        for v in nodes_in_pairs:
+            r = find(int(v))
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {int(v): int(comp_min[find(int(v))]) for v in nodes_in_pairs}
+
+        got = (
+            connected_components(spark.createDataFrame(pairs))
+            .toPandas()
+            .set_index("node")["component"]
+            .astype(int)
+            .to_dict()
+        )
+        assert got == want, f"trial {trial}"
