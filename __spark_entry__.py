@@ -639,6 +639,49 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:  # duplicate cl
     )
 
 
+def q_except_all(spark: SparkSession, sf: str) -> DataFrame:  # SE4 multiset except
+    """Multiset difference (exceptAll — keeps duplicate multiplicity, unlike
+    the distinct EXCEPT in set_ops): event types of low-value events minus
+    those of high-value events, per-occurrence."""
+    ev = _read(spark, sf, "events")
+    lo = ev.filter(F.col("value") < 100).select("event_type")
+    hi = ev.filter(F.col("value") >= 100).select("event_type")
+    return (
+        lo.exceptAll(hi)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_array_ops(spark: SparkSession, sf: str) -> DataFrame:  # array set algebra
+    """Array set algebra between consecutive docs' token sets:
+    |intersect|, |union|, overlap coefficient — HOF/array built-ins only."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+        ).alias("ts"),
+    )
+    a = toks.alias("a")
+    b = toks.select((F.col("doc_id") - 1).alias("doc_id"), F.col("ts").alias("ts_next")).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("ts", "ts_next")).alias("n_common"),
+            F.size(F.array_union("ts", "ts_next")).alias("n_union"),
+            F.round(
+                F.size(F.array_intersect("ts", "ts_next"))
+                / F.least(F.size("ts"), F.size("ts_next")),
+                6,
+            ).alias("overlap_coef"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:  # SE3 distinct-set
     ev = _read(spark, sf, "events").filter(F.col("user_id") < 100)
     return (
@@ -1118,6 +1161,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "trace_reconstruct": q_trace_reconstruct,
         "dedup_clusters": q_dedup_clusters,
+        "except_all": q_except_all,
+        "array_ops": q_array_ops,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
         "simhash_sql": q_simhash_sql,
@@ -1587,6 +1632,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_docs, count(*) AS n_spans,
                    CAST(sum(n_occ) AS BIGINT) AS total_occ
             FROM per_span WHERE n_docs >= 2 GROUP BY n_docs ORDER BY n_docs
+        """,
+        "except_all": """
+            WITH d AS (
+                SELECT event_type FROM events WHERE value < 100
+                EXCEPT ALL
+                SELECT event_type FROM events WHERE value >= 100
+            )
+            SELECT event_type, count(*) AS n FROM d
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "array_ops": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> ''))) AS ts
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT a.doc_id,
+                   len(list_intersect(a.ts, b.ts)) AS n_common,
+                   len(list_distinct(list_concat(a.ts, b.ts))) AS n_union,
+                   round(len(list_intersect(a.ts, b.ts)) * 1.0
+                         / least(len(a.ts), len(b.ts)), 6) AS overlap_coef
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+            ORDER BY a.doc_id
         """,
         "dedup_clusters": """
             WITH RECURSIVE raw AS (
