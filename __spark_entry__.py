@@ -462,6 +462,61 @@ def q_tpch_q5like(spark: SparkSession, sf: str) -> DataFrame:  # multi-way join
     )
 
 
+def q_tpch_q7like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q7 shape
+    """Volume shipping between nation pairs by year: supplier-nation ×
+    customer-nation cross-filtered join with year extraction (broadcast both
+    nation dims; theta condition on the pair)."""
+    li = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders")
+    cust = _read(spark, sf, "customer")
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q10 shape
+    """Returned-item revenue per customer, top 20 — join + agg + top-k."""
+    li = _read(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf, "orders")
+    cust = _read(spark, sf, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:  # SE2/J1 (TPC-H Q4 shape)
     """Orders with >=1 qualifying lineitem: left-semi join (EXISTS), the
     membership-set analog of longQC.py:376-389's NG-set test."""
@@ -1151,6 +1206,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5like": q_tpch_q5like,
+        "tpch_q7like": q_tpch_q7like,
+        "tpch_q10like": q_tpch_q10like,
         "semi_join": q_semi_join,
         "scalar_subquery": q_scalar_subquery,
         "having_topk": q_having_topk,
@@ -1538,6 +1595,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "tpch_q7like": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       l_extendedprice, l_discount
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10like": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "semi_join": """
             SELECT o_orderpriority, count(*) AS n FROM orders o
