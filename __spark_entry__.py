@@ -517,6 +517,19 @@ def q_tpch_q10like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q10 shap
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:  # SA1 stratified
+    """Per-language deterministic sample (exact n per stratum, md5 priority
+    so DuckDB reproduces it bit-exact)."""
+    from longqc_spark.operators.text import stratified_hash_sample
+
+    docs = _read(spark, sf, "documents")
+    return (
+        stratified_hash_sample(docs, 5, stratum_col="lang", oracle_safe=True)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:  # SE2/J1 (TPC-H Q4 shape)
     """Orders with >=1 qualifying lineitem: left-semi join (EXISTS), the
     membership-set analog of longQC.py:376-389's NG-set test."""
@@ -1182,6 +1195,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "running_sum": q_running_sum,
         "pivot_counts": q_pivot_counts,
         "langid_docs": q_langid_docs,
@@ -1374,6 +1388,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 ORDER BY prio, doc_id LIMIT 100
             ) ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '7')), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5 ORDER BY lang, doc_id
         """,
         "running_sum": """
             SELECT user_id, event_id,

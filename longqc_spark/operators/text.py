@@ -100,3 +100,32 @@ def hash_priority_sample(
         .limit(n)
         .drop("prio")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 7,
+    oracle_safe: bool = False,
+) -> DataFrame:
+    """Deterministic stratified sample: the n smallest hash-priorities WITHIN
+    each stratum (``sampleBy`` with exact per-stratum counts instead of
+    fractions, and parallel-stable like ``hash_priority_sample``). One
+    window per stratum partition — a single hash-partition shuffle; no
+    global sort, no driver involvement (the reference's per-platform
+    subsampling, ``longQC.py:390-396``, done per key group)."""
+    from pyspark.sql import Window
+
+    if oracle_safe:
+        prio = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(str(seed))).cast("binary"))
+    else:
+        prio = F.xxhash64(F.col(key_col), F.lit(seed))
+    w = Window.partitionBy(stratum_col).orderBy("prio", key_col)
+    return (
+        df.withColumn("prio", prio)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("prio", "_rn")
+    )
