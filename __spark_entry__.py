@@ -530,6 +530,20 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:  # SA1 strat
     )
 
 
+def q_intersect_all(spark: SparkSession, sf: str) -> DataFrame:  # SE multiset intersect
+    """Multiset intersection (intersectAll): per-occurrence overlap between
+    two event-type streams — the multiset twin of except_all."""
+    ev = _read(spark, sf, "events")
+    lo = ev.filter(F.col("value") < 100).select("event_type")
+    hi = ev.filter(F.col("value") >= 80).select("event_type")
+    return (
+        lo.intersectAll(hi)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:  # SE2/J1 (TPC-H Q4 shape)
     """Orders with >=1 qualifying lineitem: left-semi join (EXISTS), the
     membership-set analog of longQC.py:376-389's NG-set test."""
@@ -1233,6 +1247,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_reconstruct": q_trace_reconstruct,
         "dedup_clusters": q_dedup_clusters,
         "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
         "array_ops": q_array_ops,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
@@ -1749,6 +1764,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type FROM events WHERE value < 100
                 EXCEPT ALL
                 SELECT event_type FROM events WHERE value >= 100
+            )
+            SELECT event_type, count(*) AS n FROM d
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "intersect_all": """
+            WITH d AS (
+                SELECT event_type FROM events WHERE value < 100
+                INTERSECT ALL
+                SELECT event_type FROM events WHERE value >= 80
             )
             SELECT event_type, count(*) AS n FROM d
             GROUP BY event_type ORDER BY event_type

@@ -153,3 +153,28 @@ def test_connected_components_matches_union_find(spark):
             .to_dict()
         )
         assert got == want, f"trial {trial}"
+
+
+def test_stratified_sample_partition_invariant(spark, sf001):
+    """Stratified hash sample: exact n per stratum and IDENTICAL rows no
+    matter how the input is partitioned (the SA1 parallel-stability
+    contract, per stratum)."""
+    from longqc_spark.operators.text import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    a = (
+        stratified_hash_sample(docs.repartition(1), 7, stratum_col="lang", oracle_safe=True)
+        .orderBy("lang", "doc_id").toPandas()
+    )
+    b = (
+        stratified_hash_sample(docs.repartition(16), 7, stratum_col="lang", oracle_safe=True)
+        .orderBy("lang", "doc_id").toPandas()
+    )
+    assert a.equals(b)
+    per = a.groupby("lang").size()
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per) == n_langs and (per <= 7).all()
+    # xxhash64 priority variant: same guarantees, different (cheaper) hash
+    c = stratified_hash_sample(docs.repartition(4), 7).orderBy("lang", "doc_id").toPandas()
+    d = stratified_hash_sample(docs.repartition(32), 7).orderBy("lang", "doc_id").toPandas()
+    assert c.equals(d)
