@@ -128,3 +128,38 @@ def test_watermark_drops_late_events(spark, tmp_path):
         (5, 1),
         (6, 1),
     ]
+
+
+def test_stream_stream_join_matches_batch(spark, sf001, tmp_path):
+    """Watermarked stream-stream inner join over two file streams must equal
+    the batch join with the identical time-range predicate (AvailableNow
+    drains a finite backlog; watermarks only bound state)."""
+    from longqc_spark.streaming.joins import (
+        attribution_join_batch,
+        attribution_join_stream,
+    )
+
+    events = spark.read.parquet(f"{sf001}/events.parquet").filter("user_id < 300")
+    ldir, rdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    events.filter("event_type = 'click'").repartition(3).write.parquet(ldir)
+    events.filter("event_type = 'purchase'").repartition(2).write.parquet(rdir)
+
+    want = (
+        attribution_join_batch(events)
+        .toPandas()
+        .sort_values(["l_event", "r_event"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0, "fixture must produce attribution pairs"
+
+    q = attribution_join_stream(
+        spark, ldir, rdir, spark.read.parquet(ldir).schema, query_name="attrib_test"
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM attrib_test")
+        .toPandas()
+        .sort_values(["l_event", "r_event"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
