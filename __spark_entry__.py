@@ -544,6 +544,20 @@ def q_intersect_all(spark: SparkSession, sf: str) -> DataFrame:  # SE multiset i
     )
 
 
+def q_attribution_join(spark: SparkSession, sf: str) -> DataFrame:  # J3 event-window join
+    """Click→purchase attribution pairs within a 10-min window per user
+    (batch twin of the watermarked stream-stream join in streaming.joins)."""
+    from longqc_spark.streaming.joins import attribution_join_batch
+
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 300)
+    pairs = attribution_join_batch(ev)
+    return (
+        pairs.groupBy("l_user")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.count_distinct("l_event").alias("n_clicks"))
+        .orderBy("l_user")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:  # SE2/J1 (TPC-H Q4 shape)
     """Orders with >=1 qualifying lineitem: left-semi join (EXISTS), the
     membership-set analog of longQC.py:376-389's NG-set test."""
@@ -1231,6 +1245,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "attribution_join": q_attribution_join,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5like": q_tpch_q5like,
@@ -1596,6 +1611,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT point_id, interval_id
             FROM points JOIN intervals ON p >= s AND p < e
             ORDER BY point_id, interval_id
+        """,
+        "attribution_join": """
+            WITH l AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click' AND user_id < 300
+            ), r AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase' AND user_id < 300
+            ), pairs AS (
+                SELECT l.user_id AS l_user, l.event_id AS l_event
+                FROM l JOIN r ON l.user_id = r.user_id
+                 AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+            )
+            SELECT l_user, count(*) AS n_pairs,
+                   count(DISTINCT l_event) AS n_clicks
+            FROM pairs GROUP BY l_user ORDER BY l_user
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
