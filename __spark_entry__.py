@@ -558,6 +558,23 @@ def q_attribution_join(spark: SparkSession, sf: str) -> DataFrame:  # J3 event-w
     )
 
 
+def q_tpch_q12like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q12 shape
+    """Conditional aggregation over a join: per return-flag, how many
+    lineitems belong to high- vs low-priority orders (CASE inside SUM)."""
+    li = _read(spark, sf, "lineitem").filter(F.col("l_shipdate") >= "1997-01-01")
+    orders = _read(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:  # SE2/J1 (TPC-H Q4 shape)
     """Orders with >=1 qualifying lineitem: left-semi join (EXISTS), the
     membership-set analog of longQC.py:376-389's NG-set test."""
@@ -1251,6 +1268,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5like": q_tpch_q5like,
         "tpch_q7like": q_tpch_q7like,
         "tpch_q10like": q_tpch_q10like,
+        "tpch_q12like": q_tpch_q12like,
         "semi_join": q_semi_join,
         "scalar_subquery": q_scalar_subquery,
         "having_topk": q_having_topk,
@@ -1695,6 +1713,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_returnflag = 'R'
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q12like": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "semi_join": """
             SELECT o_orderpriority, count(*) AS n FROM orders o
