@@ -37,21 +37,22 @@ def _sides(events: DataFrame, left_type: str, right_type: str):
     return left, right
 
 
-def _join_cond():
+def _join_cond(window: str = "10 minutes"):
     return (
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))
-        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL '{window}'"))
     )
 
 
 def attribution_join_batch(
-    events: DataFrame, left_type: str = "click", right_type: str = "purchase"
+    events: DataFrame, left_type: str = "click", right_type: str = "purchase",
+    window: str = "10 minutes",
 ) -> DataFrame:
-    """Batch twin (the oracle-checkable spec): right events within 10 min
+    """Batch twin (the oracle-checkable spec): right events within ``window``
     after a left event by the same user."""
     left, right = _sides(events, left_type, right_type)
-    return left.join(right, _join_cond()).select(
+    return left.join(right, _join_cond(window)).select(
         "l_user", "l_event", "r_event",
         F.unix_micros("l_ts").alias("l_us"), F.unix_micros("r_ts").alias("r_us"),
     )
@@ -64,6 +65,7 @@ def attribution_join_stream(
     schema,
     query_name: str = "attrib",
     watermark: str = "30 minutes",
+    window: str = "10 minutes",
     max_files_per_trigger: int = 1,
 ):
     """Streaming twin: both sides are file streams with event-time
@@ -81,7 +83,7 @@ def attribution_join_stream(
     # each side needs its own watermark so BOTH state stores are bounded
     left = left.withWatermark("l_ts", watermark)
     right = right.withWatermark("r_ts", watermark)
-    joined = left.join(right, _join_cond()).select(
+    joined = left.join(right, _join_cond(window)).select(
         "l_user", "l_event", "r_event",
         F.unix_micros("l_ts").alias("l_us"), F.unix_micros("r_ts").alias("r_us"),
     )

@@ -145,17 +145,27 @@ def test_stream_stream_join_matches_batch(spark, sf001, tmp_path):
     events.filter("event_type = 'purchase'").repartition(2).write.parquet(rdir)
 
     want = (
-        attribution_join_batch(events)
+        attribution_join_batch(events, window="12 hours")
         .toPandas()
         .sort_values(["l_event", "r_event"])
         .reset_index(drop=True)
     )
-    assert len(want) > 0, "fixture must produce attribution pairs"
+    assert len(want) > 10, "fixture must produce a non-trivial pair set"
 
     q = attribution_join_stream(
-        spark, ldir, rdir, spark.read.parquet(ldir).schema, query_name="attrib_test"
+        spark,
+        ldir,
+        rdir,
+        spark.read.parquet(ldir).schema,
+        query_name="attrib_test",
+        # events span 30 days and the staged files arrive in RANDOM time
+        # order (repartition), so the watermark must cover the full span for
+        # exact batch parity; a production feed is roughly time-ordered and
+        # uses a horizon-sized delay (state eviction is the point there)
+        watermark="40 days",
+        window="12 hours",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(540), "stream must drain the backlog"
     got = (
         spark.sql("SELECT * FROM attrib_test")
         .toPandas()
@@ -163,3 +173,21 @@ def test_stream_stream_join_matches_batch(spark, sf001, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+    # bounded-state semantics: a watermark far smaller than the input's
+    # time disorder EVICTS join state early → pairs are dropped, never
+    # duplicated (the state-eviction contract, proven rather than assumed)
+    q2 = attribution_join_stream(
+        spark,
+        ldir,
+        rdir,
+        spark.read.parquet(ldir).schema,
+        query_name="attrib_small_wm",
+        watermark="1 day",
+        window="12 hours",
+    )
+    assert q2.awaitTermination(540)
+    small = spark.sql("SELECT * FROM attrib_small_wm").toPandas()
+    assert len(small) < len(want)
+    merged = small.merge(want, on=list(want.columns), how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "emitted pairs are a subset"
