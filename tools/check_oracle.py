@@ -65,6 +65,9 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        import time as _time
+
+        t0 = _time.time()
         try:
             got = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -72,7 +75,7 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={len(got)} (no oracle)")
+            print(f"weak  {name}: rows={len(got)} ({_time.time()-t0:.1f}s, no oracle)")
             continue
         try:
             exp = con.sql(oracles[name]).df()
@@ -93,7 +96,7 @@ def main() -> int:
             print("  duck :", e.head(3).to_dict("records"))
             failures += 1
         else:
-            print(f"ok    {name}: rows={len(g)}")
+            print(f"ok    {name}: rows={len(g)} ({_time.time()-t0:.1f}s)")
     spark.stop()
     print("failures:", failures)
     return 1 if failures else 0
