@@ -120,13 +120,29 @@ def run_qc_with_lineage(
     materialize the deduped table once (one shuffle) before the bucketed
     write.
     """
+    # the run config is part of the checkpoint identity: resuming with a
+    # different cfg/dedup/extraction/key would silently mix incompatible
+    # buckets under one manifest
+    run_config = {
+        "cfg": repr(cfg),
+        "key_col": key_col,
+        "text_col": text_col,
+        "html_col": html_col,
+        "dedup": dedup,
+    }
     manifest = load_manifest(out_dir)
     if manifest["run_id"] is None:
         manifest["run_id"] = uuid.uuid4().hex
         manifest["n_buckets"] = n_buckets
         manifest["data_root"] = "data"
+        manifest["run_config"] = run_config
     if manifest.get("n_buckets") != n_buckets:
         raise ValueError("n_buckets differs from the manifest's — cannot resume")
+    if manifest.get("run_config", run_config) != run_config:
+        raise ValueError(
+            "run config differs from the manifest's — cannot resume: "
+            f"{manifest['run_config']} vs {run_config}"
+        )
     root = manifest.get("data_root", "data")
     os.makedirs(os.path.join(out_dir, root), exist_ok=True)
 
@@ -298,4 +314,6 @@ def read_labels(spark: SparkSession, out_dir: str, as_of: int | None = None) -> 
     ]
     if not paths:
         raise ValueError(f"snapshot v{as_of} has no committed buckets")
-    return spark.read.parquet(*paths)
+    # basePath keeps the bucket partition column in time-travel reads, so
+    # as_of and current reads have IDENTICAL schemas
+    return spark.read.option("basePath", os.path.join(out_dir, root)).parquet(*paths)

@@ -21,10 +21,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-TRACE_SCHEMA = (
-    "user_id long, trace string, n_events long, n_runs long, total_cents long"
-)
-
 
 def reconstruct_traces(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """events(user_id, event_id, ts, event_type, value) → one row per user:
@@ -32,8 +28,14 @@ def reconstruct_traces(events: DataFrame, key_col: str = "user_id") -> DataFrame
     (integer cents — floor(value*100) — so cross-engine summation is exact).
 
     Deterministic: rows sorted by (ts, event_id) inside each group, so the
-    result is independent of partitioning and input order.
+    result is independent of partitioning and input order. The output key
+    column carries ``key_col``'s name and type (schema derived, not
+    hardcoded).
     """
+    key_type = events.schema[key_col].dataType.simpleString()
+    schema = (
+        f"{key_col} {key_type}, trace string, n_events long, n_runs long, total_cents long"
+    )
 
     def rec(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
@@ -44,7 +46,7 @@ def reconstruct_traces(events: DataFrame, key_col: str = "user_id") -> DataFrame
         trace = "|".join(f"{t}:{c}" for t, c in zip(run_types, counts))
         return pd.DataFrame(
             {
-                "user_id": [pdf[key_col].iloc[0]],
+                key_col: [pdf[key_col].iloc[0]],
                 "trace": [trace],
                 "n_events": [len(pdf)],
                 "n_runs": [len(run_types)],
@@ -55,4 +57,4 @@ def reconstruct_traces(events: DataFrame, key_col: str = "user_id") -> DataFrame
     # prune before the grouped shuffle: only the five needed columns cross
     # Arrow (events carries a wide props payload the kernel never reads)
     slim = events.select(key_col, "event_id", "ts", "event_type", "value")
-    return slim.groupBy(key_col).applyInPandas(rec, schema=TRACE_SCHEMA)
+    return slim.groupBy(key_col).applyInPandas(rec, schema=schema)

@@ -66,6 +66,8 @@ def attribution_join_stream(
     query_name: str = "attrib",
     watermark: str = "30 minutes",
     window: str = "10 minutes",
+    left_type: str = "click",
+    right_type: str = "purchase",
     max_files_per_trigger: int = 1,
 ):
     """Streaming twin: both sides are file streams with event-time
@@ -78,8 +80,8 @@ def attribution_join_stream(
             .parquet(d)
         )
 
-    left, _ = _sides(side(left_dir), "click", "purchase")
-    _, right = _sides(side(right_dir), "click", "purchase")
+    left, _ = _sides(side(left_dir), left_type, right_type)
+    _, right = _sides(side(right_dir), left_type, right_type)
     # each side needs its own watermark so BOTH state stores are bounded
     left = left.withWatermark("l_ts", watermark)
     right = right.withWatermark("r_ts", watermark)

@@ -177,3 +177,27 @@ def test_labels_partition_pruning(spark, docs, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
     n2 = labels.count()
     assert 0 < n2 < read_labels(spark, out).count()
+
+
+def test_resume_with_different_config_rejected(spark, docs, tmp_path):
+    """The run config is checkpoint identity: resuming with different
+    dedup/cfg flags must refuse rather than mix incompatible buckets."""
+    out = str(tmp_path / "cfgguard")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_qc_with_lineage(docs, out, n_buckets=4, fail_after_bucket=0)
+    with pytest.raises(ValueError, match="run config differs"):
+        run_qc_with_lineage(docs, out, n_buckets=4, dedup=True)
+    # same config → resumes fine
+    m = run_qc_with_lineage(docs, out, n_buckets=4)
+    assert len(m["committed"]) == 4
+
+
+def test_time_travel_schema_matches_current(spark, docs, tmp_path):
+    """as_of reads carry the same schema as current reads (bucket partition
+    column included via basePath)."""
+    out = str(tmp_path / "ttschema")
+    run_qc_with_lineage(docs, out, n_buckets=2)
+    v = load_manifest(out)["version"]
+    cur, old = read_labels(spark, out), read_labels(spark, out, as_of=v)
+    assert cur.schema == old.schema
+    assert "bucket" in old.columns
