@@ -124,3 +124,19 @@ def test_stream_dedup_within_watermark(spark, corpus_path, tmp_path):
     got = read_stream_labels(spark, out).toPandas()
     assert len(got) == docs.select("text").distinct().count()
     assert got.payload_hash.is_unique
+
+
+def test_stream_qc_html_funnel(spark, corpus_path, tmp_path):
+    """The fused html→text funnel works identically inside the streaming
+    facade: stream over raw-payload docs == batch funnel."""
+    docs = spark.read.parquet(corpus_path).drop("text")
+    d = str(tmp_path / "html_docs")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    out = str(tmp_path / "html_qc")
+
+    q = stream_qc(spark, d, docs.schema, out, html_col="html")
+    assert q.awaitTermination(540)
+
+    got = _norm(read_stream_labels(spark, out).toPandas())
+    want = _norm(qc_pipeline(spark.read.parquet(d), num_partitions=0, html_col="html").toPandas())
+    pd.testing.assert_frame_equal(got, want)
