@@ -37,6 +37,8 @@ def test_spark_submit_py_files(tmp_path, corpus_path):
         "--out", str(out),
         "--buckets", "4",
         "--report",
+        "--compact",
+        "--expire-keep", "1",
     ]
     r = subprocess.run(
         cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
@@ -44,8 +46,14 @@ def test_spark_submit_py_files(tmp_path, corpus_path):
     combined = r.stdout + r.stderr
     assert r.returncode == 0, combined[-3000:]
     assert "committed 4/4 buckets" in combined, combined[-3000:]
+    assert "compacted" in combined and "reclaimed roots" in combined, combined[-3000:]
 
-    labels = pd.read_parquet(os.path.join(out, "data"))
+    # after compaction+expiry the manifest points at the compacted root
+    import json
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        root = json.load(f).get("data_root", "data")
+    labels = pd.read_parquet(os.path.join(out, root))
     ref = pd.read_parquet(corpus_path)
     assert len(labels) == len(ref)
     assert set(labels.columns) >= {"url", "keep", "scrubbed_text"}
