@@ -575,6 +575,18 @@ def q_tpch_q12like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q12 shap
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:  # sketch rollup, rows-only
+    """Mergeable HLL distinct sketches: per-type estimates + union row
+    (engine-specific sketch → no cross-engine oracle; deterministic)."""
+    from longqc_spark.operators.relational import distinct_sketch_rollup
+
+    ev = _read(spark, sf, "events")
+    per_group, total = distinct_sketch_rollup(ev, "user_id", "event_type")
+    return per_group.unionByName(
+        total.withColumn("event_type", F.lit("__ALL__")).select("event_type", "n_distinct_est")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:  # SE2/J1 (TPC-H Q4 shape)
     """Orders with >=1 qualifying lineitem: left-semi join (EXISTS), the
     membership-set analog of longQC.py:376-389's NG-set test."""
@@ -1288,6 +1300,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_windows": q_rank_windows,
         "json_extract": q_json_extract,
         "distinct_users": q_distinct_users,
+        "hll_rollup": q_hll_rollup,
         "base64_payload": q_base64_payload,
         "edit_distance": q_edit_distance,
         "regex_counts": q_regex_counts,

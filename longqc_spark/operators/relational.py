@@ -181,3 +181,30 @@ def lag_gaps(df: DataFrame, part_col: str, ts_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_gaps"), F.avg("gap").alias("avg_gap"), F.max("gap").alias("max_gap"))
         .orderBy(part_col)
     )
+
+
+def distinct_sketch_rollup(
+    df: DataFrame, value_col: str, group_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable distinct-count sketches (Datasketches HLL): per-group
+    sketches + their union — the rollup pattern for 10^12-row pipelines
+    where exact count-distinct would shuffle every value. Partial sketches
+    are tiny (~KB), additive across partitions/groups/days, and re-usable:
+    a daily audit table stores the per-bucket sketch column and any coarser
+    rollup is a union, never a rescan. (Saturating-counter analog:
+    reference esterr.c:130,136 tolerates approximate counts the same way.)
+
+    Returns (per_group, total): per_group = (group, n_distinct_est),
+    total = 1-row union estimate over the SAME sketches.
+    """
+    sketches = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col).alias("sketch")
+    )
+    per_group = sketches.select(
+        group_col,
+        F.hll_sketch_estimate("sketch").cast("long").alias("n_distinct_est"),
+    ).orderBy(group_col)
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("n_distinct_est")
+    )
+    return per_group, total

@@ -211,3 +211,24 @@ def test_connected_components_hand_graph(spark):
         .to_dict()
     )
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_hll_sketch_rollup(spark, sf001):
+    """Per-group HLL sketches must union to the global estimate within HLL
+    error bounds (the mergeable-rollup contract; lgK=12 → ~1.6% rse)."""
+    from longqc_spark.operators.relational import distinct_sketch_rollup
+
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    per_group, total = distinct_sketch_rollup(ev, "event_id", "event_type")
+    est = total.collect()[0]["n_distinct_est"]
+    exact = ev.select("event_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
+    pg = per_group.toPandas()
+    exact_pg = (
+        ev.groupBy("event_type").agg(F.count_distinct("event_id").alias("n")).toPandas()
+        .set_index("event_type")["n"]
+    )
+    for _, r in pg.iterrows():
+        assert abs(r.n_distinct_est - exact_pg[r.event_type]) / exact_pg[r.event_type] < 0.05
+    # sum of per-group estimates >= union estimate (disjoint here, ~equal)
+    assert pg.n_distinct_est.sum() >= est * 0.95
