@@ -1209,6 +1209,131 @@ def q_extract_text(spark: SparkSession, sf: str) -> DataFrame:  # S2-analog scan
     return ex.select("doc_id", "extracted_text").orderBy("doc_id")
 
 
+def q_tpch_q14like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q14 shape
+    """Promo revenue share: fact×dim broadcast join with CASE-gated and total
+    sums in one pass (the conditional-accumulator pattern of esterr.c:121-129
+    on a revenue measure)."""
+    li = _read(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-09-01")
+    )
+    part = _read(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 4).alias(
+            "promo_revenue"
+        ),
+        F.round(F.sum(rev), 4).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q16like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q16 shape
+    """Distinct supplier count per (brand, size) with a NOT-IN exclusion list
+    (negative-balance suppliers — the complaints analog), excluding one brand;
+    top-20 by count with a deterministic tiebreak."""
+    part = _read(spark, sf, "part").filter(F.col("p_brand") != "Brand#1")
+    li = _read(spark, sf, "lineitem")
+    bad = _read(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+def q_tpch_q19like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q19 shape
+    """Disjunctive (OR-of-ANDs) join predicate over fact×dim — the
+    multi-band score predicate family (F4) as a single revenue filter; the
+    common l_partkey=p_partkey conjunct stays an equi-join key for Catalyst."""
+    li = _read(spark, sf, "lineitem")
+    part = _read(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(15, 40)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q22like(spark: SparkSession, sf: str) -> DataFrame:  # TPC-H Q22 shape
+    """Above-average-balance customers with no recent orders: scalar AVG
+    subquery (broadcast single-row join) + date-filtered anti-join, grouped
+    by segment — the lapsed-high-value-account query."""
+    cust = _read(spark, sf, "customer")
+    recent = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_percent_rank(spark: SparkSession, sf: str) -> DataFrame:  # W5 relative-rank family
+    """percent_rank + cume_dist per segment (relative standing of each
+    account balance) — tie-broken by key so both engines see single-row peer
+    groups and agree bit-exactly."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf, "customer").filter(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:  # J family completion
+    """Full-outer join of two per-user aggregates (clicks vs purchases) with
+    coalesced keys and zero-fill — users present on either side survive."""
+    ev = _read(spark, sf, "events").filter(F.col("user_id") < 200)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone: a handful of queries cast TIMESTAMP_NTZ to
     the session-local type (window/session/range-frame semantics), and the
@@ -1312,6 +1437,12 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "corr_stats": q_corr_stats,
         "bpe_tokens": q_bpe_tokens,
+        "tpch_q14like": q_tpch_q14like,
+        "tpch_q16like": q_tpch_q16like,
+        "tpch_q19like": q_tpch_q19like,
+        "tpch_q22like": q_tpch_q22like,
+        "percent_rank": q_percent_rank,
+        "full_outer": q_full_outer,
     }
 
 
@@ -2068,5 +2199,64 @@ def oracle_sql() -> dict[str, str]:
                                  THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
                        AS simhash32
             FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "tpch_q14like": """
+            SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 4) AS promo_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-09-01'
+        """,
+        "tpch_q16like": """
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20
+        """,
+        "tpch_q19like": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 15 AND 40)
+        """,
+        "tpch_q22like": """
+            WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer, ab
+            WHERE c_acctbal > ab.ab
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "percent_rank": """
+            SELECT c_custkey, c_mktsegment,
+                   round(percent_rank() OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey), 6) AS pr,
+                   round(cume_dist() OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey), 6) AS cd
+            FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey
+        """,
+        "full_outer": """
+            WITH e AS (SELECT * FROM events WHERE user_id < 200),
+            c AS (SELECT user_id, count(*) AS n_clicks FROM e
+                  WHERE event_type = 'click' GROUP BY user_id),
+            p AS (SELECT user_id, count(*) AS n_purchases FROM e
+                  WHERE event_type = 'purchase' GROUP BY user_id)
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   coalesce(n_clicks, 0) AS n_clicks,
+                   coalesce(n_purchases, 0) AS n_purchases
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+            ORDER BY user_id
         """,
     }
