@@ -1334,6 +1334,25 @@ def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:  # J family complet
     )
 
 
+def q_map_rollup(spark: SparkSession, sf: str) -> DataFrame:  # MapType round-trip
+    """MapType as data: per-type hourly counts packed into map<hr,n>
+    (map_from_entries over a sorted collect_list) then exploded back to rows
+    — the summary-report nested-map shape (longQC.py:462-517) proven
+    lossless against the flat grouped aggregate."""
+    ev = _read(spark, sf, "events")
+    hourly = (
+        ev.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    packed = hourly.groupBy("event_type").agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("hr", "n")))).alias("by_hr")
+    )
+    return (
+        packed.select("event_type", F.explode("by_hr").alias("hr", "n"))
+        .orderBy("event_type", "hr")
+    )
+
+
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone: a handful of queries cast TIMESTAMP_NTZ to
     the session-local type (window/session/range-frame semantics), and the
@@ -1443,6 +1462,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22like": q_tpch_q22like,
         "percent_rank": q_percent_rank,
         "full_outer": q_full_outer,
+        "map_rollup": q_map_rollup,
     }
 
 
@@ -2258,5 +2278,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_purchases, 0) AS n_purchases
             FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
             ORDER BY user_id
+        """,
+        "map_rollup": """
+            SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
+            FROM events GROUP BY event_type, hr ORDER BY event_type, hr
         """,
     }
