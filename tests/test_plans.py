@@ -212,3 +212,47 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_olap_queries_broadcast_dims_and_push_filters(spark):
+    """The new TPC-H-like shapes must produce the plan you'd want at 100 TB:
+    dimension sides broadcast (no shuffle of the fact table for the dim join)
+    and the fact-side date filter pushed into the parquet scan."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+
+    q14 = qs["tpch_q14like"](spark, sf)
+    plan = _formatted(q14)
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", plan)
+
+    q16 = qs["tpch_q16like"](spark, sf)
+    plan = _plan(q16)
+    # both the part dim and the NOT-IN exclusion list ride broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2 and "LeftAnti" in plan
+
+    q22 = qs["tpch_q22like"](spark, sf)
+    plan = _plan(q22)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_full_outer_coalesces_keys(spark):
+    """full_outer keeps one key column (coalesced), zero-fills both sides,
+    and covers users present on only one side."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    df = entrymod.queries()["full_outer"](spark, sf)
+    assert df.columns == ["user_id", "n_clicks", "n_purchases"]
+    rows = df.collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter(F.col("user_id") < 200)
+    clickers = {r.user_id for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    buyers = {r.user_id for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    assert {r.user_id for r in rows} == clickers | buyers  # full-outer keeps either side
+    assert all(
+        (r.n_clicks > 0) == (r.user_id in clickers)
+        and (r.n_purchases > 0) == (r.user_id in buyers)
+        for r in rows
+    )
