@@ -30,7 +30,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from .config import DEFAULT_CONFIG, QCConfig
 from .pipeline import qc_pipeline
@@ -171,11 +171,12 @@ def run_qc_with_lineage(
         labels = qc_pipeline(
             part, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
         )
-        labels.write.mode("overwrite").parquet(tmp_dir)
-
-        spark = docs.sparkSession
-        written = spark.read.parquet(tmp_dir)
-        row = written.agg(
+        # Metric aggregates ride the write pass itself (Observation), so the
+        # commit costs ONE scan of the bucket, not write + re-read — at 100 TB
+        # the read-back would double the commit's IO.
+        obs = Observation(f"qc-bucket-{b}")
+        labels = labels.observe(
+            obs,
             F.count(F.lit(1)).alias("n_in"),
             F.count_if(F.col("keep")).alias("n_kept"),
             F.count_if(F.col("pii_match_count") > 0).alias("n_scrubbed"),
@@ -183,7 +184,9 @@ def run_qc_with_lineage(
             F.bit_xor(F.xxhash64(key_col)).alias("input_fingerprint"),
             F.avg("perplexity").alias("avg_perplexity"),
             F.avg("n_words").alias("avg_words"),
-        ).collect()[0]
+        )
+        labels.write.mode("overwrite").parquet(tmp_dir)
+        row = obs.get
 
         os.replace(tmp_dir, final_dir)
         manifest["committed"][str(b)] = {
