@@ -1353,6 +1353,32 @@ def q_map_rollup(spark: SparkSession, sf: str) -> DataFrame:  # MapType round-tr
     )
 
 
+def q_ccsynth_source(spark: SparkSession, sf: str) -> DataFrame:  # Python Data Source
+    """Spark 4 Python Data Source (`ccsynth`): the corpus generated
+    partition-parallel as a scan (Arrow-batch reader, per-doc seeded rng →
+    bit-identical at any partition count). Rows-only: DuckDB cannot run a
+    Spark data source; determinism is pinned by the per-lang rollup."""
+    from longqc_spark.ccsource import CCSynthDataSource
+
+    spark.dataSource.register(CCSynthDataSource)
+    df = (
+        spark.read.format("ccsynth")
+        .option("n_docs", 2000)
+        .option("seed", 42)
+        .option("num_partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.bit_xor(F.xxhash64("url")).alias("url_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone: a handful of queries cast TIMESTAMP_NTZ to
     the session-local type (window/session/range-frame semantics), and the
@@ -1463,6 +1489,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank": q_percent_rank,
         "full_outer": q_full_outer,
         "map_rollup": q_map_rollup,
+        "ccsynth_source": q_ccsynth_source,
     }
 
 
