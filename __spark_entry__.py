@@ -1379,6 +1379,27 @@ def q_ccsynth_source(spark: SparkSession, sf: str) -> DataFrame:  # Python Data 
     )
 
 
+def q_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:  # correlated LATERAL
+    """Per-customer top-2 orders via a correlated LATERAL subquery with
+    ORDER BY + LIMIT — the lateral-join query form (vs rank_windows' window
+    formulation of the same shape); deterministic tiebreak on o_orderkey."""
+    _read(spark, sf, "customer").createOrReplaceTempView("customer_lat")
+    _read(spark, sf, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone: a handful of queries cast TIMESTAMP_NTZ to
     the session-local type (window/session/range-frame semantics), and the
@@ -1490,6 +1511,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer": q_full_outer,
         "map_rollup": q_map_rollup,
         "ccsynth_source": q_ccsynth_source,
+        "lateral_topk": q_lateral_topk,
     }
 
 
@@ -2309,5 +2331,16 @@ def oracle_sql() -> dict[str, str]:
         "map_rollup": """
             SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
             FROM events GROUP BY event_type, hr ORDER BY event_type, hr
+        """,
+        "lateral_topk": """
+            SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer c
+            JOIN LATERAL (
+                SELECT o_orderkey, o_totalprice FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+            ) t ON TRUE
+            WHERE c.c_custkey <= 100
+            ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
         """,
     }
