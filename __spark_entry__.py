@@ -1518,8 +1518,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "length_stats": """
-            SELECT source, count(*) AS n, sum(n_chars) AS total_len,
-                   max(n_chars) AS max_len, avg(n_chars) AS avg_len
+            SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_len,
+                   max(n_chars) AS max_len, round(avg(n_chars), 6) AS avg_len
             FROM documents GROUP BY source ORDER BY source
         """,
         "n50": """
@@ -1561,7 +1561,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type ORDER BY event_type
         """,
         "union_split": """
-            SELECT bucket_tag, count(*) AS n, sum(n_chars) AS total_chars FROM (
+            SELECT bucket_tag, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (
                 SELECT 'short' AS bucket_tag, n_chars FROM documents WHERE n_chars < 200
                 UNION ALL
                 SELECT 'long' AS bucket_tag, n_chars FROM documents WHERE n_chars >= 200
@@ -1584,8 +1585,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup": """
             WITH per_text AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
-            SELECT count(*) AS n_distinct_texts, sum(n) AS n_docs,
-                   sum(n - 1) AS n_duplicates
+            SELECT count(*) AS n_distinct_texts, CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(n - 1) AS BIGINT) AS n_duplicates
             FROM per_text
         """,
         "token_counts": """
@@ -1716,7 +1717,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM events WHERE event_id < 2000
                 ) GROUP BY sec
             ), c AS (
-                SELECT sec, sum(d) OVER (ORDER BY sec) AS active FROM deltas
+                SELECT sec, CAST(sum(d) OVER (ORDER BY sec) AS BIGINT) AS active
+                FROM deltas
             ), f AS (
                 SELECT sec, active, CASE WHEN active >= 3 THEN 1 ELSE 0 END AS ok,
                        lead(sec) OVER (ORDER BY sec) AS next_sec
@@ -1929,10 +1931,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12like": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
             GROUP BY l_returnflag ORDER BY l_returnflag
@@ -1966,10 +1968,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "range_frame": """
             SELECT user_id, event_id,
-                   sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY epoch_us(ts)
                        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
-                   ) AS w_sum
+                   ) AS BIGINT) AS w_sum
             FROM events WHERE user_id < 40
             ORDER BY user_id, event_id
         """,
@@ -2157,7 +2159,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                 FROM events
             )
-            SELECT event_type, count(*) AS n, sum(k) AS sum_k, max(k) AS max_k,
+            SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+                   max(k) AS max_k,
                    round(sum(k) * 1.0 / count(*), 6) AS avg_k
             FROM e GROUP BY event_type ORDER BY event_type
         """,

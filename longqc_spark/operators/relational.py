@@ -24,7 +24,9 @@ def length_stats(df: DataFrame, length_col: str, group_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(length_col).alias("total_len"),
             F.max(length_col).alias("max_len"),
-            F.avg(length_col).alias("avg_len"),
+            # round(…, 6) on BOTH engines: keeps the driver's value-hash stable
+            # against representation drift (oracle twin rounds identically)
+            F.round(F.avg(length_col), 6).alias("avg_len"),
         )
         .orderBy(group_col)
     )

@@ -33,6 +33,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_mismatches(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """The driver's value-hash is dtype-sensitive: DuckDB HUGEINT (from
+    ``sum(int)``) lands in pandas as float64/object while Spark's BIGINT is
+    int64, so equal values still hash differently. Flag any column whose
+    pandas dtype differs between engines — each hit needs a CAST in the
+    oracle SQL (or a round on both sides).
+
+    Width differences within one kind are fine (driver-verified: tpch_q7like
+    was int32-vs-int64 in round 1 and hash-matched); only KIND differences
+    (int vs float vs object) change the hashed representation."""
+    kind = lambda s: {"u": "i"}.get(s.dtype.kind, s.dtype.kind)  # noqa: E731
+    out = []
+    for c in a.columns:
+        if c in b.columns and kind(a[c]) != kind(b[c]):
+            out.append(f"{c}: spark={a[c].dtype} duck={b[c].dtype}")
+    return out
+
+
 def values_match(a: pd.DataFrame, b: pd.DataFrame, tol: float = 0.0) -> bool:
     """Strict by default: the driver's value-hash comparison may be exact, so
     every query must produce BIT-IDENTICAL values in both engines (decimal
@@ -94,6 +112,9 @@ def main() -> int:
             print(f"FAIL  {name}: value mismatch")
             print("  spark:", g.head(3).to_dict("records"))
             print("  duck :", e.head(3).to_dict("records"))
+            failures += 1
+        elif dm := dtype_mismatches(g, e):
+            print(f"FAIL  {name}: dtype mismatch (driver hash would differ): {dm}")
             failures += 1
         else:
             print(f"ok    {name}: rows={len(g)} ({_time.time()-t0:.1f}s)")
