@@ -17,9 +17,12 @@ directory + JSON manifest:
 * the audit table itself is queryable: ``audit_table(spark, out_dir)``.
 
 At 100 TB: buckets are the unit of restart; bucket count is chosen so one
-bucket ≈ executor-fleet-minutes of work (e.g. 4096); the bucket filter is a
-pushed-down predicate over the same xxhash64 expression used for
-repartitioning, so a resumed run never rescans committed data.
+bucket ≈ executor-fleet-minutes of work (e.g. 4096). All uncommitted buckets
+are produced by ONE job (``partitionBy("bucket")`` into a staging root —
+the input is scanned once per run, never once per bucket), then committed
+bucket-by-bucket with per-bucket lineage rows; per-bucket metric aggregates
+come from a column-pruned read of the staged OUTPUT's numeric columns
+(a few % of the written bytes, zero input rescan).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .config import DEFAULT_CONFIG, QCConfig
 from .pipeline import qc_pipeline
@@ -114,11 +117,18 @@ def run_qc_with_lineage(
     Arrow pass). ``dedup``: GLOBAL exact-dedup stage before QC — keep one doc
     per distinct payload, min key wins (deterministic, so a resumed run
     recomputes identical winners and committed buckets stay consistent);
-    per-bucket ``n_dup_dropped`` is recorded in the lineage row. Note the
-    dedup window keys on the payload hash while buckets key on ``key_col``:
-    lazily re-evaluated per bucket here (single-node stand-in); on a cluster,
-    materialize the deduped table once (one shuffle) before the bucketed
-    write.
+    per-bucket ``n_dup_dropped`` is recorded in the lineage row.
+
+    Scan discipline (100 TB posture, test-asserted by
+    ``test_input_scanned_once``): all uncommitted buckets are computed and
+    written by ONE Spark job (``partitionBy("bucket")`` into a staging dir),
+    so the input is scanned once per run — not once per bucket — and the
+    dedup window, when enabled, is evaluated once inside that same job
+    (plus one key-column-only scan for the pre-dedup bucket counts).
+    Per-bucket metrics then come from a column-pruned read of the staged
+    output (numeric columns only). Commits stay per-bucket: each staged
+    ``bucket=b`` dir is renamed into the data root and recorded as its own
+    manifest snapshot, preserving bucket-granular restart/time-travel.
     """
     # the run config is part of the checkpoint identity: resuming with a
     # different cfg/dedup/extraction/key would silently mix incompatible
@@ -146,37 +156,64 @@ def run_qc_with_lineage(
     root = manifest.get("data_root", "data")
     os.makedirs(os.path.join(out_dir, root), exist_ok=True)
 
-    for b in range(n_buckets):
-        if str(b) in manifest["committed"]:
-            continue  # exact resume: committed partition is a no-op
+    todo = [b for b in range(n_buckets) if str(b) not in manifest["committed"]]
+    if not todo:
+        return manifest  # exact resume: fully committed run is a no-op
+    spark = docs.sparkSession
+    bucket = bucket_expr(key_col, n_buckets)
+
+    # uncommitted leftovers from a crashed run → idempotent redo
+    for b in todo:
         final_dir = os.path.join(out_dir, root, f"bucket={b}")
         if os.path.exists(final_dir):
-            shutil.rmtree(final_dir)  # uncommitted leftover → idempotent redo
-        tmp_dir = os.path.join(out_dir, root, f".tmp-bucket-{b}")
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
+            shutil.rmtree(final_dir)
+    for name in os.listdir(os.path.join(out_dir, root)):
+        if name.startswith(".staging-"):
+            shutil.rmtree(os.path.join(out_dir, root, name))
 
-        part = docs.filter(bucket_expr(key_col, n_buckets) == b)
-        n_pre_dedup = None
-        if dedup:
-            n_pre_dedup = part.count()
-            wide = html_col or text_col
-            w = Window.partitionBy(F.md5(F.col(wide).cast("binary"))).orderBy(key_col)
-            deduped = (
-                docs.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            part = deduped.filter(bucket_expr(key_col, n_buckets) == b)
-        labels = qc_pipeline(
-            part, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
+    src = docs
+    pre_counts: dict[int, int] = {}
+    if dedup:
+        # per-bucket pre-dedup counts: ONE key-column-only scan (projection
+        # pushed to the source — no payload bytes move)
+        pre_counts = {
+            r["bucket"]: r["n"]
+            for r in docs.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        wide = html_col or text_col
+        w = Window.partitionBy(F.md5(F.col(wide).cast("binary"))).orderBy(key_col)
+        src = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        # Metric aggregates ride the write pass itself (Observation), so the
-        # commit costs ONE scan of the bucket, not write + re-read — at 100 TB
-        # the read-back would double the commit's IO.
-        obs = Observation(f"qc-bucket-{b}")
-        labels = labels.observe(
-            obs,
+
+    # ONE job computes every uncommitted bucket: the input is scanned once,
+    # the dedup window (if any) evaluated once, and the shuffle writer lays
+    # rows out by bucket dir. (A fresh run filters nothing; a resume filters
+    # to the todo set — still a single scan.)
+    part = src if len(todo) == n_buckets else src.filter(bucket.isin([int(b) for b in todo]))
+    labels = qc_pipeline(part, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col)
+    staging = os.path.join(out_dir, root, f".staging-{uuid.uuid4().hex[:8]}")
+    labels.withColumn("bucket", bucket).write.partitionBy("bucket").mode("overwrite").parquet(
+        staging
+    )
+
+    # per-bucket lineage metrics from the staged OUTPUT, column-pruned to the
+    # numeric stat columns (+key) — a few % of the written bytes, and the
+    # input is never rescanned
+    staged_any = any(
+        n.startswith("bucket=") for n in os.listdir(staging)
+    )  # all-empty input → no partition dirs, nothing to aggregate
+    met = {} if not staged_any else {
+        r["bucket"]: r
+        for r in spark.read.parquet(staging)
+        .select("bucket", "keep", "pii_match_count", "perplexity", "n_words", key_col)
+        .groupBy("bucket")
+        .agg(
             F.count(F.lit(1)).alias("n_in"),
             F.count_if(F.col("keep")).alias("n_kept"),
             F.count_if(F.col("pii_match_count") > 0).alias("n_scrubbed"),
@@ -185,30 +222,45 @@ def run_qc_with_lineage(
             F.avg("perplexity").alias("avg_perplexity"),
             F.avg("n_words").alias("avg_words"),
         )
-        labels.write.mode("overwrite").parquet(tmp_dir)
-        row = obs.get
+        .collect()
+    }
 
-        os.replace(tmp_dir, final_dir)
-        manifest["committed"][str(b)] = {
-            "partition_id": b,
-            "n_in": row["n_in"],
-            "n_kept": row["n_kept"],
-            "n_scrubbed": row["n_scrubbed"],
-            "input_fingerprint": str(row["input_fingerprint"]),
-            "metrics": {
-                "avg_perplexity": row["avg_perplexity"],
-                "avg_words": row["avg_words"],
-                **(
-                    {"n_dup_dropped": float(n_pre_dedup - row["n_in"])}
-                    if n_pre_dedup is not None
-                    else {}
-                ),
-            },
-            "committed_at": time.time(),
-        }
-        _commit_manifest(out_dir, manifest)
-        if fail_after_bucket is not None and b == fail_after_bucket:
-            raise RuntimeError(f"injected failure after bucket {b}")
+    empty_labels = labels.limit(0)
+    try:
+        for b in todo:
+            final_dir = os.path.join(out_dir, root, f"bucket={b}")
+            staged = os.path.join(staging, f"bucket={b}")
+            if os.path.exists(staged):
+                os.replace(staged, final_dir)
+            else:
+                # empty bucket: partitionBy wrote no dir — materialize an
+                # empty parquet dir so time-travel reads find every committed
+                # bucket path
+                empty_labels.write.mode("overwrite").parquet(final_dir)
+            row = met.get(b)
+            manifest["committed"][str(b)] = {
+                "partition_id": b,
+                "n_in": row["n_in"] if row else 0,
+                "n_kept": row["n_kept"] if row else 0,
+                "n_scrubbed": row["n_scrubbed"] if row else 0,
+                "input_fingerprint": str(row["input_fingerprint"]) if row else "0",
+                "metrics": {
+                    "avg_perplexity": row["avg_perplexity"] if row else None,
+                    "avg_words": row["avg_words"] if row else None,
+                    **(
+                        {"n_dup_dropped": float(pre_counts.get(b, 0) - (row["n_in"] if row else 0))}
+                        if dedup
+                        else {}
+                    ),
+                },
+                "committed_at": time.time(),
+            }
+            _commit_manifest(out_dir, manifest)
+            if fail_after_bucket is not None and b == fail_after_bucket:
+                raise RuntimeError(f"injected failure after bucket {b}")
+    finally:
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
     return manifest
 
 
@@ -252,6 +304,10 @@ def expire_snapshots(out_dir: str, keep_last: int = 2) -> list[str]:
     manifest versions; any ``data*`` root no longer referenced by a kept
     version is deleted. Time travel to expired versions then fails (by
     design — same as Iceberg)."""
+    if keep_last < 1:
+        # versions[-0:] would keep EVERYTHING (silent no-op) and negatives
+        # keep a surprising subset — refuse instead
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = sorted(
         (
             int(n[len("manifest-v") : -len(".json")])

@@ -50,6 +50,39 @@ def test_kill_and_resume_exact(spark, docs, tmp_path):
     assert len(pa) == docs.count()
 
 
+def test_input_scanned_once(spark, docs, tmp_path):
+    """100-TB scan discipline: an N-bucket run must scan the input ONCE (one
+    partitionBy job), not once per bucket. The accumulator counts every row
+    materialized from the source; with 4 buckets the old per-bucket loop
+    would read 4×."""
+    n = docs.count()
+    schema = docs.schema
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = docs.mapInPandas(count_rows, schema)
+    run_qc_with_lineage(counted, str(tmp_path / "once"), n_buckets=4)
+    assert acc.value == n
+
+    # dedup adds exactly one key-only pre-count pass (constant, not
+    # per-bucket): ≤ 2 scans total
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def count_rows2(it):
+        for pdf in it:
+            acc2.add(len(pdf))
+            yield pdf
+
+    counted2 = docs.mapInPandas(count_rows2, schema)
+    run_qc_with_lineage(counted2, str(tmp_path / "once_dedup"), n_buckets=4, dedup=True)
+    assert acc2.value <= 2 * n
+
+
 def test_rerun_completed_is_noop(spark, docs, tmp_path):
     out = str(tmp_path / "run")
     run_qc_with_lineage(docs, out, n_buckets=2)
