@@ -156,7 +156,9 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:  # J2 / dedup
     from longqc_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 150)
-    return ngram_jaccard_pairs(docs, top_k=25)
+    # max_occ: heavy-hitter cut before the token self-join (lqmap.c:166-173
+    # analog) — the oracle applies the identical document-frequency filter
+    return ngram_jaccard_pairs(docs, top_k=25, max_occ=50)
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:  # dedup (LSH), rows-only
@@ -755,7 +757,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:  # duplicate cl
     from longqc_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
     docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 1000)
-    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.8)
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.8, max_occ=200)
     cc = connected_components(pairs)
     return (
         cc.groupBy("component")
@@ -1603,7 +1605,9 @@ def oracle_sql() -> dict[str, str]:
             WITH raw AS (
                 SELECT doc_id AS k, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
                 FROM documents WHERE doc_id < 150
-            ), toks AS (SELECT DISTINCT k, tok FROM raw WHERE tok <> ''),
+            ), toks0 AS (SELECT DISTINCT k, tok FROM raw WHERE tok <> ''),
+            rare AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 50),
+            toks AS (SELECT k, t.tok FROM toks0 t JOIN rare USING (tok)),
             sizes AS (SELECT k, count(*) AS sz FROM toks GROUP BY k),
             inter AS (
                 SELECT l.k AS key_a, r.k AS key_b, count(*) AS i
@@ -2072,7 +2076,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id AS k,
                        unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
                 FROM documents WHERE doc_id < 1000
-            ), toks AS (SELECT DISTINCT k, tok FROM raw WHERE tok <> ''),
+            ), toks0 AS (SELECT DISTINCT k, tok FROM raw WHERE tok <> ''),
+            rare AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 200),
+            toks AS (SELECT k, t.tok FROM toks0 t JOIN rare USING (tok)),
             sizes AS (SELECT k, count(*) AS sz FROM toks GROUP BY k),
             inter AS (
                 SELECT l.k AS key_a, r.k AS key_b, count(*) AS i

@@ -170,11 +170,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     min_jaccard: float = 0.0,
     top_k: int | None = None,
+    max_occ: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard via token equi-join (J2 minimizer-join analog):
     explode distinct tokens, self-join on token, count intersections, derive
-    |A∪B| = |A|+|B|−|A∩B|. → (key_a, key_b, jaccard). O(pairs sharing a
-    token) — bounded corpora / verification of the LSH path."""
+    |A∪B| = |A|+|B|−|A∩B|. → (key_a, key_b, jaccard).
+
+    ``max_occ`` is the heavy-hitter guard (the reference's repetitive-
+    minimizer skip, ``lqmap.c:166-173``): tokens appearing in more than
+    ``max_occ`` documents are dropped BEFORE the self-join, bounding the
+    candidate fan-out to O(docs · max_occ) — a stopword in 10^9 docs would
+    otherwise emit ~10^18 pairs. Jaccard stays EXACT over the surviving
+    token sets (sizes are computed after the cut, so intersection and union
+    use the same universe); a near-ubiquitous token carries no dedup signal,
+    which is why the reference applies the identical cut. ``max_occ=None``
+    keeps the unguarded exact semantics for bounded verification corpora."""
     toks = (
         df.select(
             F.col(key_col).alias("k"),
@@ -182,6 +192,14 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("tok") != "")
     )
+    if max_occ is not None:
+        rare = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df_freq"))
+            .filter(F.col("df_freq") <= max_occ)
+            .select("tok")
+        )
+        toks = toks.join(rare, "tok", "left_semi")
     sizes = toks.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
     l, r = toks.alias("l"), toks.alias("r")
     inter = (
@@ -339,4 +357,12 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # silently-wrong labels are worse than a loud failure: a chain longer
+        # than max_iter hops would return unconverged components and dedup
+        # would keep/drop the wrong witnesses
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({n_changed} labels still changing) — raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))

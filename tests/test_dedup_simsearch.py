@@ -52,6 +52,45 @@ def test_ngram_jaccard_matches_python(spark):
     assert all(b - a == 100 for a, b in pairs)
 
 
+def test_ngram_jaccard_heavy_hitter_guard(spark):
+    """A planted stopword in EVERY doc must not explode the token self-join:
+    with max_occ the ubiquitous token is cut before pairing, bounding the
+    candidate count, while jaccard stays exact over the surviving tokens."""
+    rows = []
+    for i in range(40):
+        # 'the' everywhere (df=40) + 8 unique tokens per doc; docs 0 and 1
+        # additionally share 6 rare tokens → one genuine near-dup pair
+        toks = ["the"] + [f"u{i}_{j}" for j in range(8)]
+        if i in (0, 1):
+            toks += [f"shared{j}" for j in range(6)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    guarded = ngram_jaccard_pairs(docs, max_occ=10).toPandas()
+    # without the guard every one of the 40·39/2=780 pairs shares 'the'
+    unguarded = ngram_jaccard_pairs(docs).toPandas()
+    assert len(unguarded) == 40 * 39 // 2
+    # with it, only the genuinely-overlapping pair survives the join at all
+    assert len(guarded) == 1
+    assert (guarded.key_a[0], guarded.key_b[0]) == (0, 1)
+    # exact jaccard over surviving tokens: |∩|=6, |∪|=8+8+6=22
+    assert guarded.jaccard[0] == pytest.approx(6 / 22)
+    # the convergence guard: chain of length > max_iter raises loudly
+    from longqc_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        pd.DataFrame({"key_a": range(9), "key_b": range(1, 10)})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    assert (
+        connected_components(chain, max_iter=12)
+        .filter(F.col("component") == 0)
+        .count()
+        == 10
+    )
+
+
 def test_minhash_lsh_finds_planted_pairs(spark):
     docs = _planted_docs(spark)
     got = minhash_jaccard_estimate(docs, threshold=0.5).toPandas()
