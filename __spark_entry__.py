@@ -65,6 +65,12 @@ def q_n50(spark: SparkSession, sf: str) -> DataFrame:  # A2/W1/O1
     return R.nxx(_read(spark, sf, "documents"), "n_chars", [0.5, 0.9])
 
 
+def q_n50_approx(spark: SparkSession, sf: str) -> DataFrame:  # A2 at scale
+    """Two-pass bucketed NXX (no global sort/window) — must agree exactly
+    with q_n50; the oracle IS the exact-N50 SQL."""
+    return R.n50_approx(_read(spark, sf, "documents"), "n_chars", [0.5, 0.9])
+
+
 def q_binned_median(spark: SparkSession, sf: str) -> DataFrame:  # A9
     return R.binned_median(_read(spark, sf, "lineitem"), "l_extendedprice", "l_quantity", 10.0)
 
@@ -1427,6 +1433,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "length_stats": q_length_stats,
         "n50": q_n50,
+        "n50_approx": q_n50_approx,
         "binned_median": q_binned_median,
         "histogram": q_histogram,
         "rule_fractions": q_rule_fractions,
@@ -1534,6 +1541,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 50 AS pct, max(len) AS nxx FROM cum, tot WHERE cum >= t * 0.5
             UNION ALL
             SELECT 90 AS pct, max(len) AS nxx FROM cum, tot WHERE cum >= t * 0.9
+            ORDER BY pct
+        """,
+        "n50_approx": """
+            WITH cum AS (
+                SELECT n_chars AS len,
+                       sum(n_chars) OVER (ORDER BY n_chars DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM documents
+            ), tot AS (SELECT sum(n_chars) AS t FROM documents)
+            SELECT 50 AS pct, CAST(max(len) AS BIGINT) AS nxx FROM cum, tot WHERE cum >= t * 0.5
+            UNION ALL
+            SELECT 90 AS pct, CAST(max(len) AS BIGINT) AS nxx FROM cum, tot WHERE cum >= t * 0.9
             ORDER BY pct
         """,
         "binned_median": """

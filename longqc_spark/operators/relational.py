@@ -56,6 +56,78 @@ def nxx(df: DataFrame, length_col: str, fracs: list[float] | None = None) -> Dat
     return out.orderBy("pct")
 
 
+def n50_approx(
+    df: DataFrame,
+    length_col: str,
+    fracs: list[float] | None = None,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """A2 at 10^12 rows: two-pass bucketed NXX (reference ``lq_utils.py:33-53``
+    semantics) with NO global sort/window.
+
+    Pass 1 aggregates (sum, count) per fixed-width length bucket — a plain
+    partial-agg groupBy whose result is tiny (≤ max_len/bucket_width rows,
+    collected to the driver). Walking the bucket table from the top locates
+    the bucket containing each frac·total crossing. Pass 2 re-scans ONLY the
+    crossing buckets behind a pushed-down range predicate (parquet min/max
+    stats prune everything else) and resolves the exact crossing length from
+    the ≤ ``bucket_width`` distinct lengths inside.
+
+    Despite the name (kept for the A2 API), integer lengths make the result
+    EXACT — identical to ``nxx()`` — the "approx" is that the second pass
+    touches one bucket per frac instead of globally sorting 10^12 rows.
+    → (pct int, nxx long), same shape/values as ``nxx``.
+    """
+    fracs = fracs or [0.5, 0.9]
+    spark = df.sparkSession
+    buckets = sorted(
+        df.groupBy(
+            F.floor(F.col(length_col) / F.lit(bucket_width)).cast("long").alias("b")
+        )
+        .agg(F.sum(length_col).alias("s"))
+        .collect(),
+        key=lambda r: -r["b"],
+    )
+    total = sum(r["s"] for r in buckets)
+    # locate each frac's crossing bucket in one desc walk
+    crossings: dict[float, tuple[int, float]] = {}
+    cum = 0
+    targets = sorted(fracs)  # walk top-down, smallest frac crosses first
+    ti = 0
+    for r in buckets:
+        cum += r["s"]
+        while ti < len(targets) and cum >= total * targets[ti]:
+            crossings[targets[ti]] = (r["b"], cum - r["s"])  # cum BEFORE bucket
+            ti += 1
+        if ti == len(targets):
+            break
+    # pass 2: exact resolution inside each crossing bucket (cached per bucket)
+    inbucket: dict[int, list] = {}
+    rows = []
+    for f in fracs:
+        b, cum_before = crossings[f]
+        if b not in inbucket:
+            inbucket[b] = sorted(
+                df.filter(
+                    (F.col(length_col) >= b * bucket_width)
+                    & (F.col(length_col) < (b + 1) * bucket_width)
+                )
+                .groupBy(F.col(length_col).alias("len"))
+                .agg(F.sum(length_col).alias("s"))
+                .collect(),
+                key=lambda r: -r["len"],
+            )
+        run = cum_before
+        nxx_val = inbucket[b][-1]["len"]
+        for r in inbucket[b]:
+            run += r["s"]
+            if run >= total * f:
+                nxx_val = r["len"]
+                break
+        rows.append((int(f * 100), int(nxx_val)))
+    return spark.createDataFrame(rows, "pct int, nxx long").orderBy("pct")
+
+
 def binned_median(
     df: DataFrame, value_col: str, bucket_col: str, bucket_width: float
 ) -> DataFrame:

@@ -155,6 +155,32 @@ def test_connected_components_matches_union_find(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_n50_approx_equals_exact(spark):
+    """The two-pass bucketed NXX must equal the exact sort-window NXX on
+    adversarial length distributions: ties across bucket boundaries, skew,
+    single-value corpora, and crossing exactly at a bucket edge."""
+    import numpy as np
+    import pandas as pd
+
+    from longqc_spark.operators.relational import n50_approx, nxx
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(1, 5000, 3000),            # uniform
+        (rng.pareto(1.5, 3000) * 100 + 1).astype(int),  # heavy tail
+        np.full(500, 64),                        # all equal, ON a bucket edge
+        np.repeat([63, 64, 65, 128], 200),       # ties straddling edges
+        np.array([1]),                           # singleton
+    ]
+    for i, lens in enumerate(cases):
+        df = spark.createDataFrame(pd.DataFrame({"n": lens.astype(int)}))
+        exact = {r["pct"]: r["nxx"] for r in nxx(df, "n", [0.5, 0.9]).collect()}
+        approx = {
+            r["pct"]: r["nxx"] for r in n50_approx(df, "n", [0.5, 0.9]).collect()
+        }
+        assert approx == exact, f"case {i}: {approx} vs {exact}"
+
+
 def test_stratified_sample_partition_invariant(spark, sf001):
     """Stratified hash sample: exact n per stratum and IDENTICAL rows no
     matter how the input is partitioned (the SA1 parallel-stability
