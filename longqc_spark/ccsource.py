@@ -62,8 +62,13 @@ class CCSynthReader(DataSourceReader):
             for lo in range(0, self.n_docs, step)
         ]
 
+    # fixed Arrow-batch size: per-task memory is bounded by the batch, not
+    # the partition — a 10^8-doc partition streams through in 2048-doc chunks
+    BATCH_DOCS = 2048
+
     def read(self, part: CCSynthPartition) -> Iterator:
         import numpy as np
+        import pandas as pd
         import pyarrow as pa
 
         from longqc_spark.corpus import (
@@ -75,25 +80,6 @@ class CCSynthReader(DataSourceReader):
         )
         from longqc_spark.kernels import extract_text_batch
 
-        urls: list[str] = []
-        ts: list[dt.datetime] = []
-        htmls: list[bytes] = []
-        langs: list[str] = []
-        for i in range(part.lo, part.hi):
-            # one rng per doc, keyed by (seed, doc_id): the row is a pure
-            # function of its id — any partitioning yields the same table
-            rng = np.random.default_rng([self.seed, i])
-            cls = CLASSES[int(rng.choice(len(CLASSES), p=_CLASS_P))]
-            host = int(min(rng.zipf(1.5), 500))
-            prose, lang = _gen_text(rng, cls)
-            urls.append(f"https://host{host}.example/{cls}/p{i}")
-            ts.append(_EPOCH + dt.timedelta(seconds=i))
-            htmls.append(_render_html(prose))
-            langs.append(lang)
-
-        import pandas as pd
-
-        texts = extract_text_batch(pd.Series(htmls, dtype=object)).tolist()
         schema = pa.schema(
             [
                 ("url", pa.string()),
@@ -103,13 +89,31 @@ class CCSynthReader(DataSourceReader):
                 ("lang", pa.string()),
             ]
         )
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(urls, pa.string()),
-                pa.array(ts, pa.timestamp("us")),
-                pa.array(htmls, pa.binary()),
-                pa.array(texts, pa.string()),
-                pa.array(langs, pa.string()),
-            ],
-            schema=schema,
-        )
+        for lo in range(part.lo, part.hi, self.BATCH_DOCS):
+            hi = min(lo + self.BATCH_DOCS, part.hi)
+            urls: list[str] = []
+            ts: list[dt.datetime] = []
+            htmls: list[bytes] = []
+            langs: list[str] = []
+            for i in range(lo, hi):
+                # one rng per doc, keyed by (seed, doc_id): the row is a pure
+                # function of its id — any partitioning yields the same table
+                rng = np.random.default_rng([self.seed, i])
+                cls = CLASSES[int(rng.choice(len(CLASSES), p=_CLASS_P))]
+                host = int(min(rng.zipf(1.5), 500))
+                prose, lang = _gen_text(rng, cls)
+                urls.append(f"https://host{host}.example/{cls}/p{i}")
+                ts.append(_EPOCH + dt.timedelta(seconds=i))
+                htmls.append(_render_html(prose))
+                langs.append(lang)
+            texts = extract_text_batch(pd.Series(htmls, dtype=object)).tolist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(ts, pa.timestamp("us")),
+                    pa.array(htmls, pa.binary()),
+                    pa.array(texts, pa.string()),
+                    pa.array(langs, pa.string()),
+                ],
+                schema=schema,
+            )

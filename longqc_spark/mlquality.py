@@ -72,9 +72,15 @@ def train_quality_model(
     replacement) — same data in, same model out.
     """
     train = labels.withColumn("label", F.col(label_col).cast("double"))
+    key = "url" if "url" in train.columns else train.columns[0]
     if sample_n is not None:
-        key = "url" if "url" in train.columns else train.columns[0]
         train = train.orderBy(F.xxhash64(F.col(key), F.lit(seed))).limit(sample_n)
+    # canonical single-partition, key-sorted layout: tree split selection
+    # sums float impurity stats, and summation order varies with
+    # partitioning — near-tie splits could flip. Training input is bounded
+    # by design (sample_n, or a report-scale table), so one sorted partition
+    # makes the fit structurally deterministic, not just empirically so.
+    train = train.coalesce(1).sortWithinPartitions(key)
     if kind == "tree":
         clf = DecisionTreeClassifier(
             maxDepth=max_depth, featuresCol="features", labelCol="label", seed=seed

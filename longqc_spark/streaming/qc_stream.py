@@ -80,18 +80,20 @@ def stream_qc(
         )
         tmp = os.path.join(out_dir, f".tmp-epoch-{epoch_id}")
         final = os.path.join(out_dir, f"epoch={epoch_id}")
-        labels.write.mode("overwrite").parquet(tmp)
-        # lineage row for the epoch (audit-table analog), committed with the
-        # data by the same rename
-        row = (
-            spark.read.parquet(tmp)
-            .agg(
-                F.count(F.lit(1)).alias("n_in"),
-                F.count_if(F.col("keep")).alias("n_kept"),
-                F.bit_xor(F.xxhash64(key_col)).alias("input_fingerprint"),
-            )
-            .collect()[0]
+        # lineage metrics ride the write pass itself (Observation) — one scan
+        # per epoch, mirroring the batch path's single-scan commit; a
+        # read-back of the just-written parquet would double each epoch's IO
+        from pyspark.sql import Observation
+
+        obs = Observation(f"qc-epoch-{epoch_id}")
+        labels = labels.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.bit_xor(F.xxhash64(key_col)).alias("input_fingerprint"),
         )
+        labels.write.mode("overwrite").parquet(tmp)
+        row = obs.get
         with open(os.path.join(tmp, "_lineage.json"), "w") as f:
             json.dump(
                 {
