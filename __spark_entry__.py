@@ -167,6 +167,30 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:  # J2 / dedup
     return ngram_jaccard_pairs(docs, top_k=25, max_occ=50)
 
 
+def q_fuzzy_scrub(spark: SparkSession, sf: str) -> DataFrame:  # M7/M8 fuzzy variant
+    """Tolerance-based term matching (reference lq_adapt.py:45-78 identity-
+    threshold semantics): a token matches a lexicon term when levenshtein ≤ 1
+    AND identity = 1 − dist/max(len) ≥ 0.75. Per-doc matched-occurrence
+    counts, fully JVM-side: unique-token groupBy → broadcast nested-loop
+    left-semi against the tiny term list (dedupes multi-term hits) → weighted
+    sum. The kernel twin (cfg.scrub_fuzzy) shares the same rule and is proven
+    byte-identical vs the labeler in tests/test_kernels.py."""
+    docs = _read(spark, sf, "documents")
+    terms = spark.createDataFrame([("hash",), ("merge",), ("scann",)], "term string")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tokcnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    d = F.levenshtein(F.col("tok"), F.col("term"))
+    ident = F.lit(1.0) - d / F.greatest(F.length("tok"), F.length("term"))
+    hits = tokcnt.join(F.broadcast(terms), (d <= 1) & (ident >= 0.75), "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_fuzzy_matches"))
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:  # dedup (LSH), rows-only
     from longqc_spark.operators.dedup import minhash_jaccard_estimate
 
@@ -1445,6 +1469,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
+        "fuzzy_scrub": q_fuzzy_scrub,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -1638,6 +1663,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.k = key_a
             JOIN sizes sb ON sb.k = key_b
             ORDER BY jaccard DESC, key_a, key_b LIMIT 25
+        """,
+        "fuzzy_scrub": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents
+            ), tokcnt AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> ''
+                GROUP BY doc_id, tok
+            ), hits AS (
+                SELECT doc_id, c FROM tokcnt
+                WHERE EXISTS (
+                    SELECT 1 FROM (VALUES ('hash'), ('merge'), ('scann')) v(term)
+                    WHERE levenshtein(tok, term) <= 1
+                      AND 1 - levenshtein(tok, term) * 1.0
+                            / greatest(length(tok), length(term)) >= 0.75
+                )
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_fuzzy_matches
+            FROM hits GROUP BY doc_id ORDER BY doc_id
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),

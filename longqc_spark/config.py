@@ -74,6 +74,16 @@ class QCConfig:
     scrub_pii: bool = True
     scrub_tox: bool = True
 
+    # Fuzzy scrub (OPT-IN): tolerance-based term matching, the analog of the
+    # reference's APPROXIMATE adapter alignment (edlib infix with identity
+    # > 0.75, lq_adapt.py:45-78) vs the exact-regex cascade above. A
+    # whitespace token matches a lexicon term when edit distance ≤
+    # ``fuzzy_max_dist`` AND identity = 1 − dist/max(len) ≥
+    # ``fuzzy_min_identity`` — catching obfuscations ("fr4k", "frak!").
+    scrub_fuzzy: bool = False
+    fuzzy_max_dist: int = 1
+    fuzzy_min_identity: float = 0.75
+
     # Rule evaluation order — fixed so `reasons` arrays compare byte-identically.
     rule_names: tuple[str, ...] = (
         "too_few_words",

@@ -322,6 +322,58 @@ TOX_PATTERN: re.Pattern = re.compile(
 
 SCRUB_COLUMNS: tuple[str, ...] = ("scrubbed_text", "pii_match_count", "tox_match_count")
 
+_TOKEN_RE = re.compile(r"\S+")
+# per-process memo of token → fuzzy-hit, keyed by the (max_dist, identity)
+# operating point; tokens repeat heavily across a corpus, so each unique
+# token pays the DP at most once per worker
+_FUZZY_MEMO: dict[tuple[int, float], dict[str, bool]] = {}
+
+
+def _edit_distance_capped(a: str, b: str, cap: int) -> int:
+    """Levenshtein with early exit: returns cap+1 as soon as the distance
+    provably exceeds ``cap`` (banded-DP spirit of the reference's bounded
+    edlib alignment, lq_adapt.py:45-78)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        row_min = i
+        for j in range(1, lb + 1):
+            c = prev[j - 1] if ca == b[j - 1] else 1 + min(prev[j - 1], prev[j], cur[j - 1])
+            cur[j] = c
+            if c < row_min:
+                row_min = c
+        if row_min > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_term_match(
+    token_lower: str,
+    max_dist: int,
+    min_identity: float,
+    terms: tuple[str, ...] = TOX_WORDS,
+) -> bool:
+    """True when the token is within ``max_dist`` edits of ANY lexicon term
+    AND identity = 1 − dist/max(len) clears ``min_identity`` — the identity-
+    threshold semantics of the reference's approximate adapter match
+    (lq_adapt.py:45-78: accept alignment only above 75% identity)."""
+    memo = _FUZZY_MEMO.setdefault((max_dist, min_identity), {})
+    hit = memo.get(token_lower)
+    if hit is None:
+        hit = False
+        for t in terms:
+            d = _edit_distance_capped(token_lower, t, max_dist)
+            if d <= max_dist and 1.0 - d / max(len(token_lower), len(t)) >= min_identity:
+                hit = True
+                break
+        memo[token_lower] = hit
+    return hit
+
 
 def scrub_text(text: str, cfg: QCConfig) -> tuple[str, int, int, list[tuple[int, int, str]]]:
     """Rewrite one document; returns (scrubbed, n_pii, n_tox, spans).
@@ -344,6 +396,15 @@ def scrub_text(text: str, cfg: QCConfig) -> tuple[str, int, int, list[tuple[int,
     if cfg.scrub_tox:
         for m in TOX_PATTERN.finditer(text):
             spans.append((m.start(), m.end(), "TOX"))
+    if cfg.scrub_fuzzy:
+        # tolerance pass (opt-in): whitespace tokens within fuzzy_max_dist
+        # edits of a lexicon term at ≥ fuzzy_min_identity; exact TOX spans
+        # appended first win equal-start/equal-length ties (stable sort)
+        for m in _TOKEN_RE.finditer(text):
+            if fuzzy_term_match(
+                m.group(0).lower(), cfg.fuzzy_max_dist, cfg.fuzzy_min_identity
+            ):
+                spans.append((m.start(), m.end(), "TOXF"))
     if not spans:
         return text, 0, 0, []
     spans.sort(key=lambda s: (s[0], -(s[1] - s[0])))
@@ -359,7 +420,7 @@ def scrub_text(text: str, cfg: QCConfig) -> tuple[str, int, int, list[tuple[int,
         out.append(text[pos:start])
         out.append(f"<{kind}>")
         pos = end
-        if kind == "TOX":
+        if kind in ("TOX", "TOXF"):
             n_tox += 1
         else:
             n_pii += 1
@@ -390,6 +451,27 @@ def scrub_batch(texts: pd.Series, cfg: QCConfig, emit_spans: bool = False) -> pd
     maybe_pii = (texts.str.contains("@", regex=False) | texts.str.contains(r"\d", regex=True)).to_numpy()
     maybe_tox = texts.str.contains(TOX_PATTERN).to_numpy()
     candidates = maybe_pii | maybe_tox
+    if cfg.scrub_fuzzy:
+        # fuzzy candidacy via the factorized unique-token stream: the DP runs
+        # once per UNIQUE token (memoized), then fans out via codes — same
+        # cost model as compute_stats, so the opt-in path keeps the prefilter
+        split = texts.str.split()
+        n_tok_f = np.fromiter(map(len, split), dtype=np.int64, count=n)
+        flat_f = pd.Series(list(chain.from_iterable(split)), dtype=object)
+        if len(flat_f):
+            codes_f, uniq_f = pd.factorize(flat_f, use_na_sentinel=False)
+            u_hit = np.fromiter(
+                (
+                    fuzzy_term_match(t.lower(), cfg.fuzzy_max_dist, cfg.fuzzy_min_identity)
+                    for t in uniq_f
+                ),
+                dtype=bool,
+                count=len(uniq_f),
+            )
+            doc_ids_f = np.repeat(np.arange(n), n_tok_f)
+            candidates = candidates | (
+                np.bincount(doc_ids_f, weights=u_hit[codes_f].astype(np.float64), minlength=n) > 0
+            )
     for i in np.flatnonzero(~candidates):
         scrubbed[i] = arr[i]
         if emit_spans:

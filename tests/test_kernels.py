@@ -83,6 +83,50 @@ def test_scrub_overlap_earlier_start_wins():
     assert out2 == "x <EMAIL> y" and p2 == 1 and [s[2] for s in spans2] == ["EMAIL"]
 
 
+def test_fuzzy_scrub_identity_threshold():
+    """Opt-in tolerance pass (reference lq_adapt.py:45-78 semantics): tokens
+    within 1 edit of a lexicon term at identity ≥ 0.75 are scrubbed; the
+    exact cascade alone must NOT touch the obfuscations."""
+    cfg = DEFAULT_CONFIG.with_overrides(scrub_fuzzy=True)
+    texts = pd.Series(
+        [
+            "say fr4k now",        # substitution, dist 1, identity 0.75
+            "say frak! now",       # exact hit inside a longer token
+            "say smeeg now",       # insertion, dist 1, identity 0.8
+            "say smg now",         # deletion → dist 1 BUT identity 0.75 on len-4 term
+            "say table now",       # clean
+        ]
+    )
+    got = scrub_batch(texts, cfg)
+    assert got.scrubbed_text.tolist() == [
+        "say <TOXF> now",
+        "say <TOXF> now",  # fuzzy token span (frak!) is longer → wins the tie
+        "say <TOXF> now",
+        "say <TOXF> now",  # 1 - 1/max(3,4) = 0.75 ≥ 0.75 → matches
+        "say table now",
+    ]
+    assert got.tox_match_count.tolist() == [1, 1, 1, 1, 0]
+    # exact-only cascade leaves the obfuscations untouched
+    exact = scrub_batch(texts, DEFAULT_CONFIG)
+    assert exact.scrubbed_text.tolist() == [
+        "say fr4k now",
+        "say <TOX>! now",  # word-boundary regex scrubs only the inner 'frak'
+        "say smeeg now",
+        "say smg now",
+        "say table now",
+    ]
+
+
+def test_fuzzy_scrub_distance_cap():
+    """Two edits never match at max_dist=1; raising the knobs widens it."""
+    cfg1 = DEFAULT_CONFIG.with_overrides(scrub_fuzzy=True)
+    assert scrub_batch(pd.Series(["fr44k"]), cfg1).tox_match_count.tolist() == [0]
+    cfg2 = DEFAULT_CONFIG.with_overrides(
+        scrub_fuzzy=True, fuzzy_max_dist=2, fuzzy_min_identity=0.5
+    )
+    assert scrub_batch(pd.Series(["fr44k"]), cfg2).tox_match_count.tolist() == [1]
+
+
 def test_scrub_batch_columns():
     df = scrub_batch(pd.Series(["a@b.co hi", "clean"]), DEFAULT_CONFIG)
     assert df.scrubbed_text.tolist() == ["<EMAIL> hi", "clean"]

@@ -52,6 +52,24 @@ def test_both_labels_present(joined):
     assert got.keep.any() and (~got.keep).any()
 
 
+def test_fuzzy_scrub_byte_identical(spark, corpus_path, corpus_pdf):
+    """With the opt-in tolerance pass enabled, Spark and the pandas labeler
+    still produce byte-identical scrubbed text and identical keep labels —
+    the fuzzy path is the same shared kernel on both sides."""
+    from longqc_spark.config import DEFAULT_CONFIG
+    from longqc_spark.labeler import label_corpus as _label
+
+    cfg = DEFAULT_CONFIG.with_overrides(scrub_fuzzy=True)
+    docs = spark.read.parquet(corpus_path)
+    got = qc_pipeline(docs, cfg).toPandas().set_index("url").sort_index()
+    ref = _label(corpus_pdf, cfg).set_index("url").sort_index()
+    assert (got.scrubbed_text == ref.scrubbed_text).all()
+    assert (got.keep == ref.keep).all()
+    # the tolerance pass only ever ADDS matches relative to the exact cascade
+    exact = label_corpus(corpus_pdf).set_index("url").sort_index()
+    assert (ref.tox_match_count >= exact.tox_match_count).all()
+
+
 def test_parallelism_invariance(spark, corpus_path):
     """Same input at 2 vs 16 partitions → identical labels (guards against
     order-dependent floats; reference analog: chunk-size independence)."""
