@@ -4,21 +4,97 @@ with typed metadata.
 The reference's analog is the FAST5/HDF5 path (``lq_utils.py:211-236``,
 ``lq_nanopore.py:102-117``): opaque container bytes scanned with
 ``binaryFile`` semantics, decoded per record by a vectorized kernel, metadata
-extracted into typed columns. Decode itself is STUBBED here (no image/audio
-libraries in this container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (seeded from the payload hash) produces realistic-shaped
-outputs so the Spark-side plumbing — schema, batch shape, partitioning —
-is real and tested end-to-end.
+extracted into typed columns — the reference does REAL container extraction
+(h5py reads, ``lq_nanopore.py:102-117``), and so does this module for two
+formats that need no external libs: 24-bit **BMP** images and PCM16 **WAV**
+audio, both encoded/decoded in pure numpy (``encode_bmp``/``decode_bmp``,
+``encode_wav``/``decode_wav``). Only VIDEO decode remains stubbed
+(``decode_video_frames`` raises unless ``fake=True`` — containers genuinely
+require ffmpeg); its sampling/resize/batch plumbing is real and tested.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+
+# ---------------------------------------------------------------------------
+# Real pure-numpy codecs (no external libraries)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → 24-bit uncompressed BMP (BITMAPINFOHEADER):
+    bottom-up BGR rows padded to 4-byte multiples."""
+    h, w = img.shape[0], img.shape[1]
+    row_size = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = img[..., ::-1].reshape(h, w * 3)  # RGB → BGR
+    pixels = rows[::-1].tobytes()  # bottom-up row order
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixels
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → (h, w, 3) RGB uint8. Handles bottom-up (positive
+    height) and top-down (negative) row order and 4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB supported (bpp={bpp})")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=data_offset)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # stored bottom-up
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(pcm), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono → (int16 samples, sample_rate). Walks the chunk
+    list, so extra chunks (LIST/fact) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -31,15 +107,28 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synth_media_table(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake media corpus (binary payloads with magic bytes)."""
+    """Deterministic media corpus: REAL 24-bit BMP images and PCM16 WAV
+    audio (decodable by the pure-numpy codecs above), fake-container video
+    (ftyp magic + noise — video decode is the one remaining stub)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    magic = {"image": b"\x89PNG", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-fake"}
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        body = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
-        rows.append((i, kind, magic[kind] + body, f"{kind}/x-fake"))
+        if kind == "image":
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            payload = encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        elif kind == "audio":
+            n_samp = int(rng.integers(400, 4000))
+            t = np.arange(n_samp)
+            freq = float(rng.uniform(100, 2000))
+            wave = 6000 * np.sin(2 * np.pi * freq * t / 16000) + rng.normal(0, 500, n_samp)
+            payload = encode_wav(wave.astype(np.int16))
+        else:
+            body = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8)
+            payload = b"\x00\x00\x00\x18ftyp" + body.tobytes()
+        rows.append((i, kind, payload, mimes[kind]))
     return spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "kind", "payload", "declared_mime"]), schema=MEDIA_SCHEMA)
 
 
@@ -50,7 +139,7 @@ def write_media_files(spark, out_dir: str, n: int = 48, seed: int = 42) -> str:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    ext = {"image": "png", "audio": "wav", "video": "mp4"}
+    ext = {"image": "bmp", "audio": "wav", "video": "mp4"}
     for row in synth_media_table(spark, n=n, seed=seed).collect():
         with open(os.path.join(out_dir, f"{row.media_id:06d}.{ext[row.kind]}"), "wb") as f:
             f.write(bytes(row.payload))
@@ -63,9 +152,14 @@ def scan_media_files(spark, in_dir: str) -> DataFrame:
     with any file source; at scale, partition the bucket by kind/date."""
     ext_kind = F.element_at(F.split(F.col("path"), r"\."), -1)
     kind = (
-        F.when(ext_kind == "png", "image")
+        F.when(ext_kind == "bmp", "image")
         .when(ext_kind == "wav", "audio")
         .otherwise("video")
+    )
+    mime = (
+        F.when(kind == "image", "image/bmp")
+        .when(kind == "audio", "audio/wav")
+        .otherwise("video/x-fake")
     )
     media_id = F.regexp_extract(F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)", 1)
     return (
@@ -75,20 +169,21 @@ def scan_media_files(spark, in_dir: str) -> DataFrame:
             media_id.cast("long").alias("media_id"),
             kind.alias("kind"),
             F.col("content").alias("payload"),
-            F.concat(kind, F.lit("/x-fake")).alias("declared_mime"),
+            mime.alias("declared_mime"),
         )
     )
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs PIL/libvips (not in this container).
-
-    ``fake=True`` → deterministic pseudo-decode: dims and pixel stats seeded
-    from crc32(payload), so tests exercise the full Arrow round-trip."""
+    """BMP payloads decode for REAL (pure numpy, ``decode_bmp``). Other
+    formats (PNG/JPEG) need libpng/libjpeg — not in this container — so they
+    raise unless ``fake=True`` (deterministic pseudo-decode seeded from
+    crc32(payload), for plumbing tests only)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/pyvips; install and replace this stub "
-            "(plumbing below is production-shaped)"
+            "non-BMP image decode requires PIL/pyvips; BMP decodes natively"
         )
     h = zlib.crc32(payload)
     rng = np.random.default_rng(h)
@@ -105,20 +200,29 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_frac", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
 
-_MAGIC = {"image": b"\x89PNG", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
+_MAGIC = {"image": b"BM", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """binary payload → typed feature row, Arrow-batched.
 
-    Production shape: one ``mapInPandas`` pass per partition, payloads decoded
-    batch-wise, features emitted as ``array<float>`` ready for the simsearch
-    operators. Partitioning: repartition upstream by ``xxhash64(media_id)``
-    for uniform decode cost (same pattern as the text pipeline)."""
+    REAL decode paths: BMP images (dims, mean luma, 8-bin pixel histogram as
+    the embedding) and WAV audio (sample count/rate, RMS, zero-crossing
+    fraction, 8-band magnitude-spectrum profile via rfft). Video rows keep
+    container-level stats only (decode stubbed).
+
+    Production shape: one ``mapInPandas`` pass per partition, payloads
+    decoded batch-wise, features emitted as ``array<float>`` ready for the
+    simsearch operators. Partitioning: repartition upstream by
+    ``xxhash64(media_id)`` for uniform decode cost."""
 
     def compute(batches):
         for pdf in batches:
@@ -135,6 +239,10 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 "width": np.zeros(n, dtype=np.int32),
                 "height": np.zeros(n, dtype=np.int32),
                 "mean_luma": np.zeros(n, dtype=np.float64),
+                "n_samples": np.zeros(n, dtype=np.int32),
+                "sample_rate": np.zeros(n, dtype=np.int32),
+                "rms": np.zeros(n, dtype=np.float64),
+                "zero_cross_frac": np.zeros(n, dtype=np.float64),
                 "feature": np.empty(n, dtype=object),
             }
             for i, (payload, kind) in enumerate(zip(pdf.payload, pdf.kind)):
@@ -142,9 +250,26 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     img = decode_image(bytes(payload), fake=fake_decode)
                     out["height"][i], out["width"][i] = img.shape[0], img.shape[1]
                     out["mean_luma"][i] = float(img.mean())
-                    # 8-bin histogram as the stand-in embedding
                     hist, _ = np.histogram(img, bins=8, range=(0, 256))
                     out["feature"][i] = (hist / hist.sum()).astype(np.float32).tolist()
+                elif kind == "audio":
+                    samples, rate = decode_wav(bytes(payload))
+                    x = samples.astype(np.float64)
+                    out["n_samples"][i] = len(samples)
+                    out["sample_rate"][i] = rate
+                    out["rms"][i] = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                    if len(x) > 1:
+                        out["zero_cross_frac"][i] = float(
+                            np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                        )
+                    # 8-band magnitude-spectrum profile (L1-normalized)
+                    mag = np.abs(np.fft.rfft(x))
+                    bands = np.array_split(mag, 8)
+                    prof = np.array([b.sum() for b in bands])
+                    tot = prof.sum()
+                    out["feature"][i] = (
+                        (prof / tot).astype(np.float32).tolist() if tot > 0 else []
+                    )
                 else:
                     out["feature"][i] = []
             yield pd.DataFrame(out)

@@ -1,18 +1,65 @@
-"""Multimodal plumbing: binary columns through Arrow, stubbed decode."""
+"""Multimodal: REAL pure-numpy BMP/WAV codecs + binary-column plumbing
+through Arrow; only video decode remains stubbed."""
 
 import numpy as np
 import pytest
 
 from longqc_spark.operators.multimodal import (
+    decode_bmp,
     decode_image,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     extract_features,
     synth_media_table,
 )
 
 
+def test_bmp_roundtrip_exact():
+    """encode→decode identity, including odd widths that need row padding."""
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 3), (8, 7), (16, 16), (11, 33)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+
+
+def test_bmp_hand_fixture():
+    """Known pixels decode to known values (red/blue 1×2, mean hand-computed)."""
+    img = np.array([[[255, 0, 0], [0, 0, 255]]], dtype=np.uint8)
+    payload = encode_bmp(img)
+    assert payload[:2] == b"BM"
+    back = decode_bmp(payload)
+    assert np.array_equal(back, img)
+    assert back.mean() == pytest.approx((255 + 255) / 6)
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(4)
+    samples = rng.integers(-30000, 30000, size=777, dtype=np.int16)
+    got, rate = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+
+
+def test_wav_hand_fixture():
+    """Constant-amplitude square wave: RMS and zero crossings are exact."""
+    samples = np.tile(np.array([1000, -1000], dtype=np.int16), 50)
+    got, rate = decode_wav(encode_wav(samples))
+    assert rate == 16000 and len(got) == 100
+    x = got.astype(np.float64)
+    assert float(np.sqrt(np.mean(x * x))) == pytest.approx(1000.0)
+    assert float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) == pytest.approx(1.0)
+
+
 def test_decode_stub_raises_without_fake():
+    # non-BMP formats still need real libs → loud stub
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNGxxxx")
+
+
+def test_real_bmp_decodes_without_fake_flag():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
 
 
 def test_fake_decode_deterministic():
@@ -31,9 +78,27 @@ def test_extract_features_roundtrip(spark):
     assert (imgs.width > 0).all() and (imgs.height > 0).all()
     assert imgs.feature.map(len).eq(8).all()
     assert np.allclose(imgs.feature.map(sum), 1.0, atol=1e-5)
-    others = feats[feats.kind != "image"]
-    assert others.feature.map(len).eq(0).all()
-    assert (feats.n_bytes > 64).all()
+    auds = feats[feats.kind == "audio"]
+    assert (auds.sample_rate == 16000).all() and (auds.n_samples > 0).all()
+    assert (auds.rms > 0).all() and auds.feature.map(len).eq(8).all()
+    vids = feats[feats.kind == "video"]
+    assert vids.feature.map(len).eq(0).all()
+    assert (feats.n_bytes > 44).all()
+
+
+def test_extract_features_matches_direct_decode(spark):
+    """Spark-side features equal a direct single-node decode of the same
+    payloads — the real-decode twin of the labeler-identity gate."""
+    media = synth_media_table(spark, n=12)
+    feats = extract_features(media).toPandas().set_index("media_id")
+    for row in media.toPandas().itertuples():
+        if row.kind == "image":
+            img = decode_bmp(bytes(row.payload))
+            assert feats.loc[row.media_id, "mean_luma"] == pytest.approx(float(img.mean()))
+            assert (feats.loc[row.media_id, "height"], feats.loc[row.media_id, "width"]) == img.shape[:2]
+        elif row.kind == "audio":
+            x = decode_wav(bytes(row.payload))[0].astype(np.float64)
+            assert feats.loc[row.media_id, "rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))
 
 
 def test_extract_features_partition_invariant(spark):
