@@ -1,0 +1,212 @@
+"""Expected-value fixtures for the driver-contract queries that have no SQL
+oracle (deterministic models → pinned outputs), plus cross-checks of the
+LSH fast paths against their SQL-family twins on identical inputs.
+
+These are the correctness evidence for the `no_oracle` rows in
+CORRECTNESS_r*.json: the outputs are pure functions of the versioned
+testdata + seeded models, so exact values are assertable."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def test_langid_docs_expected_values(spark, sf01):
+    """Deterministic trigram langid over the sf0.01 documents table: the
+    aggregate row is a pinned fixture (count exact, avg to FP tolerance)."""
+    rows = entry.queries()["langid_docs"](spark, sf01).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["lang_pred"], r["n"]) == ("en", 500)
+    assert r["avg_score"] == pytest.approx(0.2860856849772893, rel=1e-9)
+
+
+def test_ml_quality_expected_confusion(spark, sf01):
+    """The decision tree recovers the rule cascade perfectly on sf0.01:
+    confusion matrix is diagonal with pinned counts (deterministic fit —
+    canonical single-partition training order)."""
+    rows = entry.queries()["ml_quality"](spark, sf01).collect()
+    got = sorted((r["keep"], r["quality_pred"], r["n"]) for r in rows)
+    assert got == [(False, False, 304), (True, True, 196)]
+
+
+def _planted(spark):
+    """10 base docs, 10 near-copies (1 of ~60 tokens changed), 10 unrelated."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{j}" for j in range(500)]
+    rows = []
+    for i in range(10):
+        toks = [vocab[x] for x in rng.integers(0, 500, 60)]
+        rows.append((i, " ".join(toks)))
+        near = list(toks)
+        near[5] = "CHANGED"
+        rows.append((100 + i, " ".join(near)))
+    for i in range(10):
+        toks = [vocab[x] for x in rng.integers(0, 500, 60)]
+        rows.append((200 + i, " ".join(toks)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _sql_family_minhash_pairs(docs, n_perms=16, bands=8, threshold=0.5):
+    """The minhash_sql hash family (min md5(perm:shingle) per permutation)
+    taken all the way to candidate pairs + signature-agreement estimate —
+    same banding scheme as the numpy fast path, different (but equally
+    valid) permutation family."""
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(" ", F.slice("ts", i + 1, F.lit(3))),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    perms = docs.sparkSession.range(n_perms).select(F.col("id").alias("perm"))
+    sigs = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle")).cast(
+                        "binary"
+                    )
+                )
+            ).alias("mh")
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
+        .select("doc_id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+    )
+    r = n_perms // bands
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("key_a"), F.col("r.doc_id").alias("key_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("key_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("key_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(n_perms)
+    ).alias("est_jaccard")
+    return (
+        cand.join(a, "key_a")
+        .join(b, "key_b")
+        .select("key_a", "key_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def test_minhash_fast_path_agrees_with_sql_family(spark):
+    """The numpy fast path and the md5 SQL-family twin are independent
+    estimators of the same shingle Jaccard: on the planted corpus they must
+    keep the SAME pair set at threshold 0.5 and both estimates must sit
+    near the true jaccard of each planted pair."""
+    from longqc_spark.operators.dedup import minhash_jaccard_estimate
+
+    docs = _planted(spark)
+    fast = {
+        (r.key_a, r.key_b): r.est_jaccard
+        for r in minhash_jaccard_estimate(docs, threshold=0.5).collect()
+    }
+    sqlf = {
+        (r.key_a, r.key_b): r.est_jaccard
+        for r in _sql_family_minhash_pairs(docs, threshold=0.5).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    assert set(fast) == planted
+    assert set(sqlf) == planted
+    # true 3-shingle jaccard of a 1-token-in-60 edit ≈ (58-2·2)/(58+2·2+...)
+    # ≈ 0.83-0.92; both estimators land in a generous band around it
+    for k in planted:
+        assert 0.6 <= fast[k] <= 1.0
+        assert 0.6 <= sqlf[k] <= 1.0
+        assert abs(fast[k] - sqlf[k]) <= 0.35  # 64- vs 16-perm estimator noise
+
+
+def test_simhash_fast_path_agrees_with_sql_family(spark):
+    """The 64-bit numpy simhash and the 32-bit md5 SQL twin must agree on
+    WHICH pairs are hamming-near: planted near-dups are close under both
+    families, unrelated docs are far under both."""
+    from longqc_spark.operators.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = _planted(spark)
+    fast_pairs = {
+        (r.key_a, r.key_b)
+        for r in simhash_near_pairs(
+            simhash_signatures(docs), max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    # SQL family: 32-bit md5 simhash (q_simhash_sql's plan), exact all-pairs
+    # hamming over the 30 docs
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+    )
+    bits = h.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        F.col("h32"),
+    ).select("doc_id", "bit", F.expr("shiftrightunsigned(h32, bit) & 1").alias("b"))
+    sims = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("b").alias("ones"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END")
+            ).alias("sh")
+        )
+    )
+    l, r = sims.alias("l"), sims.alias("r")
+    sql_pairs = {
+        (row.key_a, row.key_b)
+        for row in l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("key_a"),
+            F.col("r.doc_id").alias("key_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("ham"),
+        )
+        .filter(F.col("ham") <= 4)  # 32-bit scale: ~half the 64-bit radius
+        .collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= fast_pairs
+    assert planted <= sql_pairs
+    # neither family may call unrelated docs near: non-planted hits are rare
+    assert len(fast_pairs - planted) <= 2
+    assert len(sql_pairs - planted) <= 2
