@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
                         "(extraction fused into the Arrow pass)")
     p.add_argument("--dedup", action="store_true",
                    help="exact-dedup stage before QC (min key per distinct text)")
+    p.add_argument("--fuzzy-scrub", action="store_true",
+                   help="tolerance scrub pass: tokens within 1 edit of a "
+                        "lexicon term at identity >= 0.75 are scrubbed too "
+                        "(approximate-adapter-match analog)")
     p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
     p.add_argument("--compact", action="store_true",
                    help="after the run: bin-packing compaction of the labels "
@@ -62,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     cfg = PRESETS[args.preset]
+    if args.fuzzy_scrub:
+        cfg = cfg.with_overrides(scrub_fuzzy=True)
     docs = spark.read.parquet(args.input)
     manifest = run_qc_with_lineage(
         docs,

@@ -256,3 +256,44 @@ def test_full_outer_coalesces_keys(spark):
         and (r.n_purchases > 0) == (r.user_id in buyers)
         for r in rows
     )
+
+
+def test_n50_approx_pass2_pushes_range_predicate(spark, sf001):
+    """The second pass of the bucketed NXX must reach the parquet scan as a
+    pushed-down range filter (min/max row-group stats prune everything
+    outside the crossing bucket)."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    # the exact pass-2 shape: range filter + per-length aggregate
+    pass2 = (
+        docs.filter((F.col("n_chars") >= 256) & (F.col("n_chars") < 320))
+        .groupBy(F.col("n_chars").alias("len"))
+        .agg(F.sum("n_chars").alias("s"))
+    )
+    plan = _formatted(pass2)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(n_chars,256\)", plan)
+    assert "LessThan(n_chars,320)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1)  # length column only, no payloads
+
+
+def test_fuzzy_scrub_broadcasts_terms(spark, sf001):
+    """The fuzzy-match join must be a broadcast nested-loop against the tiny
+    term list (non-equi condition), never a cartesian shuffle, and the token
+    count must partial-aggregate before the shuffle."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["fuzzy_scrub"](spark, sf001)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_ngram_guard_uses_semi_join(spark, sf001):
+    """max_occ applies as a left-semi join against the surviving-token set
+    (no extra columns carried), before the pair-generating self-join."""
+    from longqc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").limit(50)
+    plan = _plan(ngram_jaccard_pairs(docs, max_occ=10))
+    assert "LeftSemi" in plan
