@@ -167,6 +167,75 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:  # J2 / dedup
     return ngram_jaccard_pairs(docs, top_k=25, max_occ=50)
 
 
+def q_token_pmi(spark: SparkSession, sf: str) -> DataFrame:  # co-occurrence lift
+    """Top adjacent-bigram association by LIFT = n_ab·N / (n_a·n_b) — the
+    log-free PMI variant (a single integer-ratio division is bit-identical
+    cross-engine, unlike libm log). Two partial-agg groupBys + two broadcast-
+    size joins; the bigram stream comes from a per-doc window lead, the same
+    plan DuckDB's lead() mirrors."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    n_total = toks.count()
+    ua = uni.select(F.col("tok"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("nxt"), F.col("n").alias("n_b"))
+    return (
+        big.filter(F.col("n_ab") >= 10)
+        .join(ua, "tok")
+        .join(ub, "nxt")
+        .select(
+            F.col("tok").alias("t1"),
+            F.col("nxt").alias("t2"),
+            "n_ab",
+            (F.col("n_ab") * F.lit(float(n_total)) / (F.col("n_a") * F.col("n_b"))).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("lift"), "t1", "t2")
+        .limit(20)
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:  # robust outliers
+    """Per-group robust outlier counts via MAD (median absolute deviation):
+    med and MAD are exact interpolated medians over INTEGER lengths, so both
+    engines produce exactly-representable .0/.5 values and the 3-MAD cut is
+    bit-stable. Two exact-median aggs (Spark `median` == SQL quantile_cont
+    interpolation) + one conditional count."""
+    docs = _read(spark, sf, "documents")
+    med = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.max("med").alias("med"), F.median("adev").alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_fuzzy_scrub(spark: SparkSession, sf: str) -> DataFrame:  # M7/M8 fuzzy variant
     """Tolerance-based term matching (reference lq_adapt.py:45-78 identity-
     threshold semantics): a token matches a lexicon term when levenshtein ≤ 1
@@ -1470,6 +1539,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
         "fuzzy_scrub": q_fuzzy_scrub,
+        "token_pmi": q_token_pmi,
+        "mad_outliers": q_mad_outliers,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -1663,6 +1734,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.k = key_a
             JOIN sizes sb ON sb.k = key_b
             ORDER BY jaccard DESC, key_a, key_b LIMIT 25
+        """,
+        "token_pmi": """
+            WITH c AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> ''
+                       ) AS arr
+                FROM documents
+            ), big AS (
+                SELECT unnest(list_zip(arr, arr[2:])) AS p FROM c
+            ), nab AS (
+                SELECT p[1] AS t1, p[2] AS t2, count(*) AS n_ab FROM big
+                WHERE p[2] IS NOT NULL GROUP BY 1, 2
+            ), uni AS (
+                SELECT unnest(arr) AS tok FROM c
+            ), ucnt AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+            tot AS (SELECT count(*) AS n_total FROM uni)
+            SELECT t1, t2, n_ab,
+                   n_ab * (SELECT n_total * 1.0 FROM tot)
+                       / (ua.n * ub.n) AS lift
+            FROM nab
+            JOIN ucnt ua ON ua.tok = t1
+            JOIN ucnt ub ON ub.tok = t2
+            WHERE n_ab >= 10
+            ORDER BY lift DESC, t1, t2 LIMIT 20
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT source, quantile_cont(n_chars, 0.5) AS med
+                FROM documents GROUP BY source
+            ), dev AS (
+                SELECT d.source, med, abs(n_chars - med) AS adev
+                FROM documents d JOIN med USING (source)
+            ), mad AS (
+                SELECT source, max(med) AS med, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY source
+            )
+            SELECT dev.source, max(mad.med) AS med, max(mad.mad) AS mad,
+                   count(*) AS n,
+                   count(*) FILTER (WHERE adev > 3 * mad.mad) AS n_outliers
+            FROM dev JOIN mad ON dev.source = mad.source
+            GROUP BY dev.source ORDER BY dev.source
         """,
         "fuzzy_scrub": """
             WITH toks AS (
