@@ -230,13 +230,22 @@ def salted_count(
 
 
 def set_ops_summary(a: DataFrame, b: DataFrame) -> DataFrame:
-    """SE-family demo: |A∖B|, |B∖A|, |A∩B| via except/intersect (SE2/SE4)."""
-    only_a = a.exceptAll(b).count()
-    only_b = b.exceptAll(a).count()
-    both = a.intersect(b).count()
-    spark = a.sparkSession
-    return spark.createDataFrame(
-        [(only_a, only_b, both)], "only_a long, only_b long, in_both long"
+    """SE2/SE4: |A∖B| (multiset except), |B∖A|, |A∩B| (distinct intersect) —
+    as ONE lazy plan: per-side multiplicity groupBys, a full-outer join on
+    the row key, then a single final aggregate. The naive
+    exceptAll/intersect/count version runs THREE driver-blocking jobs and
+    scans each input three times; this shape scans each once, and the result
+    is a DataFrame (no driver collect), so it composes."""
+    cols = a.columns
+    ta = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("na"))
+    tb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("nb"))
+    j = ta.join(tb, cols, "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"), F.coalesce("nb", F.lit(0)).alias("nb")
+    )
+    return j.agg(
+        F.sum(F.greatest(F.col("na") - F.col("nb"), F.lit(0))).cast("long").alias("only_a"),
+        F.sum(F.greatest(F.col("nb") - F.col("na"), F.lit(0))).cast("long").alias("only_b"),
+        F.count_if((F.col("na") > 0) & (F.col("nb") > 0)).alias("in_both"),
     )
 
 
