@@ -106,6 +106,98 @@ def sessionize_stream(
     )
 
 
+class _SessionProcessor:
+    """Spark 4 ``StatefulProcessor`` twin of ``_session_fn`` — same
+    sessionization semantics on the new transformWithState engine (typed
+    composite state handles, RocksDB-backed). Defined lazily-subclassable so
+    importing this module never requires the streaming state classes."""
+
+    def __init__(self, gap_seconds: float):
+        self.gap = gap_seconds
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("sess", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        pdf = pd.concat(list(rows)).sort_values("sec")
+        if self.state.exists():
+            s, last, n, tot = self.state.get()
+        else:
+            s = last = None
+            n, tot = 0, 0.0
+        out = []
+        for sec, value in zip(pdf["sec"], pdf["value"]):
+            if last is not None and sec - last > self.gap:
+                out.append([user_id, s, last, n, tot])
+                s, n, tot = sec, 0, 0.0
+            if s is None:
+                s = sec
+            last = sec
+            n += 1
+            tot += float(value)
+        self.state.update((s, last, n, tot))
+        if out:
+            yield pd.DataFrame(out, columns=SESSION_SCHEMA.fieldNames())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_stream_tws(
+    spark, input_dir: str, schema, gap_seconds: float = 300.0, query_name: str = "sessions_tws"
+):
+    """Sessionization on Spark 4's ``transformWithStateInPandas`` — the
+    successor API to applyInPandasWithState (explicit state handles, multiple
+    typed states per key, timers, RocksDB state store). Emits the same
+    closed-session rows as ``sessionize_stream``; tests assert all three
+    implementations (batch window, GroupState, TWS) agree exactly.
+
+    Requires the RocksDB state store provider (transformWithState's only
+    backend) and ``google.protobuf`` on the worker Python (the TWS state
+    protocol; ships with standard Spark deployments but is absent from this
+    sandbox image — the test gates on it via ``importorskip``)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf on the worker "
+            "Python (TWS state protocol); use sessionize_stream "
+            "(applyInPandasWithState) where it is unavailable"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    proc = type("SessionProcessorTWS", (_SessionProcessor, StatefulProcessor), {})(
+        gap_seconds
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("double").alias("sec"),
+            "value",
+        )
+    )
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(proc, SESSION_SCHEMA, "append", "none")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_seconds: float = 300.0) -> DataFrame:
     """Batch twin (the spec): lag-gap change points → session ids → agg."""
     sec = F.col("ts").cast("timestamp").cast("double")

@@ -75,3 +75,129 @@ def test_batch_sessionization_properties(spark, sf001):
         assert (starts - ends > GAP).all()
     # event count preserved
     assert s.n_events.sum() == events.count()
+
+
+def test_tws_sessions_match_batch_closed(spark, sf001, tmp_path):
+    """Same contract on Spark 4's transformWithStateInPandas engine: the TWS
+    implementation must emit exactly the closed sessions the batch window
+    twin computes (and therefore agree with the GroupState implementation).
+
+    Gated on google.protobuf (the TWS state protocol dependency): present on
+    standard Spark clusters, absent from this sandbox image."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from longqc_spark.streaming.sessions import sessionize_stream_tws
+
+    events = spark.read.parquet(f"{sf001}/events.parquet").filter(F.col("user_id") < 50)
+    sentinel_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).alias("event_id"),
+            (F.lit(sentinel_ts) + F.expr(f"INTERVAL {int(2 * GAP)} SECONDS")).alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+    d = str(tmp_path / "ev_tws")
+    events.unionByName(sentinels.select(events.columns)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+
+    q = sessionize_stream_tws(spark, d, events.schema, gap_seconds=GAP, query_name="sess_tws")
+    assert q.awaitTermination(300)
+    sentinel_sec = sentinels.select(F.col("ts").cast("timestamp").cast("double")).collect()[0][0]
+    got = (
+        spark.sql("SELECT * FROM sess_tws")
+        .where(f"session_start < {sentinel_sec}")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        sessionize_batch(events, gap_seconds=GAP)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "session_end", "n_events"]],
+        batch[["user_id", "session_start", "session_end", "n_events"]],
+        check_dtype=False,
+    )
+
+
+def test_tws_processor_logic_matches_batch(spark, sf001):
+    """The TWS runtime needs protobuf (absent here), but the processor's
+    sessionization LOGIC is plain Python — drive _SessionProcessor directly
+    with a fake ValueState, feed each user's events in micro-batch-sized
+    chunks, and compare closed sessions against the batch window twin."""
+    import numpy as np
+
+    from longqc_spark.streaming.sessions import _SessionProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    events = (
+        spark.read.parquet(f"{sf001}/events.parquet")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("double").alias("sec"),
+            "value",
+        )
+        .toPandas()
+    )
+    closed = []
+    for uid, grp in events.groupby("user_id"):
+        proc = _SessionProcessor(GAP)
+        proc.state = FakeState()
+        grp = grp.sort_values("sec").reset_index(drop=True)
+        # three uneven chunks = three micro-batches
+        for chunk in np.array_split(grp, 3):
+            if len(chunk):
+                for out in proc.handleInputRows((uid,), iter([chunk]), None):
+                    closed.append(out)
+        # flush the open session (what handleExpiredTimer/timeout would do)
+        s, last, n, tot = proc.state.get()
+        closed.append(
+            pd.DataFrame(
+                [[uid, s, last, n, tot]],
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+        )
+    got = (
+        pd.concat(closed)
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        sessionize_batch(
+            spark.read.parquet(f"{sf001}/events.parquet").filter(F.col("user_id") < 30),
+            gap_seconds=GAP,
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "session_end", "n_events"]],
+        batch[["user_id", "session_start", "session_end", "n_events"]],
+        check_dtype=False,
+    )
