@@ -349,7 +349,9 @@ def _edit_distance_capped(a: str, b: str, cap: int) -> int:
         if row_min > cap:
             return cap + 1
         prev = cur
-    return prev[lb]
+    # a row minimum within cap doesn't bound the final cell — saturate so the
+    # contract is exact: returns the true distance iff it is ≤ cap, else cap+1
+    return prev[lb] if prev[lb] <= cap else cap + 1
 
 
 def fuzzy_term_match(

@@ -204,3 +204,36 @@ def test_stratified_sample_partition_invariant(spark, sf001):
     c = stratified_hash_sample(docs.repartition(4), 7).orderBy("lang", "doc_id").toPandas()
     d = stratified_hash_sample(docs.repartition(32), 7).orderBy("lang", "doc_id").toPandas()
     assert c.equals(d)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcd", max_size=8),
+    st.text(alphabet="abcd", max_size=8),
+    st.integers(min_value=0, max_value=3),
+)
+def test_edit_distance_capped_matches_reference(a, b, cap):
+    """The capped DP must equal brute-force Levenshtein whenever the true
+    distance is within the cap, and report cap+1 (saturated) otherwise."""
+    from functools import lru_cache
+
+    from longqc_spark.kernels import _edit_distance_capped
+
+    @lru_cache(maxsize=None)
+    def ref(x, y):
+        if not x:
+            return len(y)
+        if not y:
+            return len(x)
+        return min(
+            ref(x[1:], y) + 1,
+            ref(x, y[1:]) + 1,
+            ref(x[1:], y[1:]) + (x[0] != y[0]),
+        )
+
+    true = ref(a, b)
+    got = _edit_distance_capped(a, b, cap)
+    if true <= cap:
+        assert got == true
+    else:
+        assert got == cap + 1
