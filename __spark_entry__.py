@@ -188,18 +188,21 @@ def q_token_pmi(spark: SparkSession, sf: str) -> DataFrame:  # co-occurrence lif
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    n_total = toks.count()
+    # fully lazy: the corpus token total joins in as a broadcast 1-row agg
+    # (no driver-blocking count action; the whole query is one plan)
+    tot = uni.agg(F.sum("n").cast("double").alias("n_total"))
     ua = uni.select(F.col("tok"), F.col("n").alias("n_a"))
     ub = uni.select(F.col("tok").alias("nxt"), F.col("n").alias("n_b"))
     return (
         big.filter(F.col("n_ab") >= 10)
         .join(ua, "tok")
         .join(ub, "nxt")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("tok").alias("t1"),
             F.col("nxt").alias("t2"),
             "n_ab",
-            (F.col("n_ab") * F.lit(float(n_total)) / (F.col("n_a") * F.col("n_b"))).alias(
+            (F.col("n_ab") * F.col("n_total") / (F.col("n_a") * F.col("n_b"))).alias(
                 "lift"
             ),
         )
