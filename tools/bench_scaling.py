@@ -65,6 +65,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=None,
                     help="corpus size (default: the 400k scaling corpus)")
+    ap.add_argument("--levels", default="2,8,32",
+                    help="comma-separated parallelism levels (e.g. 8,32 to "
+                         "re-measure one N→4N pair in a short window, "
+                         "minimizing co-tenant exposure)")
     args = ap.parse_args()
     if args.docs:
         import pandas as pd  # noqa: F401  (parquet writer path)
@@ -78,20 +82,16 @@ def main() -> None:
             )
     else:
         path = write_corpus(DATA_CC, "scaling")
+    levels = tuple(int(x) for x in args.levels.split(","))
     results = {}
-    for cores in (2, 8, 32):
+    for cores in levels:
         sec, n = run_at(cores, path)
         results[cores] = {"sec": round(sec, 2), "docs_per_sec": round(n / sec, 1)}
         print(f"local[{cores}]: {sec:.2f}s  {n / sec:.0f} docs/s", flush=True)
-    eff_2_8 = results[8]["docs_per_sec"] / results[2]["docs_per_sec"] / 4
-    eff_8_32 = results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4
-    out = {
-        "input": path,
-        "n_docs": n,
-        "runs": results,
-        "efficiency_N2_to_4N8": round(eff_2_8, 3),
-        "efficiency_N8_to_4N32": round(eff_8_32, 3),
-    }
+    out = {"input": path, "n_docs": n, "runs": results}
+    for lo, hi in zip(levels, levels[1:]):
+        eff = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"] / (hi / lo)
+        out[f"efficiency_N{lo}_to_{hi}"] = round(eff, 3)
     print(json.dumps(out))
     return out
 
