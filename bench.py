@@ -47,6 +47,11 @@ BENCH_QUERIES = (
     "trace_reconstruct",
     "dup_spans",
     "tpch_q1",
+    # round-2 operators
+    "n50_approx",
+    "fuzzy_scrub",
+    "token_pmi",
+    "mad_outliers",
 )
 
 
