@@ -239,6 +239,21 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:  # robust outlier
     )
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:  # train/eval hygiene
+    """Decontamination demo: docs 0-19 play the benchmark set; corpus =
+    the rest. Flags corpus docs sharing any 5-token shingle with the
+    benchmark (broadcast semi-join of the eval shingle set — no corpus
+    shuffle)."""
+    from longqc_spark.operators.dedup import contamination_check
+
+    docs = _read(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return contamination_check(corpus, eval_df)
+
+
 def q_fuzzy_scrub(spark: SparkSession, sf: str) -> DataFrame:  # M7/M8 fuzzy variant
     """Tolerance-based term matching (reference lq_adapt.py:45-78 identity-
     threshold semantics): a token matches a lexicon term when levenshtein ≤ 1
@@ -1543,6 +1558,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "fuzzy_scrub": q_fuzzy_scrub,
         "token_pmi": q_token_pmi,
+        "decontaminate": q_decontaminate,
         "mad_outliers": q_mad_outliers,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1763,6 +1779,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN ucnt ub ON ub.tok = t2
             WHERE n_ab >= 10
             ORDER BY lift DESC, t1, t2 LIMIT 20
+        """,
+        "decontaminate": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(arr) - 4, 0)),
+                           i -> array_to_string(arr[i:i+4], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> x <> '') AS arr
+                      FROM documents)
+            ), eval_sh AS (
+                SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id < 20
+            ), doc_sh AS (
+                SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 20
+            ), hits AS (
+                SELECT d.doc_id, d.sh, e.eval_id
+                FROM doc_sh d JOIN eval_sh e USING (sh)
+            )
+            SELECT doc_id, count(DISTINCT sh) AS n_contaminated_shingles,
+                   count(DISTINCT eval_id) AS n_eval_docs_hit
+            FROM hits GROUP BY doc_id ORDER BY doc_id
         """,
         "mad_outliers": """
             WITH med AS (

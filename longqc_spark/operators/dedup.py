@@ -307,6 +307,60 @@ def simhash_near_pairs(
     return cand.select("key_a", "key_b", hamming).filter(F.col("hamming") <= max_hamming)
 
 
+def contamination_check(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    eval_key: str = "eval_id",
+    shingle: int = 5,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION — the canonical pre-training hygiene pass:
+    flag corpus documents sharing any ``shingle``-token word shingle with a
+    benchmark/eval set, so evaluation data can be excluded from training.
+
+    Spark-first shape: the eval set is small by construction (benchmarks are
+    thousands of docs, the corpus is 10^12), so its distinct shingle set
+    BROADCASTS and contamination detection is a map-side hash semi-join —
+    zero shuffle of the corpus. Per-doc outputs: how many of the doc's
+    distinct shingles are contaminated and how many eval docs it overlaps.
+    → (key, n_contaminated_shingles, n_eval_docs_hit), hit docs only.
+
+    Reference analog: the all-vs-sample minimizer overlap (J2,
+    ``lqmap.c:140-205``) with the sample side broadcast; same J2 machinery
+    as ``ngram_jaccard_pairs`` but asymmetric, which is what makes it scale.
+    """
+
+    def shingles(df: DataFrame, key: str) -> DataFrame:
+        ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+        return (
+            df.select(F.col(key), ts.alias("ts"))
+            .filter(F.size("ts") >= shingle)
+            .select(
+                key,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ts") - shingle),
+                        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, F.lit(shingle))),
+                    )
+                ).alias("sh"),
+            )
+            .distinct()
+        )
+
+    eval_sh = shingles(eval_df, eval_key)
+    doc_sh = shingles(docs, key_col)
+    hits = doc_sh.join(F.broadcast(eval_sh), "sh")
+    return (
+        hits.groupBy(key_col)
+        .agg(
+            F.countDistinct("sh").alias("n_contaminated_shingles"),
+            F.countDistinct(eval_key).alias("n_eval_docs_hit"),
+        )
+        .orderBy(key_col)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     key_a: str = "key_a",

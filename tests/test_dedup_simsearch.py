@@ -91,6 +91,34 @@ def test_ngram_jaccard_heavy_hitter_guard(spark):
     )
 
 
+def test_contamination_check_planted(spark):
+    """Hand-computed decontamination: doc 100 embeds an exact 6-token eval
+    span (two 5-shingles), doc 101 shares only 4 consecutive tokens (below
+    the shingle width → clean), doc 102 is disjoint."""
+    from longqc_spark.operators.dedup import contamination_check
+
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"eval_id": [0], "text": ["alpha beta gamma delta epsilon zeta"]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101, 102],
+                "text": [
+                    "intro alpha beta gamma delta epsilon zeta outro end",
+                    "alpha beta gamma delta UNRELATED tail words here",
+                    "completely different text with enough tokens here",
+                ],
+            }
+        )
+    )
+    got = contamination_check(docs, eval_df).toPandas()
+    assert got.doc_id.tolist() == [100]
+    # eval has 2 distinct 5-shingles; both appear in doc 100
+    assert got.n_contaminated_shingles.tolist() == [2]
+    assert got.n_eval_docs_hit.tolist() == [1]
+
+
 def test_minhash_lsh_finds_planted_pairs(spark):
     docs = _planted_docs(spark)
     got = minhash_jaccard_estimate(docs, threshold=0.5).toPandas()
