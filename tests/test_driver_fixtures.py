@@ -210,3 +210,22 @@ def test_simhash_fast_path_agrees_with_sql_family(spark):
     # neither family may call unrelated docs near: non-planted hits are rare
     assert len(fast_pairs - planted) <= 2
     assert len(sql_pairs - planted) <= 2
+
+
+def test_round2_queries_parallelism_invariant(spark, sf001):
+    """north_rule determinism: every round-2 query must return IDENTICAL
+    rows under a different shuffle-partition count (the local stand-in for
+    running on a differently-sized cluster)."""
+    names = ["n50_approx", "fuzzy_scrub", "token_pmi", "mad_outliers", "decontaminate"]
+    qs = entry.queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {n: qs[n](spark, sf001).toPandas() for n in names}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            again = qs[n](spark, sf001).toPandas()
+            pd.testing.assert_frame_equal(
+                base[n].reset_index(drop=True), again.reset_index(drop=True)
+            ), n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
