@@ -323,10 +323,14 @@ TOX_PATTERN: re.Pattern = re.compile(
 SCRUB_COLUMNS: tuple[str, ...] = ("scrubbed_text", "pii_match_count", "tox_match_count")
 
 _TOKEN_RE = re.compile(r"\S+")
-# per-process memo of token → fuzzy-hit, keyed by the (max_dist, identity)
-# operating point; tokens repeat heavily across a corpus, so each unique
-# token pays the DP at most once per worker
-_FUZZY_MEMO: dict[tuple[int, float], dict[str, bool]] = {}
+# per-process memo of token → fuzzy-hit, keyed by the FULL operating point
+# (term list included — different lexicons must not share entries); tokens
+# repeat heavily across a corpus, so each unique token pays the DP at most
+# once per worker. Size-capped: a web-scale token stream has unbounded
+# unique-token cardinality (URLs, hashes, typos), so the memo resets once
+# it reaches _FUZZY_MEMO_CAP entries rather than leaking executor memory.
+_FUZZY_MEMO: dict[tuple, dict[str, bool]] = {}
+_FUZZY_MEMO_CAP = 1_000_000
 
 
 def _edit_distance_capped(a: str, b: str, cap: int) -> int:
@@ -364,7 +368,7 @@ def fuzzy_term_match(
     AND identity = 1 − dist/max(len) clears ``min_identity`` — the identity-
     threshold semantics of the reference's approximate adapter match
     (lq_adapt.py:45-78: accept alignment only above 75% identity)."""
-    memo = _FUZZY_MEMO.setdefault((max_dist, min_identity), {})
+    memo = _FUZZY_MEMO.setdefault((max_dist, min_identity, terms), {})
     hit = memo.get(token_lower)
     if hit is None:
         hit = False
@@ -373,6 +377,8 @@ def fuzzy_term_match(
             if d <= max_dist and 1.0 - d / max(len(token_lower), len(t)) >= min_identity:
                 hit = True
                 break
+        if len(memo) >= _FUZZY_MEMO_CAP:
+            memo.clear()
         memo[token_lower] = hit
     return hit
 

@@ -262,14 +262,18 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                         out["zero_cross_frac"][i] = float(
                             np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
                         )
-                    # 8-band magnitude-spectrum profile (L1-normalized)
-                    mag = np.abs(np.fft.rfft(x))
-                    bands = np.array_split(mag, 8)
-                    prof = np.array([b.sum() for b in bands])
-                    tot = prof.sum()
-                    out["feature"][i] = (
-                        (prof / tot).astype(np.float32).tolist() if tot > 0 else []
-                    )
+                    # 8-band magnitude-spectrum profile (L1-normalized);
+                    # zero-length data chunks are valid WAV → empty feature
+                    if len(x):
+                        mag = np.abs(np.fft.rfft(x))
+                        bands = np.array_split(mag, 8)
+                        prof = np.array([b.sum() for b in bands])
+                        tot = prof.sum()
+                        out["feature"][i] = (
+                            (prof / tot).astype(np.float32).tolist() if tot > 0 else []
+                        )
+                    else:
+                        out["feature"][i] = []
                 else:
                     out["feature"][i] = []
             yield pd.DataFrame(out)

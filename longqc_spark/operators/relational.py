@@ -80,6 +80,10 @@ def n50_approx(
     """
     fracs = fracs or [0.5, 0.9]
     spark = df.sparkSession
+    # NULL lengths contribute nothing to a weighted quantile (nxx's window
+    # sum skips them); dropping them here keeps exact parity and protects
+    # the driver-side walk from None buckets
+    df = df.filter(F.col(length_col).isNotNull())
     buckets = sorted(
         df.groupBy(
             F.floor(F.col(length_col) / F.lit(bucket_width)).cast("long").alias("b")
@@ -88,6 +92,8 @@ def n50_approx(
         .collect(),
         key=lambda r: -r["b"],
     )
+    if not buckets:
+        return spark.createDataFrame([], "pct int, nxx long")
     total = sum(r["s"] for r in buckets)
     # locate each frac's crossing bucket in one desc walk
     crossings: dict[float, tuple[int, float]] = {}
@@ -237,14 +243,24 @@ def set_ops_summary(a: DataFrame, b: DataFrame) -> DataFrame:
     scans each input three times; this shape scans each once, and the result
     is a DataFrame (no driver collect), so it composes."""
     cols = a.columns
-    ta = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("na"))
-    tb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("nb"))
-    j = ta.join(tb, cols, "full_outer").select(
+    ta = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("na")).alias("ta")
+    tb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("nb")).alias("tb")
+    # null-SAFE equality on every key column: exceptAll/intersect treat NULL
+    # keys as equal, and this rewrite must preserve those semantics
+    cond = None
+    for c in cols:
+        eq = F.col(f"ta.{c}").eqNullSafe(F.col(f"tb.{c}"))
+        cond = eq if cond is None else cond & eq
+    j = ta.join(tb, cond, "full_outer").select(
         F.coalesce("na", F.lit(0)).alias("na"), F.coalesce("nb", F.lit(0)).alias("nb")
     )
     return j.agg(
-        F.sum(F.greatest(F.col("na") - F.col("nb"), F.lit(0))).cast("long").alias("only_a"),
-        F.sum(F.greatest(F.col("nb") - F.col("na"), F.lit(0))).cast("long").alias("only_b"),
+        F.coalesce(F.sum(F.greatest(F.col("na") - F.col("nb"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("only_a"),
+        F.coalesce(F.sum(F.greatest(F.col("nb") - F.col("na"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("only_b"),
         F.count_if((F.col("na") > 0) & (F.col("nb") > 0)).alias("in_both"),
     )
 

@@ -38,6 +38,30 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _accumulate_sessions(user_id, secs, values, prior, gap_seconds: float):
+    """The ONE session fold shared by both stateful engines (GroupState and
+    transformWithState): (prior state tuple or None, time-sorted rows) →
+    (closed session rows, new open-session state). Pure, so the required
+    exact agreement between the two streaming implementations and the batch
+    window twin is structural."""
+    if prior is not None:
+        s, last, n, tot = prior
+    else:
+        s = last = None
+        n, tot = 0, 0.0
+    out = []
+    for sec, value in zip(secs, values):
+        if last is not None and sec - last > gap_seconds:
+            out.append([user_id, s, last, n, tot])
+            s, n, tot = sec, 0, 0.0
+        if s is None:
+            s = sec
+        last = sec
+        n += 1
+        tot += float(value)
+    return out, (s, last, n, tot)
+
+
 def _session_fn(gap_seconds: float):
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -51,22 +75,11 @@ def _session_fn(gap_seconds: float):
             )
             return
         rows = pd.concat(list(pdfs)).sort_values("sec")
-        out = []
-        if state.exists:
-            s, last, n, tot = state.get
-        else:
-            s = last = None
-            n, tot = 0, 0.0
-        for sec, value in zip(rows["sec"], rows["value"]):
-            if last is not None and sec - last > gap_seconds:
-                out.append([user_id, s, last, n, tot])
-                s, n, tot = sec, 0, 0.0
-            if s is None:
-                s = sec
-            last = sec
-            n += 1
-            tot += float(value)
-        state.update((s, last, n, tot))
+        prior = state.get if state.exists else None
+        out, new_state = _accumulate_sessions(
+            user_id, rows["sec"], rows["value"], prior, gap_seconds
+        )
+        state.update(new_state)
         state.setTimeoutDuration(3_600_000)
         if out:
             yield pd.DataFrame(out, columns=SESSION_SCHEMA.fieldNames())
@@ -121,22 +134,11 @@ class _SessionProcessor:
     def handleInputRows(self, key, rows, timerValues):
         (user_id,) = key
         pdf = pd.concat(list(rows)).sort_values("sec")
-        if self.state.exists():
-            s, last, n, tot = self.state.get()
-        else:
-            s = last = None
-            n, tot = 0, 0.0
-        out = []
-        for sec, value in zip(pdf["sec"], pdf["value"]):
-            if last is not None and sec - last > self.gap:
-                out.append([user_id, s, last, n, tot])
-                s, n, tot = sec, 0, 0.0
-            if s is None:
-                s = sec
-            last = sec
-            n += 1
-            tot += float(value)
-        self.state.update((s, last, n, tot))
+        prior = self.state.get() if self.state.exists() else None
+        out, new_state = _accumulate_sessions(
+            user_id, pdf["sec"], pdf["value"], prior, self.gap
+        )
+        self.state.update(new_state)
         if out:
             yield pd.DataFrame(out, columns=SESSION_SCHEMA.fieldNames())
 

@@ -225,7 +225,9 @@ def test_round2_queries_parallelism_invariant(spark, sf001):
         for n in names:
             again = qs[n](spark, sf001).toPandas()
             pd.testing.assert_frame_equal(
-                base[n].reset_index(drop=True), again.reset_index(drop=True)
-            ), n
+                base[n].reset_index(drop=True),
+                again.reset_index(drop=True),
+                obj=n,
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)

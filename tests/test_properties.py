@@ -237,3 +237,67 @@ def test_edit_distance_capped_matches_reference(a, b, cap):
         assert got == true
     else:
         assert got == cap + 1
+
+
+def test_set_ops_null_and_empty_semantics(spark):
+    """set_ops_summary must preserve exceptAll/intersect NULL semantics
+    (NULL keys compare equal) and return zeros — not NULLs — on empty
+    inputs (code-review regression)."""
+    from longqc_spark.operators.relational import set_ops_summary
+
+    a = spark.createDataFrame([(None,), (1,)], "k int")
+    b = spark.createDataFrame([(None,), (2,)], "k int")
+    row = set_ops_summary(a, b).collect()[0]
+    # NULL∈both → in_both counts it; 1 and 2 are exclusive
+    assert (row.only_a, row.only_b, row.in_both) == (1, 1, 1)
+    # cross-check against Spark's own set operators
+    assert a.exceptAll(b).count() == row.only_a
+    assert a.intersect(b).count() == row.in_both
+
+    empty = spark.createDataFrame([], "k int")
+    row0 = set_ops_summary(empty, empty).collect()[0]
+    assert (row0.only_a, row0.only_b, row0.in_both) == (0, 0, 0)
+
+
+def test_n50_approx_null_and_empty(spark):
+    """NULL lengths are excluded (parity with nxx's window sum); empty
+    input returns an empty frame instead of crashing (code-review
+    regression)."""
+    import pandas as pd
+
+    from longqc_spark.operators.relational import n50_approx, nxx
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"n": [100, 200, None, 300]}).astype({"n": "Int64"})
+    )
+    exact = {r["pct"]: r["nxx"] for r in nxx(df.dropna(), "n", [0.5]).collect()}
+    approx = {r["pct"]: r["nxx"] for r in n50_approx(df, "n", [0.5]).collect()}
+    assert approx == exact
+    assert n50_approx(spark.createDataFrame([], "n int"), "n").count() == 0
+
+
+def test_fuzzy_memo_keyed_by_terms():
+    """Same (max_dist, identity) with DIFFERENT lexicons must not share
+    cache entries (code-review regression)."""
+    from longqc_spark.kernels import fuzzy_term_match
+
+    assert fuzzy_term_match("hash", 1, 0.75, terms=("hash",)) is True
+    assert fuzzy_term_match("hash", 1, 0.75) is False  # TOX lexicon: no match
+
+
+def test_empty_wav_feature(spark):
+    """A zero-sample WAV (valid container) yields an empty feature row, not
+    a task crash (code-review regression)."""
+    import numpy as np
+    import pandas as pd
+
+    from longqc_spark.operators.multimodal import MEDIA_SCHEMA, encode_wav, extract_features
+
+    payload = encode_wav(np.array([], dtype=np.int16))
+    media = spark.createDataFrame(
+        pd.DataFrame([(0, "audio", payload, "audio/wav")],
+                     columns=["media_id", "kind", "payload", "declared_mime"]),
+        schema=MEDIA_SCHEMA,
+    )
+    row = extract_features(media).collect()[0]
+    assert row.n_samples == 0 and row.rms == 0.0 and row.feature == []
