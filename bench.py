@@ -52,6 +52,7 @@ BENCH_QUERIES = (
     "fuzzy_scrub",
     "token_pmi",
     "mad_outliers",
+    "decontaminate",
 )
 
 

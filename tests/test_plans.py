@@ -297,3 +297,14 @@ def test_ngram_guard_uses_semi_join(spark, sf001):
     docs = spark.read.parquet(f"{sf001}/documents.parquet").limit(50)
     plan = _plan(ngram_jaccard_pairs(docs, max_occ=10))
     assert "LeftSemi" in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf001):
+    """The eval shingle set (small benchmark) must broadcast: contamination
+    detection is then a map-side hash join — the corpus never shuffles."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["decontaminate"](spark, sf001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
