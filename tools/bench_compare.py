@@ -67,8 +67,17 @@ def main() -> int:
         rows.append(f"  {mark}  {name}: {bq[name]:.2f}s -> {cq[name]:.2f}s ({ratio:.2f}x)")
         if ratio > args.max_ratio:
             failures.append(name)
-    tot_ratio = cur["value"] / base["value"] if base.get("value") else float("inf")
-    print(f"total: {base.get('value')}s -> {cur.get('value')}s ({tot_ratio:.2f}x)")
+    # the total gate must compare like with like: new rounds ADD queries, so
+    # gate on the sum over queries present in BOTH files (raw totals shown
+    # for context only)
+    shared = set(bq) & set(cq)
+    tot_b, tot_c = sum(bq[n] for n in shared), sum(cq[n] for n in shared)
+    tot_ratio = tot_c / tot_b if tot_b else float("inf")
+    print(
+        f"shared-query total ({len(shared)} queries): {tot_b:.2f}s -> "
+        f"{tot_c:.2f}s ({tot_ratio:.2f}x)   "
+        f"[raw totals: {base.get('value')}s -> {cur.get('value')}s]"
+    )
     print("\n".join(rows))
     if tot_ratio > args.max_ratio:
         failures.append("<total>")
