@@ -1,0 +1,45 @@
+"""CLI entry-point regression: flag plumbing, guard rails, and report
+artifacts — the local twin of the spark-submit launch (test_submit.py)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from longqc_spark.cli import main
+
+
+def test_cli_end_to_end_with_fuzzy_and_report(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "cli_out")
+    rc = main(
+        [
+            "--input", corpus_path,
+            "--out", out,
+            "--buckets", "2",
+            "--fuzzy-scrub",
+            "--report",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    assert len(m["committed"]) == 2
+    # the fuzzy flag is checkpoint identity: resuming without it must refuse
+    with pytest.raises(ValueError, match="run config differs"):
+        main(["--input", corpus_path, "--out", out, "--buckets", "2",
+              "--local-cores", "8"])
+    # same flags → no-op resume
+    assert main(["--input", corpus_path, "--out", out, "--buckets", "2",
+                 "--fuzzy-scrub", "--local-cores", "8"]) == 0
+    assert os.path.exists(os.path.join(out, "report.json"))
+    assert os.path.exists(os.path.join(out, "report.html"))
+    labels = spark.read.parquet(os.path.join(out, "data"))
+    assert labels.filter(F.col("keep").isNull()).count() == 0
+
+
+def test_cli_expire_keep_zero_rejected(corpus_path, tmp_path):
+    out = str(tmp_path / "cli_exp")
+    with pytest.raises(ValueError, match="keep_last"):
+        main(["--input", corpus_path, "--out", out, "--buckets", "1",
+              "--expire-keep", "0", "--local-cores", "8"])
