@@ -1112,6 +1112,147 @@ def q_simhash_sql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_minhash_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE MinHash-LSH near-dup pipeline — shingles → signatures →
+    banded candidates → agreement estimate → threshold — in a fully
+    SQL-expressible form, so the whole pipeline shape (not just the
+    signature math, cf. ``minhash_sql``) is oracle-checked cross-engine.
+
+    Engine-neutral banding: the band key is the CONCATENATION of the band's
+    signature values (plain string equality), not an engine-specific hash —
+    both engines generate identical candidate sets by construction.
+    Estimates are k/8 fractions (exactly representable). The flat-stream
+    numpy path (``minhash_jaccard_estimate``) remains the scale
+    implementation; this is its driver-checkable twin."""
+    docs = _read(spark, sf, "documents")
+    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(" ", F.slice("ts", i + 1, F.lit(3))),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    perms = spark.range(8).select(F.col("id").alias("perm"))
+    sigs = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat_ws(":", F.col("perm").cast("string"), "shingle").cast("binary")
+                )
+            ).alias("mh")
+        )
+    )
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("perm") / 2))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.max(F.when(F.col("perm") % 2 == 0, F.col("mh"))),
+                F.max(F.when(F.col("perm") % 2 == 1, F.col("mh"))),
+            ).alias("band_key")
+        )
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("key_a"), F.col("r.doc_id").alias("key_b"))
+        .distinct()
+    )
+    sl = sigs.select(F.col("doc_id").alias("key_a"), "perm", F.col("mh").alias("mh_a"))
+    sr = sigs.select(F.col("doc_id").alias("key_b"), "perm", F.col("mh").alias("mh_b"))
+    return (
+        cand.join(sl, "key_a")
+        .join(sr, ["key_b", "perm"])
+        .groupBy("key_a", "key_b")
+        .agg(
+            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(8.0)).alias(
+                "est_jaccard"
+            )
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("key_a", "key_b")
+    )
+
+
+def q_simhash_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE SimHash near-dup pipeline — 32-bit md5-family signature →
+    8-bit-chunk candidate join → exact hamming filter — fully SQL-expressible
+    so the whole pipeline shape is oracle-checked cross-engine (the 64-bit
+    numpy family, ``dedup.simhash_near_pairs``, is the scale path; pigeonhole:
+    4 chunks guarantee recall for hamming ≤ 3). → (key_a, key_b, hamming)."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+    )
+    sims = (
+        h.select("doc_id", "h32", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
+        .select("doc_id", "bit", F.expr("shiftrightunsigned(h32, bit) & 1").alias("b"))
+        .groupBy("doc_id", "bit")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("b").alias("ones"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END")
+            ).alias("sh")
+        )
+    )
+    chunks = sims.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), i * 8).bitwiseAND(F.lit(255))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("key_a"),
+            F.col("r.doc_id").alias("key_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return (
+        cand.select("key_a", "key_b", ham)
+        .filter(F.col("hamming") <= 3)
+        .orderBy("key_a", "key_b")
+    )
+
+
 def q_rank_windows(spark: SparkSession, sf: str) -> DataFrame:  # W: per-group top-k
     from pyspark.sql import Window
 
@@ -1611,6 +1752,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": q_array_ops,
         "embed_neardup": q_embed_neardup,
         "minhash_sql": q_minhash_sql,
+        "minhash_pipeline": q_minhash_pipeline,
+        "simhash_pipeline": q_simhash_pipeline,
         "simhash_sql": q_simhash_sql,
         "rank_windows": q_rank_windows,
         "json_extract": q_json_extract,
@@ -2369,6 +2512,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS minhash
             FROM sh, p GROUP BY doc_id, perm ORDER BY doc_id, perm
         """,
+        "minhash_pipeline": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+                FROM documents
+            ), ok AS (SELECT * FROM toks WHERE len(ts) >= 3),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[(i+1):(i+3)], ' ') AS shingle
+                FROM ok, unnest(range(len(ts) - 2)) AS u(i)
+            ),
+            p AS (SELECT unnest(range(8)) AS perm),
+            sigs AS (
+                SELECT doc_id, perm,
+                       min(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS mh
+                FROM sh, p GROUP BY doc_id, perm
+            ),
+            bands AS (
+                SELECT doc_id, CAST(perm // 2 AS BIGINT) AS band,
+                       string_agg(mh, '|' ORDER BY perm) AS band_key
+                FROM sigs GROUP BY doc_id, 2
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS key_a, r.doc_id AS key_b
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+            )
+            SELECT key_a, key_b,
+                   sum(CASE WHEN sl.mh = sr.mh THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+            FROM cand
+            JOIN sigs sl ON sl.doc_id = key_a
+            JOIN sigs sr ON sr.doc_id = key_b AND sr.perm = sl.perm
+            GROUP BY key_a, key_b
+            HAVING est_jaccard >= 0.5
+            ORDER BY key_a, key_b
+        """,
         "rank_windows": """
             SELECT source, doc_id, n_chars,
                    rank()       OVER w AS rnk,
@@ -2496,6 +2675,40 @@ def oracle_sql() -> dict[str, str]:
                                  THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
                        AS simhash32
             FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "simhash_pipeline": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents WHERE doc_id < 200
+            ), h AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h32
+                FROM toks WHERE tok <> ''
+            ), bits AS (
+                SELECT doc_id, b.bit AS bit, count(*) AS n,
+                       sum((h32 >> b.bit) & 1) AS ones
+                FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), sims AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN 2 * ones > n
+                                     THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+                           AS sh
+                FROM bits GROUP BY doc_id
+            ), chunks AS (
+                SELECT doc_id, sh, c.chunk_id AS chunk_id,
+                       (sh >> (c.chunk_id * 8)) & 255 AS chunk
+                FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS chunk_id) c
+            ), cand AS (
+                SELECT DISTINCT l.doc_id AS key_a, r.doc_id AS key_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM chunks l JOIN chunks r
+                  ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+                 AND l.doc_id < r.doc_id
+            )
+            SELECT key_a, key_b, bit_count(xor(sh_a, sh_b)) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            ORDER BY key_a, key_b
         """,
         "tpch_q14like": """
             SELECT round(sum(CASE WHEN p_type = 'PROMO'
