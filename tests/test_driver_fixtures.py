@@ -216,7 +216,15 @@ def test_round2_queries_parallelism_invariant(spark, sf001):
     """north_rule determinism: every round-2 query must return IDENTICAL
     rows under a different shuffle-partition count (the local stand-in for
     running on a differently-sized cluster)."""
-    names = ["n50_approx", "fuzzy_scrub", "token_pmi", "mad_outliers", "decontaminate"]
+    names = [
+        "n50_approx",
+        "fuzzy_scrub",
+        "token_pmi",
+        "mad_outliers",
+        "decontaminate",
+        "minhash_pipeline",
+        "simhash_pipeline",
+    ]
     qs = entry.queries()
     before = spark.conf.get("spark.sql.shuffle.partitions")
     base = {n: qs[n](spark, sf001).toPandas() for n in names}
