@@ -1046,12 +1046,13 @@ def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (embedd
     return embed_neardup(emb, threshold=0.45).withColumn("cosine", F.round("cosine", 4))
 
 
-def q_minhash_sql(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash with a SQL-expressible permutation family (min of md5(perm ||
-    shingle) — lexicographic min of a cryptographic hash IS a random
-    permutation), so the signature math itself is oracle-checked cross-engine;
-    the fast path (`minhash_signatures`, flat-stream numpy) covers scale."""
-    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 120)
+def _minhash_sigs(docs: DataFrame, n_perms: int = 8) -> DataFrame:
+    """THE md5-family MinHash signature builder — (doc_id, perm, mh) via
+    min(md5(perm:shingle)) over distinct 3-shingles. Single implementation
+    shared by ``minhash_sql`` (signature oracle) and ``minhash_pipeline``
+    (whole-pipeline oracle): a change to the hash family or shingle width
+    changes BOTH oracled queries or neither."""
+    spark = docs.sparkSession
     ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
     d = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
     sh = d.select(
@@ -1063,26 +1064,25 @@ def q_minhash_sql(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
-    perms = spark.range(8).select(F.col("id").alias("perm"))
+    perms = spark.range(n_perms).select(F.col("id").alias("perm"))
     return (
-        sh.crossJoin(perms)
+        sh.crossJoin(F.broadcast(perms))
         .groupBy("doc_id", "perm")
         .agg(
             F.min(
-                F.md5(F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle")).cast("binary"))
-            ).alias("minhash")
+                F.md5(
+                    F.concat_ws(":", F.col("perm").cast("string"), "shingle").cast("binary")
+                )
+            ).alias("mh")
         )
-        .orderBy("doc_id", "perm")
     )
 
 
-def q_simhash_sql(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash with a SQL-expressible hash family (first 32 bits of md5 per
-    token; per-bit majority vote over all token occurrences), so the signature
-    math itself is oracle-checked cross-engine — the fast path
-    (`dedup.simhash_signatures`, flat-stream numpy over 64-bit hashes) covers
-    scale. Entirely JVM-side here: split → explode → bit explode → two aggs."""
-    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+def _simhash32(docs: DataFrame) -> DataFrame:
+    """THE md5-family 32-bit SimHash builder — (doc_id, sh) via per-bit
+    majority vote over token hashes. Shared by ``simhash_sql`` and
+    ``simhash_pipeline`` for the same single-implementation reason as
+    ``_minhash_sigs``."""
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1101,15 +1101,34 @@ def q_simhash_sql(spark: SparkSession, sf: str) -> DataFrame:
     per_bit = bits.groupBy("doc_id", "bit").agg(
         F.count(F.lit(1)).alias("n"), F.sum("b").alias("ones")
     )
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END")
-            ).alias("simhash32")
-        )
-        .orderBy("doc_id")
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END")
+        ).alias("sh")
     )
+
+
+def q_minhash_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash with a SQL-expressible permutation family (min of md5(perm ||
+    shingle) — lexicographic min of a cryptographic hash IS a random
+    permutation), so the signature math itself is oracle-checked cross-engine;
+    the fast path (`minhash_signatures`, flat-stream numpy) covers scale."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    return (
+        _minhash_sigs(docs)
+        .select("doc_id", "perm", F.col("mh").alias("minhash"))
+        .orderBy("doc_id", "perm")
+    )
+
+
+def q_simhash_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash with a SQL-expressible hash family (first 32 bits of md5 per
+    token; per-bit majority vote over all token occurrences), so the signature
+    math itself is oracle-checked cross-engine — the fast path
+    (`dedup.simhash_signatures`, flat-stream numpy over 64-bit hashes) covers
+    scale. Entirely JVM-side: split → explode → bit explode → two aggs."""
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return _simhash32(docs).select("doc_id", F.col("sh").alias("simhash32")).orderBy("doc_id")
 
 
 def q_minhash_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -1124,30 +1143,7 @@ def q_minhash_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Estimates are k/8 fractions (exactly representable). The flat-stream
     numpy path (``minhash_jaccard_estimate``) remains the scale
     implementation; this is its driver-checkable twin."""
-    docs = _read(spark, sf, "documents")
-    ts = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
-    d = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ts") - 3),
-                lambda i: F.concat_ws(" ", F.slice("ts", i + 1, F.lit(3))),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    perms = spark.range(8).select(F.col("id").alias("perm"))
-    sigs = (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat_ws(":", F.col("perm").cast("string"), "shingle").cast("binary")
-                )
-            ).alias("mh")
-        )
-    )
+    sigs = _minhash_sigs(_read(spark, sf, "documents"))
     bands = (
         sigs.withColumn("band", F.floor(F.col("perm") / 2))
         .groupBy("doc_id", "band")
@@ -1192,31 +1188,7 @@ def q_simhash_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     so the whole pipeline shape is oracle-checked cross-engine (the 64-bit
     numpy family, ``dedup.simhash_near_pairs``, is the scale path; pigeonhole:
     4 chunks guarantee recall for hamming ≤ 3). → (key_a, key_b, hamming)."""
-    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
-        ).alias("tok"),
-    )
-    h = toks.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h32"),
-    )
-    sims = (
-        h.select("doc_id", "h32", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
-        .select("doc_id", "bit", F.expr("shiftrightunsigned(h32, bit) & 1").alias("b"))
-        .groupBy("doc_id", "bit")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("b").alias("ones"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN ones * 2 > n THEN shiftleft(1L, bit) ELSE 0L END")
-            ).alias("sh")
-        )
-    )
+    sims = _simhash32(_read(spark, sf, "documents").filter(F.col("doc_id") < 200))
     chunks = sims.select(
         "doc_id",
         "sh",

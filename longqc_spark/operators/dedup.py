@@ -307,6 +307,47 @@ def simhash_near_pairs(
     return cand.select("key_a", "key_b", hamming).filter(F.col("hamming") <= max_hamming)
 
 
+def contamination_hits(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    eval_key: str = "eval_id",
+    shingle: int = 5,
+) -> DataFrame:
+    """The matched-shingle table behind ``contamination_check`` —
+    (key, sh, eval_key) one row per contaminated shingle occurrence, useful
+    as an audit artifact (WHICH spans leaked from WHICH benchmark doc).
+
+    Shuffle-free by construction (plan-audited in test_plans): the corpus
+    shingle stream flows scan → explode → broadcast-probe with no hash
+    exchange; only the benchmark side (small) is deduped/broadcast."""
+
+    def shingles(df: DataFrame, key: str, dedupe: bool) -> DataFrame:
+        ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+        out = (
+            df.select(F.col(key), ts.alias("ts"))
+            .filter(F.size("ts") >= shingle)
+            .select(
+                key,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ts") - shingle),
+                        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, F.lit(shingle))),
+                    )
+                ).alias("sh"),
+            )
+        )
+        # dedupe only the SMALL (broadcast) side: a corpus-side distinct
+        # would shuffle every corpus shingle, and downstream countDistinct
+        # aggregates already dedupe repeats
+        return out.distinct() if dedupe else out
+
+    eval_sh = shingles(eval_df, eval_key, dedupe=True)
+    doc_sh = shingles(docs, key_col, dedupe=False)
+    return doc_sh.join(F.broadcast(eval_sh), "sh")
+
+
 def contamination_check(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -330,27 +371,7 @@ def contamination_check(
     ``lqmap.c:140-205``) with the sample side broadcast; same J2 machinery
     as ``ngram_jaccard_pairs`` but asymmetric, which is what makes it scale.
     """
-
-    def shingles(df: DataFrame, key: str) -> DataFrame:
-        ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
-        return (
-            df.select(F.col(key), ts.alias("ts"))
-            .filter(F.size("ts") >= shingle)
-            .select(
-                key,
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("ts") - shingle),
-                        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, F.lit(shingle))),
-                    )
-                ).alias("sh"),
-            )
-            .distinct()
-        )
-
-    eval_sh = shingles(eval_df, eval_key)
-    doc_sh = shingles(docs, key_col)
-    hits = doc_sh.join(F.broadcast(eval_sh), "sh")
+    hits = contamination_hits(docs, eval_df, key_col, text_col, eval_key, shingle)
     return (
         hits.groupBy(key_col)
         .agg(

@@ -308,3 +308,21 @@ def test_decontaminate_broadcasts_eval_shingles(spark, sf001):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the join subtree itself (pre-aggregation) must be SHUFFLE-FREE on the
+    # corpus side: scan → explode → broadcast probe, no hash exchange at
+    # all — only the tiny post-join hits aggregation shuffles
+    from longqc_spark.operators.dedup import contamination_hits
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    hits_plan = _plan(contamination_hits(docs.filter(F.col("doc_id") >= 20), ev))
+    assert "BroadcastHashJoin" in hits_plan
+    # the streamed (corpus) side prints before the BroadcastExchange subtree:
+    # it must contain no exchange at all (scan → explode → probe). The one
+    # hash exchange in the plan is the EVAL side's distinct, inside the
+    # broadcast build — tiny by construction.
+    corpus_side = hits_plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side
+    assert "FileScan" in corpus_side  # the scan really is in that subtree
