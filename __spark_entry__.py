@@ -1646,11 +1646,43 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession
     return wrapped
 
 
+# The driver's CORRECTNESS check covers the FIRST 50 registry entries. Round
+# 1-2 checked the original head of the registry (all green); round 3 rotates
+# the 46 entries the driver had never seen (tpch_q5like .. lateral_topk —
+# previously only local-oracle-green) into the window, topped up with
+# previously-driver-green anchors. Order carries no semantics beyond this.
+_DRIVER_WINDOW_FIRST: tuple[str, ...] = (
+    # 46 never-driver-checked (registry positions 51-96 in rounds 1-2)
+    "tpch_q5like", "tpch_q7like", "tpch_q10like", "tpch_q12like", "semi_join",
+    "scalar_subquery", "having_topk", "range_frame", "month_revenue",
+    "lead_first", "session_window_native", "dup_spans", "trace_reconstruct",
+    "dedup_clusters", "except_all", "intersect_all", "array_ops",
+    "embed_neardup", "minhash_sql", "minhash_pipeline", "simhash_pipeline",
+    "simhash_sql", "rank_windows", "json_extract", "distinct_users",
+    "hll_rollup", "base64_payload", "edit_distance", "regex_counts",
+    "unpivot_stats", "posexplode_tokens", "vector_norms", "grouping_sets",
+    "extract_text", "ntile_deciles", "corr_stats", "bpe_tokens",
+    "tpch_q14like", "tpch_q16like", "tpch_q19like", "tpch_q22like",
+    "percent_rank", "full_outer", "map_rollup", "ccsynth_source",
+    "lateral_topk",
+    # new round-3 queries — need driver rows too
+    "incremental_dedup",
+    # previously-driver-green anchors (regression canaries) fill to 50
+    "length_stats", "decontaminate", "exact_dedup",
+)
+
+
+def _window_order(d: dict) -> dict:
+    out = {k: d[k] for k in _DRIVER_WINDOW_FIRST if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _window_order({
         k: _utc(v)
         for k, v in _queries_raw().items()
-    }
+    })
 
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1755,7 +1787,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _window_order({
         "length_stats": """
             SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_len,
                    max(n_chars) AS max_len, round(avg(n_chars), 6) AS avg_len
@@ -2756,4 +2788,4 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.c_custkey <= 100
             ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
         """,
-    }
+    })
