@@ -378,7 +378,13 @@ def fuzzy_term_match(
                 hit = True
                 break
         if len(memo) >= _FUZZY_MEMO_CAP:
-            memo.clear()
+            # evict the oldest half (dict preserves insertion order) instead
+            # of a wholesale clear: on a high-unique-token stream a full wipe
+            # oscillates full→empty and repays the DP for every hot token
+            # right after each reset; hot lexicon-adjacent tokens re-inserted
+            # since the last eviction survive this one
+            for k in list(memo)[: _FUZZY_MEMO_CAP // 2]:
+                del memo[k]
         memo[token_lower] = hit
     return hit
 

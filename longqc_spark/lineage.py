@@ -177,7 +177,7 @@ def run_qc_with_lineage(
         # per-bucket pre-dedup counts: ONE key-column-only scan (projection
         # pushed to the source — no payload bytes move)
         pre_counts = {
-            r["bucket"]: r["n"]
+            int(r["bucket"]): r["n"]
             for r in docs.select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -208,8 +208,12 @@ def run_qc_with_lineage(
     staged_any = any(
         n.startswith("bucket=") for n in os.listdir(staging)
     )  # all-empty input → no partition dirs, nothing to aggregate
+    # int() the partition-column key: with
+    # spark.sql.sources.partitionColumnTypeInference.enabled=false the read
+    # yields STRING buckets and every met.get(b) would silently miss,
+    # committing lineage rows with n_in=0
     met = {} if not staged_any else {
-        r["bucket"]: r
+        int(r["bucket"]): r
         for r in spark.read.parquet(staging)
         .select("bucket", "keep", "pii_match_count", "perplexity", "n_words", key_col)
         .groupBy("bucket")

@@ -125,10 +125,17 @@ class _SessionProcessor:
     composite state handles, RocksDB-backed). Defined lazily-subclassable so
     importing this module never requires the streaming state classes."""
 
+    # open sessions are flushed by a processing-time timer after this long
+    # with no new events — the same 1-hour timeout the GroupState twin sets
+    # via ``state.setTimeoutDuration`` (``_session_fn``), so the two stateful
+    # engines agree on trailing sessions, not just gap-closed ones
+    FLUSH_TIMEOUT_MS = 3_600_000
+
     def __init__(self, gap_seconds: float):
         self.gap = gap_seconds
 
     def init(self, handle) -> None:
+        self.handle = handle
         self.state = handle.getValueState("sess", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
@@ -139,11 +146,26 @@ class _SessionProcessor:
             user_id, pdf["sec"], pdf["value"], prior, self.gap
         )
         self.state.update(new_state)
+        # slide the flush timer: drop any pending timer for this key, arm a
+        # fresh one — mirrors setTimeoutDuration's reset-on-activity
+        for t in list(self.handle.listTimers()):
+            self.handle.deleteTimer(t)
+        self.handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self.FLUSH_TIMEOUT_MS
+        )
         if out:
             yield pd.DataFrame(out, columns=SESSION_SCHEMA.fieldNames())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        return iter(())
+        # flush-on-timeout twin of the ``state.hasTimedOut`` branch in
+        # ``_session_fn``: emit the open session, clear state
+        (user_id,) = key
+        if self.state.exists():
+            s, last, n, tot = self.state.get()
+            self.state.clear()
+            yield pd.DataFrame(
+                [[user_id, s, last, n, tot]], columns=SESSION_SCHEMA.fieldNames()
+            )
 
     def close(self) -> None:
         pass
@@ -172,32 +194,48 @@ def sessionize_stream_tws(
         ) from e
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+    # transformWithState only runs on the RocksDB state store. Set it for
+    # THIS query only: streaming queries snapshot the session conf at
+    # start(), so restoring the previous provider immediately afterwards
+    # keeps later GroupState/dedup streams on their original backend instead
+    # of silently switching the whole session to RocksDB.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        prov_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    proc = type("SessionProcessorTWS", (_SessionProcessor, StatefulProcessor), {})(
-        gap_seconds
-    )
-    events = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-        .select(
-            "user_id",
-            F.col("ts").cast("timestamp").cast("double").alias("sec"),
-            "value",
+    try:
+        proc = type("SessionProcessorTWS", (_SessionProcessor, StatefulProcessor), {})(
+            gap_seconds
         )
-    )
-    return (
-        events.groupBy("user_id")
-        .transformWithStateInPandas(proc, SESSION_SCHEMA, "append", "none")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+        events = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").cast("double").alias("sec"),
+                "value",
+            )
+        )
+        return (
+            events.groupBy("user_id")
+            # processingTime timeMode so the per-key flush timers registered
+            # in handleInputRows actually fire (timeMode "none" never calls
+            # handleExpiredTimer and open sessions would be retained forever)
+            .transformWithStateInPandas(proc, SESSION_SCHEMA, "append", "processingTime")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
 
 
 def sessionize_batch(events: DataFrame, gap_seconds: float = 300.0) -> DataFrame:

@@ -154,6 +154,26 @@ def test_tws_processor_logic_matches_batch(spark, sf001):
         def update(self, v):
             self.v = v
 
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeTimerValues:
+        def getCurrentProcessingTimeInMs(self):
+            return 0
+
     events = (
         spark.read.parquet(f"{sf001}/events.parquet")
         .filter(F.col("user_id") < 30)
@@ -168,20 +188,21 @@ def test_tws_processor_logic_matches_batch(spark, sf001):
     for uid, grp in events.groupby("user_id"):
         proc = _SessionProcessor(GAP)
         proc.state = FakeState()
+        proc.handle = FakeHandle()
+        tv = FakeTimerValues()
         grp = grp.sort_values("sec").reset_index(drop=True)
         # three uneven chunks = three micro-batches
         for chunk in np.array_split(grp, 3):
             if len(chunk):
-                for out in proc.handleInputRows((uid,), iter([chunk]), None):
+                for out in proc.handleInputRows((uid,), iter([chunk]), tv):
                     closed.append(out)
-        # flush the open session (what handleExpiredTimer/timeout would do)
-        s, last, n, tot = proc.state.get()
-        closed.append(
-            pd.DataFrame(
-                [[uid, s, last, n, tot]],
-                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
-            )
-        )
+        # each batch slides the flush timer: exactly one pending timer remains
+        assert len(proc.handle.timers) == 1
+        # the REAL timer branch flushes the open session and clears state —
+        # parity with the GroupState twin's hasTimedOut path
+        for out in proc.handleExpiredTimer((uid,), tv, None):
+            closed.append(out)
+        assert not proc.state.exists()
     got = (
         pd.concat(closed)
         .sort_values(["user_id", "session_start"])
