@@ -33,7 +33,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from .config import DEFAULT_CONFIG, QCConfig
 from .pipeline import qc_pipeline
@@ -108,6 +108,7 @@ def run_qc_with_lineage(
     fail_after_bucket: int | None = None,
     html_col: str | None = None,
     dedup: bool = False,
+    wave_buckets: int | None = None,
 ) -> dict:
     """Run the QC pipeline bucket-by-bucket with committed checkpoints.
 
@@ -123,12 +124,24 @@ def run_qc_with_lineage(
     ``test_input_scanned_once``): all uncommitted buckets are computed and
     written by ONE Spark job (``partitionBy("bucket")`` into a staging dir),
     so the input is scanned once per run — not once per bucket — and the
-    dedup window, when enabled, is evaluated once inside that same job
-    (plus one key-column-only scan for the pre-dedup bucket counts).
-    Per-bucket metrics then come from a column-pruned read of the staged
-    output (numeric columns only). Commits stay per-bucket: each staged
-    ``bucket=b`` dir is renamed into the data root and recorded as its own
-    manifest snapshot, preserving bucket-granular restart/time-travel.
+    dedup window, when enabled, is evaluated once inside that same job; the
+    pre-dedup bucket counts ride the SAME job via ``Observation`` (no extra
+    key-only scan). Per-bucket metrics then come from a column-pruned read
+    of the staged output (numeric columns only). Commits stay per-bucket:
+    each staged ``bucket=b`` dir is renamed into the data root and recorded
+    as its own manifest snapshot, preserving bucket-granular restart/
+    time-travel.
+
+    ``wave_buckets``: stage-and-commit in waves of that many buckets
+    (``ceil(len(todo)/wave_buckets)`` staged jobs) instead of one job for
+    everything. The single-job default minimizes scans but makes the whole
+    compute one crash window — a failure mid-compute commits nothing and the
+    resume rescans everything. Waves trade scan count for intra-run
+    checkpoints: a crash loses at most the current wave; earlier waves are
+    already committed. At 100 TB pick waves sized to fleet-minutes of work
+    (and on Iceberg the per-wave bucket predicate prunes partitions, so a
+    wave does NOT rescan the whole input the way the local parquet dir
+    does).
     """
     # the run config is part of the checkpoint identity: resuming with a
     # different cfg/dedup/extraction/key would silently mix incompatible
@@ -171,100 +184,140 @@ def run_qc_with_lineage(
         if name.startswith(".staging-"):
             shutil.rmtree(os.path.join(out_dir, root, name))
 
-    src = docs
     pre_counts: dict[int, int] = {}
-    if dedup:
-        # per-bucket pre-dedup counts: ONE key-column-only scan (projection
-        # pushed to the source — no payload bytes move)
-        pre_counts = {
-            int(r["bucket"]): r["n"]
-            for r in docs.select(bucket.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+    obs: Observation | None = None
+
+    def _build_src(need_obs: bool) -> DataFrame:
+        """The (optionally deduped) source plan. The pre-dedup per-bucket
+        counts ride the job as an ``Observation`` on the pre-window rows —
+        the bucket filter sits ABOVE the md5 window (it keys on url-hash,
+        not the window's partition key, so Catalyst cannot push it below),
+        meaning every input row flows through the observe node exactly once
+        per staged job and the counts cover ALL buckets. Net: dedup adds
+        ZERO extra input scans (test-asserted)."""
+        nonlocal obs
+        if not dedup:
+            return docs
+        base = docs
+        if need_obs:
+            obs = Observation("pre_dedup_counts")
+            base = docs.observe(
+                obs,
+                *[
+                    # count_if, not sum(when): returns 0 (not NULL) on
+                    # all-empty input
+                    F.count_if(bucket == b).alias(f"b{b}")
+                    for b in range(n_buckets)
+                ],
+            )
         wide = html_col or text_col
         w = Window.partitionBy(F.md5(F.col(wide).cast("binary"))).orderBy(key_col)
-        src = (
-            docs.withColumn("_rn", F.row_number().over(w))
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
 
-    # ONE job computes every uncommitted bucket: the input is scanned once,
-    # the dedup window (if any) evaluated once, and the shuffle writer lays
-    # rows out by bucket dir. (A fresh run filters nothing; a resume filters
-    # to the todo set — still a single scan.)
-    part = src if len(todo) == n_buckets else src.filter(bucket.isin([int(b) for b in todo]))
-    labels = qc_pipeline(part, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col)
-    staging = os.path.join(out_dir, root, f".staging-{uuid.uuid4().hex[:8]}")
-    labels.withColumn("bucket", bucket).write.partitionBy("bucket").mode("overwrite").parquet(
-        staging
-    )
+    # Waves: the default is ONE wave = one staged job = one input scan (the
+    # minimum); wave_buckets=k checkpoints every k buckets so a mid-compute
+    # crash loses at most one wave instead of the whole run.
+    if wave_buckets is not None and wave_buckets < 1:
+        raise ValueError(f"wave_buckets must be >= 1, got {wave_buckets}")
+    step = len(todo) if wave_buckets is None else wave_buckets
+    waves = [todo[i : i + step] for i in range(0, len(todo), step)]
 
-    # per-bucket lineage metrics from the staged OUTPUT, column-pruned to the
-    # numeric stat columns (+key) — a few % of the written bytes, and the
-    # input is never rescanned
-    staged_any = any(
-        n.startswith("bucket=") for n in os.listdir(staging)
-    )  # all-empty input → no partition dirs, nothing to aggregate
-    # int() the partition-column key: with
-    # spark.sql.sources.partitionColumnTypeInference.enabled=false the read
-    # yields STRING buckets and every met.get(b) would silently miss,
-    # committing lineage rows with n_in=0
-    met = {} if not staged_any else {
-        int(r["bucket"]): r
-        for r in spark.read.parquet(staging)
-        .select("bucket", "keep", "pii_match_count", "perplexity", "n_words", key_col)
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_in"),
-            F.count_if(F.col("keep")).alias("n_kept"),
-            F.count_if(F.col("pii_match_count") > 0).alias("n_scrubbed"),
-            # xor-fold: order-independent, overflow-free (ANSI mode) key digest
-            F.bit_xor(F.xxhash64(key_col)).alias("input_fingerprint"),
-            F.avg("perplexity").alias("avg_perplexity"),
-            F.avg("n_words").alias("avg_words"),
+    for w_i, wave in enumerate(waves):
+        # ONE job computes this wave's buckets: the input is scanned once
+        # per wave, the dedup window (if any) evaluated inside that job, and
+        # the shuffle writer lays rows out by bucket dir. (A fresh
+        # single-wave run filters nothing; a resume or later wave filters to
+        # its bucket set — still a single scan per job.)
+        src = _build_src(need_obs=dedup and w_i == 0)
+        part = (
+            src
+            if len(wave) == n_buckets
+            else src.filter(bucket.isin([int(b) for b in wave]))
         )
-        .collect()
-    }
+        labels = qc_pipeline(
+            part, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
+        )
+        staging = os.path.join(out_dir, root, f".staging-{uuid.uuid4().hex[:8]}")
+        labels.withColumn("bucket", bucket).write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(staging)
+        if dedup and w_i == 0:
+            # harvest the observation the staged write just populated —
+            # pre-dedup counts for every bucket, no second scan
+            got = obs.get
+            pre_counts = {b: int(got[f"b{b}"]) for b in range(n_buckets)}
 
-    empty_labels = labels.limit(0)
-    try:
-        for b in todo:
-            final_dir = os.path.join(out_dir, root, f"bucket={b}")
-            staged = os.path.join(staging, f"bucket={b}")
-            if os.path.exists(staged):
-                os.replace(staged, final_dir)
-            else:
-                # empty bucket: partitionBy wrote no dir — materialize an
-                # empty parquet dir so time-travel reads find every committed
-                # bucket path
-                empty_labels.write.mode("overwrite").parquet(final_dir)
-            row = met.get(b)
-            manifest["committed"][str(b)] = {
-                "partition_id": b,
-                "n_in": row["n_in"] if row else 0,
-                "n_kept": row["n_kept"] if row else 0,
-                "n_scrubbed": row["n_scrubbed"] if row else 0,
-                "input_fingerprint": str(row["input_fingerprint"]) if row else "0",
-                "metrics": {
-                    "avg_perplexity": row["avg_perplexity"] if row else None,
-                    "avg_words": row["avg_words"] if row else None,
-                    **(
-                        {"n_dup_dropped": float(pre_counts.get(b, 0) - (row["n_in"] if row else 0))}
-                        if dedup
-                        else {}
-                    ),
-                },
-                "committed_at": time.time(),
-            }
-            _commit_manifest(out_dir, manifest)
-            if fail_after_bucket is not None and b == fail_after_bucket:
-                raise RuntimeError(f"injected failure after bucket {b}")
-    finally:
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
+        # per-bucket lineage metrics from the staged OUTPUT, column-pruned
+        # to the numeric stat columns (+key) — a few % of the written bytes,
+        # and the input is never rescanned
+        staged_any = any(
+            n.startswith("bucket=") for n in os.listdir(staging)
+        )  # all-empty input → no partition dirs, nothing to aggregate
+        # int() the partition-column key: with
+        # spark.sql.sources.partitionColumnTypeInference.enabled=false the
+        # read yields STRING buckets and every met.get(b) would silently
+        # miss, committing lineage rows with n_in=0
+        met = {} if not staged_any else {
+            int(r["bucket"]): r
+            for r in spark.read.parquet(staging)
+            .select("bucket", "keep", "pii_match_count", "perplexity", "n_words", key_col)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.count_if(F.col("keep")).alias("n_kept"),
+                F.count_if(F.col("pii_match_count") > 0).alias("n_scrubbed"),
+                # xor-fold: order-independent, overflow-free (ANSI) key digest
+                F.bit_xor(F.xxhash64(key_col)).alias("input_fingerprint"),
+                F.avg("perplexity").alias("avg_perplexity"),
+                F.avg("n_words").alias("avg_words"),
+            )
+            .collect()
+        }
+
+        empty_labels = labels.limit(0)
+        try:
+            for b in wave:
+                final_dir = os.path.join(out_dir, root, f"bucket={b}")
+                staged = os.path.join(staging, f"bucket={b}")
+                if os.path.exists(staged):
+                    os.replace(staged, final_dir)
+                else:
+                    # empty bucket: partitionBy wrote no dir — materialize an
+                    # empty parquet dir so time-travel reads find every
+                    # committed bucket path
+                    empty_labels.write.mode("overwrite").parquet(final_dir)
+                row = met.get(b)
+                manifest["committed"][str(b)] = {
+                    "partition_id": b,
+                    "n_in": row["n_in"] if row else 0,
+                    "n_kept": row["n_kept"] if row else 0,
+                    "n_scrubbed": row["n_scrubbed"] if row else 0,
+                    "input_fingerprint": str(row["input_fingerprint"]) if row else "0",
+                    "metrics": {
+                        "avg_perplexity": row["avg_perplexity"] if row else None,
+                        "avg_words": row["avg_words"] if row else None,
+                        **(
+                            {
+                                "n_dup_dropped": float(
+                                    pre_counts.get(b, 0) - (row["n_in"] if row else 0)
+                                )
+                            }
+                            if dedup
+                            else {}
+                        ),
+                    },
+                    "committed_at": time.time(),
+                }
+                _commit_manifest(out_dir, manifest)
+                if fail_after_bucket is not None and b == fail_after_bucket:
+                    raise RuntimeError(f"injected failure after bucket {b}")
+        finally:
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
     return manifest
 
 

@@ -69,8 +69,8 @@ def test_input_scanned_once(spark, docs, tmp_path):
     run_qc_with_lineage(counted, str(tmp_path / "once"), n_buckets=4)
     assert acc.value == n
 
-    # dedup adds exactly one key-only pre-count pass (constant, not
-    # per-bucket): ≤ 2 scans total
+    # dedup=True is also ONE scan: the pre-dedup bucket counts ride the
+    # main job as an Observation instead of a separate key-only pass
     acc2 = spark.sparkContext.accumulator(0)
 
     def count_rows2(it):
@@ -80,7 +80,56 @@ def test_input_scanned_once(spark, docs, tmp_path):
 
     counted2 = docs.mapInPandas(count_rows2, schema)
     run_qc_with_lineage(counted2, str(tmp_path / "once_dedup"), n_buckets=4, dedup=True)
-    assert acc2.value <= 2 * n
+    assert acc2.value == n
+
+
+def test_wave_staging(spark, docs, tmp_path):
+    """wave_buckets=k trades scans for intra-run checkpoints: a 4-bucket run
+    in waves of 2 scans the input exactly twice (one job per wave), a crash
+    loses at most the current wave, and the committed output is identical to
+    the single-wave run."""
+    n = docs.count()
+    schema = docs.schema
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = docs.mapInPandas(count_rows, schema)
+    out = str(tmp_path / "waves")
+    run_qc_with_lineage(counted, out, n_buckets=4, wave_buckets=2)
+    assert acc.value == 2 * n  # ceil(4/2) staged jobs, one scan each
+    m = load_manifest(out)
+    assert set(m["committed"]) == {"0", "1", "2", "3"}
+
+    # crash after bucket 1 (end of wave 1): wave-1 buckets survive, the
+    # resume completes only wave 2, and output == a clean single-wave run
+    out2 = str(tmp_path / "waves_crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_qc_with_lineage(docs, out2, n_buckets=4, wave_buckets=2, fail_after_bucket=1)
+    assert set(load_manifest(out2)["committed"]) == {"0", "1"}
+    run_qc_with_lineage(docs, out2, n_buckets=4, wave_buckets=2)
+
+    clean = str(tmp_path / "waves_clean")
+    run_qc_with_lineage(docs, clean, n_buckets=4)
+    a = read_labels(spark, out2).select("url", "keep", "scrubbed_text").toPandas()
+    b = read_labels(spark, clean).select("url", "keep", "scrubbed_text").toPandas()
+    assert a.sort_values("url").reset_index(drop=True).equals(
+        b.sort_values("url").reset_index(drop=True)
+    )
+
+    # dedup metrics survive waves: n_dup_dropped totals agree with the
+    # single-wave dedup run
+    outd = str(tmp_path / "waves_dedup")
+    outs = str(tmp_path / "single_dedup")
+    run_qc_with_lineage(docs, outd, n_buckets=4, dedup=True, wave_buckets=3)
+    run_qc_with_lineage(docs, outs, n_buckets=4, dedup=True)
+    md, ms = load_manifest(outd), load_manifest(outs)
+    tot = lambda m: sum(v["metrics"]["n_dup_dropped"] for v in m["committed"].values())
+    assert tot(md) == tot(ms)
+    assert read_labels(spark, outd).count() == read_labels(spark, outs).count()
 
 
 def test_rerun_completed_is_noop(spark, docs, tmp_path):
