@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .config import DEFAULT_CONFIG, QCConfig
 from .fits import gamma_mle, gmm_1d
-from .operators.relational import histogram, nxx
+from .operators.relational import histogram, n50_approx
 
 # decision thresholds — the Q7-fraction warn/error analog
 # (reference longQC.py:141-143: warn 0.65 / error 0.5)
@@ -73,7 +73,14 @@ def summarize(labels: DataFrame, cfg: QCConfig = DEFAULT_CONFIG, sample_n: int =
         r["lang_pred"]: r["n"]
         for r in labels.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n50_rows = {int(r["pct"]): r["nxx"] for r in nxx(labels, "n_words", [0.5, 0.9]).collect()}
+    # NXX via the bucketed two-pass (property-tested equal to the exact
+    # window nxx): the summary is computed over the FULL labels table, so
+    # the scale-safe path — no single-task global-sort window — is the one
+    # production uses
+    n50_rows = {
+        int(r["pct"]): r["nxx"]
+        for r in n50_approx(labels, "n_words", [0.5, 0.9]).collect()
+    }
 
     # fits: gamma from sufficient stats (MF1); GMM on a bounded deterministic
     # sample of perplexities (MF2) — SA1-replacement sampling

@@ -74,6 +74,14 @@ def test_summarize_report(spark, corpus_path, tmp_path):
     assert s["totals"]["n_docs"] == 1000
     assert 0 < s["totals"]["keep_rate"] < 1
     assert s["totals"]["n50_words"] > 0
+    # the summary's NXX runs through the bucketed two-pass n50_approx (no
+    # single-task global-sort window anywhere in the production report
+    # path); values must equal the exact window nxx
+    from longqc_spark.operators.relational import nxx
+
+    exact = {int(r["pct"]): r["nxx"] for r in nxx(labels, "n_words", [0.5, 0.9]).collect()}
+    assert s["totals"]["n50_words"] == exact[50]
+    assert s["totals"]["n90_words"] == exact[90]
     assert sum(s["reasons"].values()) > 0
     assert sum(s["histograms"]["n_words_b50"].values()) == 1000
     assert s["fits"]["gamma_length"]["shape"] > 0
