@@ -391,7 +391,7 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:  # multimodal, 
 
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:  # multimodal UDTF, rows-only
     """Video frame-sampling: 1 video row → n_frames sampled+resized frame
-    rows (record-expanding UDTF shape); deterministic fake decode."""
+    rows (record-expanding UDTF shape); REAL LQCV container decode."""
     from longqc_spark.operators.multimodal import sample_frames, synth_media_table
 
     media = synth_media_table(spark, n=256)

@@ -5,12 +5,14 @@ The reference's analog is the FAST5/HDF5 path (``lq_utils.py:211-236``,
 ``lq_nanopore.py:102-117``): opaque container bytes scanned with
 ``binaryFile`` semantics, decoded per record by a vectorized kernel, metadata
 extracted into typed columns — the reference does REAL container extraction
-(h5py reads, ``lq_nanopore.py:102-117``), and so does this module for two
-formats that need no external libs: 24-bit **BMP** images and PCM16 **WAV**
-audio, both encoded/decoded in pure numpy (``encode_bmp``/``decode_bmp``,
-``encode_wav``/``decode_wav``). Only VIDEO decode remains stubbed
-(``decode_video_frames`` raises unless ``fake=True`` — containers genuinely
-require ffmpeg); its sampling/resize/batch plumbing is real and tested.
+(h5py reads, ``lq_nanopore.py:102-117``), and so does this module for three
+formats that need no external libs: 24-bit **BMP** images, PCM16 **WAV**
+audio, and **LQCV video** (an uncompressed multi-frame container: magic +
+frame count + length-prefixed BMP frames), all encoded/decoded in pure numpy
+(``encode_bmp``/``decode_bmp``, ``encode_wav``/``decode_wav``,
+``encode_video``/``decode_video_frames``). Foreign compressed containers
+(PNG/JPEG/MP4) genuinely require libpng/ffmpeg and raise at the documented
+codec boundary unless ``fake=True``.
 """
 
 from __future__ import annotations
@@ -107,12 +109,12 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synth_media_table(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic media corpus: REAL 24-bit BMP images and PCM16 WAV
-    audio (decodable by the pure-numpy codecs above), fake-container video
-    (ftyp magic + noise — video decode is the one remaining stub)."""
+    """Deterministic media corpus: REAL 24-bit BMP images, PCM16 WAV audio,
+    and LQCV multi-frame video — every payload decodable by the pure-numpy
+    codecs above."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-fake"}
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-lqcv"}
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
@@ -126,8 +128,11 @@ def synth_media_table(spark, n: int = 256, seed: int = 42) -> DataFrame:
             wave = 6000 * np.sin(2 * np.pi * freq * t / 16000) + rng.normal(0, 500, n_samp)
             payload = encode_wav(wave.astype(np.int16))
         else:
-            body = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8)
-            payload = b"\x00\x00\x00\x18ftyp" + body.tobytes()
+            nf = int(rng.integers(4, 16))
+            h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            payload = encode_video(
+                rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            )
         rows.append((i, kind, payload, mimes[kind]))
     return spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "kind", "payload", "declared_mime"]), schema=MEDIA_SCHEMA)
 
@@ -139,7 +144,7 @@ def write_media_files(spark, out_dir: str, n: int = 48, seed: int = 42) -> str:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    ext = {"image": "bmp", "audio": "wav", "video": "mp4"}
+    ext = {"image": "bmp", "audio": "wav", "video": "lqcv"}
     for row in synth_media_table(spark, n=n, seed=seed).collect():
         with open(os.path.join(out_dir, f"{row.media_id:06d}.{ext[row.kind]}"), "wb") as f:
             f.write(bytes(row.payload))
@@ -159,7 +164,7 @@ def scan_media_files(spark, in_dir: str) -> DataFrame:
     mime = (
         F.when(kind == "image", "image/bmp")
         .when(kind == "audio", "audio/wav")
-        .otherwise("video/x-fake")
+        .otherwise("video/x-lqcv")
     )
     media_id = F.regexp_extract(F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)", 1)
     return (
@@ -208,16 +213,18 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-_MAGIC = {"image": b"BM", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
+_MAGIC = {"image": b"BM", "audio": b"RIFF", "video": b"LQCV"}
 
 
-def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+def extract_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """binary payload → typed feature row, Arrow-batched.
 
-    REAL decode paths: BMP images (dims, mean luma, 8-bin pixel histogram as
-    the embedding) and WAV audio (sample count/rate, RMS, zero-crossing
-    fraction, 8-band magnitude-spectrum profile via rfft). Video rows keep
-    container-level stats only (decode stubbed).
+    REAL decode paths (the default): BMP images (dims, mean luma, 8-bin
+    pixel histogram as the embedding) and WAV audio (sample count/rate, RMS,
+    zero-crossing fraction, 8-band magnitude-spectrum profile via rfft).
+    Video rows keep container-level stats here (per-frame stats live in
+    ``sample_frames``). ``fake_decode=True`` only affects foreign image
+    formats (PNG/JPEG pseudo-decode for plumbing tests).
 
     Production shape: one ``mapInPandas`` pass per partition, payloads
     decoded batch-wise, features emitted as ``array<float>`` ready for the
@@ -298,12 +305,40 @@ def sample_frame_indices(n_total: int, n_sample: int) -> np.ndarray:
     return (np.arange(n_sample) * (n_total / n_sample)).astype(np.int64)
 
 
+VIDEO_MAGIC = b"LQCV"
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w, 3) RGB uint8 → LQCV container: ``LQCV`` magic,
+    ``<I`` frame count, then each frame as a ``<I`` length-prefixed 24-bit
+    BMP. Uncompressed by design (the container reuses the real BMP codec);
+    the reference analog is FAST5's multi-read HDF5 container
+    (``lq_nanopore.py:102-117``)."""
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        bmp = encode_bmp(fr)
+        parts.append(struct.pack("<I", len(bmp)))
+        parts.append(bmp)
+    return b"".join(parts)
+
+
 def decode_video_frames(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs pyav/ffmpeg. ``fake=True`` → deterministic
-    pseudo-decode seeded from crc32(payload): (n_frames, h, w, 3) uint8."""
+    """LQCV containers decode for REAL (length-prefixed walk + ``decode_bmp``
+    per frame) → (n_frames, h, w, 3) uint8. Foreign containers (mp4/mkv)
+    need pyav/ffmpeg — absent here — so they raise unless ``fake=True``
+    (deterministic pseudo-decode seeded from crc32(payload), plumbing tests
+    only)."""
+    if payload[:4] == VIDEO_MAGIC:
+        (n_frames,) = struct.unpack_from("<I", payload, 4)
+        frames, pos = [], 8
+        for _ in range(n_frames):
+            (sz,) = struct.unpack_from("<I", payload, pos)
+            frames.append(decode_bmp(payload[pos + 4 : pos + 4 + sz]))
+            pos += 4 + sz
+        return np.stack(frames)
     if not fake:
         raise NotImplementedError(
-            "video decode requires pyav/ffmpeg; install and replace this stub"
+            "non-LQCV video decode requires pyav/ffmpeg; LQCV decodes natively"
         )
     h = zlib.crc32(payload)
     rng = np.random.default_rng(h)
@@ -325,15 +360,16 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    media: DataFrame, n_frames: int = 4, out_size: tuple[int, int] = (8, 8), fake_decode: bool = True
+    media: DataFrame, n_frames: int = 4, out_size: tuple[int, int] = (8, 8), fake_decode: bool = False
 ) -> DataFrame:
     """Video rows → ``n_frames`` sampled+resized frame-feature rows each
     (1→n UDTF shape, the record-expanding pattern of SURVEY.md §2.12; the
     reference analog is per-read window sampling, ``lq_gcfrac.py:37-47``).
 
-    Only the decode is stubbed: sampling indices, resize, and the Arrow
-    batch plumbing (one mapInPandas pass, list-accumulated frame rows) are
-    the production implementation."""
+    LQCV containers decode for REAL by default; sampling indices, resize,
+    and the Arrow batch plumbing (one mapInPandas pass, list-accumulated
+    frame rows) are the production implementation. ``fake_decode=True``
+    pseudo-decodes foreign containers for plumbing tests."""
     oh, ow = out_size
 
     def compute(batches):
@@ -352,6 +388,9 @@ def sample_frames(
                     rows["width"].append(ow)
                     rows["mean_luma"].append(float(fr.mean()))
                     rows["feature"].append((hist / hist.sum()).astype(np.float32).tolist())
-            yield pd.DataFrame(rows)
+            # a partition with no video rows yields NOTHING: an empty
+            # all-object DataFrame can't be Arrow-converted to list<float>
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(compute, schema=FRAME_SCHEMA)

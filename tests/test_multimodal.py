@@ -1,5 +1,6 @@
-"""Multimodal: REAL pure-numpy BMP/WAV codecs + binary-column plumbing
-through Arrow; only video decode remains stubbed."""
+"""Multimodal: REAL pure-numpy BMP/WAV/LQCV-video codecs + binary-column
+plumbing through Arrow; only foreign compressed formats (PNG/JPEG/MP4) stay
+behind the documented codec boundary."""
 
 import numpy as np
 import pytest
@@ -186,3 +187,66 @@ def test_resize_property():
         idx = sample_frame_indices(n_total, n_sample)
         assert len(idx) == min(n_sample, n_total)
         assert (np.diff(idx) > 0).all() and idx[0] == 0 and idx[-1] < n_total
+
+
+def test_video_roundtrip_exact():
+    """LQCV encode→decode identity: every frame byte-identical."""
+    from longqc_spark.operators.multimodal import decode_video_frames, encode_video
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(5, 7, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_video_frames(encode_video(frames)), frames)
+
+
+def test_video_hand_fixture():
+    """Two hand-built frames (all-black, all-white): per-frame means are
+    exactly 0 and 255, and the container magic/count parse as written."""
+    from longqc_spark.operators.multimodal import decode_video_frames, encode_video
+
+    frames = np.stack(
+        [np.zeros((2, 3, 3), dtype=np.uint8), np.full((2, 3, 3), 255, dtype=np.uint8)]
+    )
+    payload = encode_video(frames)
+    assert payload[:4] == b"LQCV"
+    back = decode_video_frames(payload)
+    assert back.shape == (2, 2, 3, 3)
+    assert float(back[0].mean()) == 0.0 and float(back[1].mean()) == 255.0
+
+
+def test_foreign_video_raises_without_fake():
+    from longqc_spark.operators.multimodal import decode_video_frames
+
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00\x00\x00\x18ftypisomchunk")
+
+
+def test_sample_frames_matches_direct_decode(spark):
+    """Spark-side per-frame stats equal a direct single-node decode of the
+    same REAL containers (mean luma per sampled+resized frame)."""
+    from longqc_spark.operators.multimodal import (
+        decode_video_frames,
+        resize_image,
+        sample_frame_indices,
+        sample_frames,
+    )
+
+    media = synth_media_table(spark, n=12)
+    got = (
+        sample_frames(media, n_frames=3, out_size=(6, 6))
+        .toPandas()
+        .set_index(["media_id", "frame_idx"])
+        .sort_index()
+    )
+    n_checked = 0
+    for row in media.toPandas().itertuples():
+        if row.kind != "video":
+            continue
+        frames = decode_video_frames(bytes(row.payload))
+        for idx in sample_frame_indices(len(frames), 3):
+            fr = resize_image(frames[idx], 6, 6)
+            assert got.loc[(row.media_id, int(idx)), "mean_luma"] == pytest.approx(
+                float(fr.mean())
+            )
+            assert got.loc[(row.media_id, int(idx)), "n_frames_total"] == len(frames)
+            n_checked += 1
+    assert n_checked > 0
