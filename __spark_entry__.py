@@ -138,6 +138,32 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (exact)
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cross-run)
+    """Incremental cross-run dedup: a 'committed run' (doc_id % 3 == 0) plus
+    a 're-crawl batch' (doc_id % 2 == 0); the batch is deduped within itself
+    (min doc_id per payload digest) and anti-joined against the committed
+    corpus's stored digests — the cross-chunk exclude-list lifted to run
+    granularity (reference ``longQC.py:376-389``)."""
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    docs = _read(spark, sf, "documents")
+    committed = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("text").cast("binary")).alias("payload_md5")
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 == 0)
+    admitted = incremental_dedup(
+        new_batch, committed, key_col="doc_id", text_col="text"
+    )
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:  # text: token counting
     docs = _read(spark, sf, "documents")
     return (
@@ -1698,6 +1724,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tokens": q_topk_tokens,
         "event_gaps": q_event_gaps,
         "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1871,6 +1898,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_distinct_texts, CAST(sum(n) AS BIGINT) AS n_docs,
                    CAST(sum(n - 1) AS BIGINT) AS n_duplicates
             FROM per_text
+        """,
+        "incremental_dedup": """
+            WITH known AS (
+                SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
+            ), fresh AS (
+                SELECT source, n_chars, md5(text) AS d,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT source, count(*) AS n_admitted,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM fresh
+            WHERE rn = 1 AND d NOT IN (SELECT d FROM known)
+            GROUP BY source ORDER BY source
         """,
         "token_counts": """
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens

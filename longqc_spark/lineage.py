@@ -109,6 +109,7 @@ def run_qc_with_lineage(
     html_col: str | None = None,
     dedup: bool = False,
     wave_buckets: int | None = None,
+    exclude_labels_dir: str | None = None,
 ) -> dict:
     """Run the QC pipeline bucket-by-bucket with committed checkpoints.
 
@@ -152,7 +153,23 @@ def run_qc_with_lineage(
         "text_col": text_col,
         "html_col": html_col,
         "dedup": dedup,
+        **({"exclude_labels_dir": exclude_labels_dir} if exclude_labels_dir else {}),
     }
+    if exclude_labels_dir:
+        # incremental cross-run dedup: anti-join this batch against the
+        # PREVIOUS run's committed labels on their stored payload_md5 —
+        # run-1 input is never rescanned, only its label table's digest
+        # column (projection-pruned read). Part of run_config identity so a
+        # resume can't silently change the exclude-list.
+        from .operators.dedup import incremental_dedup
+
+        docs = incremental_dedup(
+            docs,
+            read_labels(docs.sparkSession, exclude_labels_dir),
+            key_col=key_col,
+            text_col=text_col,
+            html_col=html_col,
+        )
     manifest = load_manifest(out_dir)
     if manifest["run_id"] is None:
         manifest["run_id"] = uuid.uuid4().hex

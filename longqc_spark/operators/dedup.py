@@ -22,7 +22,7 @@ from itertools import chain
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..models import hash_tokens, ngram_keys
 
@@ -441,3 +441,45 @@ def connected_components(
             f"({n_changed} labels still changing) — raise max_iter"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    committed: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+    digest_col: str = "payload_md5",
+) -> DataFrame:
+    """Cross-RUN dedup: admit only the docs of a new batch (re-crawl) whose
+    payload digest is absent from an already-committed label corpus — the
+    cross-chunk exclude-list (reference ``longQC.py:376-389``: chunk N skips
+    reads already emitted by chunks 1..N-1), lifted to run granularity.
+
+    Two stages, both digest-keyed:
+    1. WITHIN-batch exact dedup — keep the min-key doc per digest (the same
+       deterministic winner rule as the lineage dedup window, so resumed /
+       repeated runs agree);
+    2. anti-join against the committed corpus's STORED ``payload_md5``
+       column (written by ``qc_pipeline`` at label time) — run-1 INPUT is
+       never re-read, only its label table's one digest column.
+
+    100-TB shape: the committed side projects to a single 32-char column and
+    pre-aggregates distinct per shuffle partition (partial agg) before the
+    anti-join; both sides shuffle on the digest — a plain equi-anti-join AQE
+    can skew-split. No broadcast assumption: BOTH sides may be petabyte-scale
+    (the committed corpus certainly is at 10^12 docs).
+
+    Returns the surviving rows of ``new_docs`` (original columns).
+    """
+    digest = F.md5(F.col(html_col or text_col).cast("binary"))
+    w = Window.partitionBy(digest).orderBy(key_col)
+    fresh = (
+        new_docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    known = committed.select(F.col(digest_col).alias("_known_md5")).distinct()
+    return fresh.join(
+        known, on=digest == F.col("_known_md5"), how="left_anti"
+    )

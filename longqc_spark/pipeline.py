@@ -229,9 +229,14 @@ def qc_pipeline(
 ) -> DataFrame:
     """documents(url, …, text, …) → labels DataFrame.
 
-    Output: key cols + full stat vector + scrubbed_text/pii/tox counters
-    (+ spans if requested) + reasons + keep. Lazy; callers append to the sink
-    or aggregate.
+    Output: key cols + ``payload_md5`` (digest of the RAW payload bytes —
+    html when extraction is fused, text otherwise) + full stat vector +
+    scrubbed_text/pii/tox counters (+ spans if requested) + reasons + keep.
+    Lazy; callers append to the sink or aggregate. The stored digest is what
+    makes committed label corpora usable as an exclude-list for incremental
+    cross-run dedup (``operators.dedup.incremental_dedup``) — re-crawls are
+    anti-joined on it without re-reading run-1 input (the cross-chunk
+    exclude-list analog, reference ``longQC.py:376-389``).
 
     The up-front salted repartition serves two purposes: skew-proof uniform
     task sizing for the Arrow UDF stage, and — in this sandbox, where parquet
@@ -243,11 +248,14 @@ def qc_pipeline(
         num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
     key = (key_cols or ["url"])[0]
     parted = docs if num_partitions == 0 else salted_repartition(docs, key, num_partitions)
+    parted = parted.withColumn(
+        "payload_md5", F.md5(F.col(html_col or text_col).cast("binary"))
+    )
     stats = with_stats_and_scrub(
         parted,
         cfg,
         text_col=text_col,
-        key_cols=key_cols,
+        key_cols=list(key_cols or ["url"]) + ["payload_md5"],
         emit_spans=emit_spans,
         html_col=html_col,
     )

@@ -283,3 +283,52 @@ def test_time_travel_schema_matches_current(spark, docs, tmp_path):
     cur, old = read_labels(spark, out), read_labels(spark, out, as_of=v)
     assert cur.schema == old.schema
     assert "bucket" in old.columns
+
+
+def test_incremental_cross_run_dedup(spark, docs, tmp_path):
+    """Run 2 (a re-crawl overlapping run 1) admits only genuinely new
+    payloads: its batch is anti-joined against run 1's COMMITTED labels on
+    the stored payload_md5 — run-1 input is never rescanned (accumulator
+    stays frozen during run 2)."""
+    import hashlib
+
+    h = F.crc32(F.col("url"))
+    docs_a = docs.filter(h % 2 == 0)
+    overlap = docs_a.filter(h % 7 == 0)  # re-crawled subset of run 1
+    docs_b = docs.filter(h % 2 == 1).unionByName(overlap)
+
+    acc = spark.sparkContext.accumulator(0)
+    schema = docs.schema
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    run_qc_with_lineage(docs_a.mapInPandas(count_rows, schema), out1, n_buckets=4)
+    n_run1_scans = acc.value
+    assert n_run1_scans == docs_a.count()
+
+    run_qc_with_lineage(docs_b, out2, n_buckets=4, exclude_labels_dir=out1)
+    assert acc.value == n_run1_scans  # run-1 input untouched by run 2
+
+    # expected admissions, computed independently in pandas: min-url per
+    # digest within batch B, digest absent from A
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    pa = docs_a.select("url", "text").toPandas()
+    pb = docs_b.select("url", "text").toPandas()
+    known = {md5(t) for t in pa.text}
+    pb["d"] = pb.text.map(md5)
+    winners = pb.sort_values("url").drop_duplicates("d")
+    expect = sorted(winners[~winners.d.isin(known)].url)
+
+    got = sorted(r["url"] for r in read_labels(spark, out2).select("url").collect())
+    assert got == expect
+    # labels carry the digest column runs downstream can exclude against
+    assert "payload_md5" in read_labels(spark, out2).columns
+
+    # a rerun with a DIFFERENT exclude config must be refused (checkpoint
+    # identity includes the exclude-list)
+    with pytest.raises(ValueError, match="run config"):
+        run_qc_with_lineage(docs_b, out2, n_buckets=4)
