@@ -99,11 +99,31 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, key_col: str = "doc_id", bands: int = 16, n_hashes: int = 64
+    sigs: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 16,
+    n_hashes: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` rows of r = n/bands,
     hash each band, equi-join on (band, hash). → (key_a, key_b) distinct,
-    key_a < key_b."""
+    key_a < key_b.
+
+    ``max_bucket`` is the boilerplate guard (the LSH analog of the ngram
+    join's ``max_occ`` frequency cut, reference ``lqmap.c:166-173``): a web
+    corpus where one template dominates puts ~30% of all docs into ONE
+    (band, bhash) bucket, and the all-pairs self-join goes quadratic —
+    O((0.3N)²) candidate pairs at bucket granularity is the single worst
+    100-TB failure mode of banded LSH. Buckets larger than ``max_bucket``
+    switch from all-pairs to STAR expansion: every member pairs with the
+    bucket's min key only — O(k) pairs, and connectivity is preserved, so
+    downstream ``connected_components`` clustering produces the same
+    duplicate clusters for template floods (est_jaccard between a flood
+    member and the bucket head passes the same threshold the member-member
+    pair would). Direct pairwise estimates between non-head members of an
+    over-cap bucket are the one thing given up — use ``max_bucket=None``
+    (the default, exact pair semantics) when those are required.
+    """
     r = n_hashes // bands
     banded = sigs.select(
         F.col(key_col),
@@ -116,20 +136,32 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bhash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
+
+    def all_pairs(df: DataFrame) -> DataFrame:
+        left, right = df.alias("l"), df.alias("r")
+        return left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bhash") == F.col("r.bhash"))
             & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"l.{key_col}").alias("key_a"), F.col(f"r.{key_col}").alias("key_b")
         )
-        .distinct()
+
+    if max_bucket is None:
+        return all_pairs(banded).distinct()
+    # one partial-agg pass sizes every bucket and picks its head; the size
+    # column routes each bucket to the bounded strategy
+    stats = banded.groupBy("band", "bhash").agg(
+        F.count(F.lit(1)).alias("_bsize"), F.min(key_col).alias("_bhead")
     )
+    tagged = banded.join(stats, ["band", "bhash"])
+    small = all_pairs(tagged.filter(F.col("_bsize") <= max_bucket).drop("_bsize", "_bhead"))
+    big = (
+        tagged.filter((F.col("_bsize") > max_bucket) & (F.col(key_col) != F.col("_bhead")))
+        .select(F.col("_bhead").alias("key_a"), F.col(key_col).alias("key_b"))
+    )
+    return small.unionByName(big).distinct()
 
 
 def minhash_jaccard_estimate(
@@ -140,12 +172,14 @@ def minhash_jaccard_estimate(
     bands: int = 16,
     shingle: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, then
     signature-agreement Jaccard estimate, filtered at ``threshold``.
-    → (key_a, key_b, est_jaccard)."""
+    → (key_a, key_b, est_jaccard). ``max_bucket``: boilerplate bucket guard,
+    see ``lsh_candidate_pairs``."""
     sigs = minhash_signatures(df, key_col, text_col, n_hashes, shingle).cache()
-    pairs = lsh_candidate_pairs(sigs, key_col, bands, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, key_col, bands, n_hashes, max_bucket)
     a = sigs.select(F.col(key_col).alias("key_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(key_col).alias("key_b"), F.col("sig").alias("sig_b"))
     est = (

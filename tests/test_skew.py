@@ -1,0 +1,109 @@
+"""Skew-adversarial corpus: one boilerplate template dominating ~30% of all
+documents — the canonical web-crawl pathology (cookie banners, parked
+domains). The LSH banded join is the operator at risk: every flood doc lands
+in the SAME (band, bhash) bucket and the all-pairs join goes quadratic.
+These tests pin the ``max_bucket`` guard's two contracts: bounded candidate
+fan-out AND unchanged duplicate clusters."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from longqc_spark.operators.dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+)
+
+TEMPLATE = (
+    "cookie consent required this website uses cookies to improve your "
+    "experience please accept our policy terms and conditions apply "
+    "all rights reserved contact us about privacy settings"
+)
+
+
+def boilerplate_corpus(n: int, flood_frac: float = 0.3, seed: int = 7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+    rows = []
+    for i in range(n):
+        if i % 10 < int(flood_frac * 10):
+            rows.append((i, TEMPLATE))  # exact template flood
+        else:
+            rows.append((i, " ".join(rng.choice(vocab, size=30))))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_bucket_guard_bounds_candidate_fanout(spark):
+    """30% flood, n=3000: unguarded banding is quadratic in the flood size
+    (~C(900,2) pairs); with max_bucket the fan-out is linear in n."""
+    n = 3000
+    docs = spark.createDataFrame(boilerplate_corpus(n))
+    sigs = minhash_signatures(docs, key_col="doc_id", text_col="text").cache()
+
+    unguarded = lsh_candidate_pairs(sigs, key_col="doc_id").count()
+    guarded = lsh_candidate_pairs(sigs, key_col="doc_id", max_bucket=50).count()
+
+    flood = int(n * 0.3)
+    assert unguarded >= flood * (flood - 1) // 2  # quadratic blow-up is real
+    assert guarded < 5 * n  # bounded: linear in corpus size
+    assert unguarded > 25 * guarded
+
+
+def test_bucket_guard_preserves_clusters(spark):
+    """Star expansion keeps connectivity: the duplicate CLUSTERS (connected
+    components over threshold-passing pairs) are identical with and without
+    the guard."""
+    docs = spark.createDataFrame(boilerplate_corpus(600))
+
+    def clusters(max_bucket):
+        pairs = minhash_jaccard_estimate(
+            docs, key_col="doc_id", text_col="text", threshold=0.8, max_bucket=max_bucket
+        ).select("key_a", "key_b")
+        comp = connected_components(pairs).toPandas()
+        return sorted(
+            frozenset(g.node) for _, g in comp.groupby("component") if len(g) > 1
+        )
+
+    assert clusters(None) == clusters(25)
+
+
+def test_bucket_guard_flood_one_component(spark):
+    """Every flood doc ends up in one duplicate cluster under the guard —
+    nothing is silently dropped the way a hard bucket cut would."""
+    n = 1000
+    docs = spark.createDataFrame(boilerplate_corpus(n))
+    pairs = minhash_jaccard_estimate(
+        docs, key_col="doc_id", text_col="text", threshold=0.9, max_bucket=20
+    ).select("key_a", "key_b")
+    comp = connected_components(pairs).toPandas()
+    flood_ids = {i for i in range(n) if i % 10 < 3}
+    flood_comp = comp[comp.node.isin(flood_ids)]
+    assert set(flood_comp.node) == flood_ids
+    assert flood_comp.component.nunique() == 1
+
+
+def test_skewed_pipeline_throughput_sane(spark):
+    """The guarded LSH pipeline on the boilerplate corpus completes within
+    ~1.5x the uniform-corpus time at equal size (the AQE/banded join does
+    not degenerate). Generous bound: this VM's co-tenant noise is real."""
+    import time
+
+    n = 20_000
+    skewed = spark.createDataFrame(boilerplate_corpus(n)).cache()
+    uniform = spark.createDataFrame(boilerplate_corpus(n, flood_frac=0.0)).cache()
+    skewed.count(), uniform.count()
+
+    def run(df):
+        t0 = time.time()
+        minhash_jaccard_estimate(
+            df, key_col="doc_id", text_col="text", threshold=0.8, max_bucket=100
+        ).count()
+        return time.time() - t0
+
+    run(uniform)  # warm-up
+    t_uniform = min(run(uniform) for _ in range(2))
+    t_skewed = min(run(skewed) for _ in range(2))
+    assert t_skewed < max(3.0, 2.5 * t_uniform), (t_skewed, t_uniform)

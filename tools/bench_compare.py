@@ -31,6 +31,14 @@ def load(path: str) -> dict:
         obj = json.loads(text)
         if "queries" in obj:
             return obj
+        # bench_corpus_scale.py record: nested {"name": {"sec": ...}} blocks
+        nested = {
+            k: v["sec"]
+            for k, v in obj.items()
+            if isinstance(v, dict) and isinstance(v.get("sec"), (int, float))
+        }
+        if nested:
+            return {"queries": nested, "value": round(sum(nested.values()), 2)}
         blobs = [v for v in obj.values() if isinstance(v, str) and '{"metric"' in v]
         text = blobs[0] if blobs else text
     except json.JSONDecodeError:
