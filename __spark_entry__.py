@@ -164,6 +164,57 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cr
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:  # SA1+ weighted
+    """Weight-proportional priority sample (Duffield-Lund-Thorup): md5-based
+    uniform / weight, k smallest win — deterministic, parallel-stable,
+    TakeOrderedAndProject plan."""
+    from longqc_spark.operators.text import weighted_priority_sample
+
+    docs = _read(spark, sf, "documents")
+    return (
+        weighted_priority_sample(docs, k=50, weight_col="n_chars", key_col="doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:  # text: vocab coverage
+    """Tokenizer-coverage health check: per-source OOV stats against the
+    corpus's own top-100 token vocabulary (vocab = tiny TakeOrdered collect,
+    per-doc counting = pure map with the vocab as a literal array)."""
+    from longqc_spark.operators.text import vocab_coverage
+
+    docs = _read(spark, sf, "documents")
+    cov = vocab_coverage(docs, vocab_size=100)
+    return (
+        cov.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_oov").cast("bigint").alias("total_oov"),
+            F.round(F.avg("oov_frac"), 6).alias("avg_oov_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:  # sharding (two-pass cumsum)
+    """Byte-balanced output sharding via the two-pass prefix-sum (no global
+    sort — the n50_approx pattern applied to a running total)."""
+    from longqc_spark.operators.relational import assign_shards
+
+    docs = _read(spark, sf, "documents")
+    return (
+        assign_shards(docs, shard_bytes=20_000)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:  # text: token counting
     docs = _read(spark, sf, "documents")
     return (
@@ -1725,6 +1776,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "weighted_sample": q_weighted_sample,
+        "oov_rate": q_oov_rate,
+        "shard_assign": q_shard_assign,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1912,6 +1966,49 @@ def oracle_sql() -> dict[str, str]:
             FROM fresh
             WHERE rn = 1 AND d NOT IN (SELECT d FROM known)
             GROUP BY source ORDER BY source
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       CAST(CAST(('0x' || substr(md5(doc_id || '#11'), 1, 8)) AS BIGINT) AS DOUBLE)
+                           / CAST(n_chars AS DOUBLE) AS q
+                FROM documents ORDER BY q, doc_id LIMIT 50
+            ) ORDER BY doc_id
+        """,
+        "oov_rate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token
+                FROM documents
+            ), vocab AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS n FROM toks GROUP BY token
+                    ORDER BY n DESC, token ASC LIMIT 100
+                )
+            ), d AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab)) AS n_oov
+                FROM toks GROUP BY doc_id
+            ), d2 AS (
+                SELECT doc_id, coalesce(n_tokens, 0) AS n_tokens, coalesce(n_oov, 0) AS n_oov
+                FROM documents LEFT JOIN d USING (doc_id)
+            )
+            SELECT s.source, CAST(sum(d2.n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(d2.n_oov) AS BIGINT) AS total_oov,
+                   round(avg(CAST(d2.n_oov AS DOUBLE) / greatest(d2.n_tokens, 1)), 6) AS avg_oov_frac
+            FROM d2 JOIN documents s USING (doc_id)
+            GROUP BY s.source ORDER BY s.source
+        """,
+        "shard_assign": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS cb
+                FROM documents
+            )
+            SELECT CAST(floor(CAST(cb AS DOUBLE) / 20000.0) AS BIGINT) AS shard,
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_bytes
+            FROM c GROUP BY shard ORDER BY shard
         """,
         "token_counts": """
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens

@@ -307,3 +307,52 @@ def distinct_sketch_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("n_distinct_est")
     )
     return per_group, total
+
+
+def assign_shards(
+    df: DataFrame,
+    shard_bytes: int,
+    bytes_col: str = "n_chars",
+    key_col: str = "doc_id",
+    range_width: int = 1000,
+) -> DataFrame:
+    """Byte-balanced output sharding: shard id = floor(global running bytes
+    BEFORE this record / shard_bytes) in key order — the deterministic
+    content-size packing a training-data writer needs (equal-byte shards
+    regardless of per-doc size skew). The streaming-cut analog of the
+    reference's size-targeted chunking (``longQC.py:298-359``).
+
+    A naive global cumsum is a single-task unbounded window — the exact
+    scale-killer ``n50_approx`` exists to avoid. Same cure here, two
+    passes with NO global sort:
+
+    1. partial-agg byte sums per key RANGE (``key div range_width`` — tiny
+       result, collected);
+    2. driver prefix-sums the range table (≤ keys/range_width rows) and the
+       per-range offsets ride back into a pure map as a literal lookup;
+       the within-range cumsum is a window PARTITIONED by range — bounded
+       work per task, shuffle keyed by range.
+
+    The division is one IEEE double op (exact cross-engine); byte totals
+    stay exact in BIGINT.
+    → original columns + ``shard long``."""
+    rng = (F.col(key_col) / F.lit(range_width)).cast("long")
+    totals = sorted(
+        df.groupBy(rng.alias("r")).agg(F.sum(bytes_col).alias("s")).collect(),
+        key=lambda row: row["r"],
+    )
+    offsets, acc = {}, 0
+    for row in totals:
+        offsets[row["r"]] = acc
+        acc += row["s"]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        rng,
+    )
+    w = Window.partitionBy(rng).orderBy(key_col)
+    cum_within = F.sum(bytes_col).over(w) - F.col(bytes_col)
+    cum_before = (off + cum_within).cast("long")
+    return df.withColumn(
+        "shard",
+        F.floor(cum_before.cast("double") / F.lit(float(shard_bytes))).cast("long"),
+    )

@@ -129,3 +129,79 @@ def stratified_hash_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("prio", "_rn")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Weight-proportional deterministic sample — priority sampling
+    (Duffield-Lund-Thorup): each record gets priority q = u / w where u is a
+    deterministic per-key uniform and w its weight; the k SMALLEST
+    priorities win, so inclusion probability rises with weight. The
+    quality-weighted subset selection a training-data pipeline uses to
+    up-sample high-value documents, as a drop-in sibling of
+    ``hash_priority_sample`` (reference reservoir analog,
+    ``lq_utils.py:371-411``).
+
+    Exactness across engines: u is the first 8 md5 hex digits as an integer
+    (reproducible in DuckDB via CAST('0x'||hex AS BIGINT)); q is ONE IEEE
+    double division (correctly rounded, so bit-identical in any engine) —
+    no transcendental functions. Plan: pure map + TakeOrderedAndProject
+    (k rows to the driver, no global sort)."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    q = u.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_q", q)
+        .orderBy("_q", key_col)
+        .limit(k)
+        .drop("_q")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 100,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary stats against the corpus's own top-N
+    token vocabulary — the tokenizer-coverage health check (what fraction of
+    a candidate corpus would an N-entry vocab explain?).
+
+    Two jobs, both scale-right: (1) the vocab is a partial-agg token count +
+    ``TakeOrderedAndProject`` (N rows to the driver — the n50_approx
+    pattern); (2) per-doc OOV counting is a PURE MAP — the vocab rides into
+    the plan as a literal array (broadcast-by-construction), membership via
+    ``array_contains`` inside a JVM higher-order filter, zero shuffle on the
+    corpus side (the decontaminate asymmetry, applied to vocabulary).
+    → (key, n_tokens, n_oov, oov_frac)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    vocab_rows = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = F.array(*[F.lit(r["token"]) for r in vocab_rows])
+    n_tokens = F.size(toks)
+    n_oov = F.size(F.filter(toks, lambda t: ~F.array_contains(vocab, t)))
+    return df.select(
+        F.col(key_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        (n_oov / F.greatest(n_tokens, F.lit(1))).alias("oov_frac"),
+    )

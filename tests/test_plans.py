@@ -326,3 +326,42 @@ def test_decontaminate_broadcasts_eval_shingles(spark, sf001):
     corpus_side = hits_plan.split("BroadcastExchange")[0]
     assert "Exchange" not in corpus_side
     assert "FileScan" in corpus_side  # the scan really is in that subtree
+
+
+def test_weighted_sample_is_take_ordered(spark, sf001):
+    from longqc_spark.operators.text import weighted_priority_sample
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(weighted_priority_sample(docs, k=50))
+    # k rows to the driver via partial top-k — never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_vocab_coverage_per_doc_is_pure_map(spark, sf001):
+    """Stage 2 of vocab_coverage (per-doc OOV counting) must be a map: the
+    vocab rides in as a literal array, so the corpus side has NO Exchange."""
+    from longqc_spark.operators.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(vocab_coverage(docs, vocab_size=50))
+    assert "Exchange" not in plan
+
+
+def test_assign_shards_no_global_window(spark, sf001):
+    """The running total must come from the two-pass prefix sum: the only
+    window is PARTITIONED by the key range — no empty-partition-spec global
+    window (single-task scale-killer) anywhere in the plan."""
+    from longqc_spark.operators.relational import assign_shards
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(assign_shards(docs, shard_bytes=20_000))
+    assert "Window" in plan
+    # a global window renders as: Window [...], [key ASC ...] with no
+    # partition spec between the brackets; the partitioned form carries the
+    # partition expressions before the ordering clause
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\](, \[[^\]]*\])?", plan):
+        # 3-bracket form: (exprs, partition, order); 2-bracket = global
+        assert m.group(2) is not None, f"global (unpartitioned) window: {m.group(0)}"

@@ -301,3 +301,59 @@ def test_empty_wav_feature(spark):
     )
     row = extract_features(media).collect()[0]
     assert row.n_samples == 0 and row.rms == 0.0 and row.feature == []
+
+
+def test_assign_shards_matches_naive_cumsum(spark):
+    """Two-pass prefix-sum sharding == the naive global cumsum, at any
+    range width and any partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(997), "n_chars": rng.integers(1, 900, size=997)}
+    )
+    cb = pdf.n_chars.cumsum() - pdf.n_chars
+    expect = np.floor(cb.astype(float) / 5000.0).astype(int)
+
+    from longqc_spark.operators.relational import assign_shards
+
+    for width, parts in [(10, 1), (100, 7), (1000, 3)]:
+        got = (
+            assign_shards(
+                spark.createDataFrame(pdf).repartition(parts),
+                shard_bytes=5000,
+                range_width=width,
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.shard.tolist() == expect.tolist(), (width, parts)
+    # packing property: every shard's bytes stay under target + one max doc
+    sizes = got.groupby("shard").n_chars.sum()
+    assert (sizes <= 5000 + pdf.n_chars.max()).all()
+
+
+def test_weighted_sample_weight_bias_and_stability(spark):
+    """Priority sampling is deterministic, partition-invariant, and biased
+    toward heavy records (mean sampled weight > corpus mean)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(6)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(2000), "n_chars": rng.integers(1, 2000, size=2000)}
+    )
+    from longqc_spark.operators.text import weighted_priority_sample
+
+    df = spark.createDataFrame(pdf)
+    a = weighted_priority_sample(df, k=100).toPandas().sort_values("doc_id")
+    b = (
+        weighted_priority_sample(df.repartition(13), k=100)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert len(a) == 100
+    assert a.n_chars.mean() > pdf.n_chars.mean()
