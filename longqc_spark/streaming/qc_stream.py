@@ -146,11 +146,21 @@ def stream_dedup(
     text_col: str = "text",
     max_files_per_trigger: int = 1,
     watermark: tuple[str, str] | None = None,
+    exclude_labels: DataFrame | None = None,
 ):
     """Streaming exact dedup: cross-micro-batch duplicate drop via Spark's
     stateful ``dropDuplicates`` (payload-hash key held in the state store —
     the streaming twin of the batch min-key-per-payload window in
     ``lineage.run_qc_with_lineage(dedup=True)``).
+
+    ``exclude_labels``: a STATIC committed label corpus (``lineage.
+    read_labels``) whose stored ``payload_md5`` column excludes
+    already-admitted payloads — a STREAM-STATIC left-anti join, the
+    streaming twin of ``operators.dedup.incremental_dedup``: a re-crawl
+    can be drained incrementally while never re-admitting documents a
+    previous run committed. The static side is re-read per micro-batch by
+    Spark (fresh snapshot semantics); at scale it is the Iceberg audit
+    table's digest column, projection-pruned.
 
     Batch parity: the set of distinct payloads is identical to the batch
     dedup's; the surviving WITNESS per payload is first-arrival in stream
@@ -169,6 +179,11 @@ def stream_dedup(
         .parquet(input_dir)
         .withColumn("payload_hash", F.md5(F.col(text_col).cast("binary")))
     )
+    if exclude_labels is not None:
+        known = exclude_labels.select(
+            F.col("payload_md5").alias("payload_hash")
+        ).distinct()
+        docs = docs.join(known, "payload_hash", "left_anti")
     if watermark is not None:
         col, delay = watermark
         docs = docs.withColumn(col, F.col(col).cast("timestamp")).withWatermark(

@@ -140,3 +140,49 @@ def test_stream_qc_html_funnel(spark, corpus_path, tmp_path):
     got = _norm(read_stream_labels(spark, out).toPandas())
     want = _norm(qc_pipeline(spark.read.parquet(d), num_partitions=0, html_col="html").toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_static_incremental_dedup(spark, corpus_path, tmp_path):
+    """Stream-static anti-join: a streamed re-crawl never re-admits payloads
+    a previous run committed (the streaming twin of incremental_dedup —
+    exclusion keyed on the stored payload_md5 of run-1 labels)."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.lineage import read_labels, run_qc_with_lineage
+    from longqc_spark.streaming.qc_stream import read_stream_labels, stream_dedup
+
+    docs = spark.read.parquet(corpus_path)
+    h = F.crc32(F.col("url"))
+    docs_a = docs.filter(h % 2 == 0)
+    overlap = docs_a.filter(h % 7 == 0)
+    docs_b = docs.filter(h % 2 == 1).unionByName(overlap).select("url", "text")
+
+    run1 = str(tmp_path / "run1")
+    run_qc_with_lineage(docs_a, run1, n_buckets=2)
+
+    d = str(tmp_path / "recrawl")
+    docs_b.coalesce(2).write.mode("overwrite").parquet(d)
+    out = str(tmp_path / "stream_out")
+    q = stream_dedup(
+        spark,
+        d,
+        spark.read.parquet(d).schema,
+        out,
+        exclude_labels=read_labels(spark, run1),
+    )
+    assert q.awaitTermination(540)
+
+    got = read_stream_labels(spark, out).toPandas()
+    # admitted set == batch incremental_dedup on the same inputs (witness
+    # choice differs: stream = first arrival, batch = min key; payload SETS
+    # must agree exactly)
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    want = incremental_dedup(
+        docs_b, read_labels(spark, run1), key_col="url", text_col="text"
+    ).toPandas()
+    want_hashes = set(
+        __import__("hashlib").md5(t.encode()).hexdigest() for t in want.text
+    )
+    assert set(got.payload_hash) == want_hashes
+    assert got.payload_hash.is_unique
