@@ -107,3 +107,58 @@ def test_skewed_pipeline_throughput_sane(spark):
     t_uniform = min(run(uniform) for _ in range(2))
     t_skewed = min(run(skewed) for _ in range(2))
     assert t_skewed < max(3.0, 2.5 * t_uniform), (t_skewed, t_uniform)
+
+
+def test_aqe_skew_split_one_sided_but_not_selfjoin(spark):
+    """Two facts about AQE skew handling, pinned because together they are
+    WHY the max_bucket guard exists:
+
+    1. a ONE-SIDED skewed shuffle join IS split by AQE at these thresholds
+       (final adaptive plan carries SortMergeJoin(skew=true)) — ordinary
+       skewed equi-joins in this engine are protected by configuration;
+    2. the banded LSH SELF-join under a template flood is NOT: both join
+       sides are the same shuffle, so the skewed partition is skewed on
+       BOTH sides simultaneously and Spark's OptimizeSkewedJoin cannot
+       replicate either side — no skew=true appears. AQE therefore cannot
+       save a boilerplate-flooded LSH join; bounding the bucket itself
+       (max_bucket star expansion) is the only structural fix."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # fact 1: one-sided skew (80% of the big side on one key) IS split
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(5_000).select(F.col("id").alias("k"), F.lit("r").alias("v"))
+        probe = left.join(right, "k").select(F.count(F.lit(1)).alias("n"))
+        assert probe.collect()[0]["n"] == 241_000
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan and "skew=true" in plan
+
+        # fact 2: the flood SELF-join is un-splittable (both sides skewed
+        # on the same partition) — AQE runs but no skew split happens
+        docs = spark.createDataFrame(boilerplate_corpus(4000))
+        sigs = minhash_signatures(docs, key_col="doc_id", text_col="text")
+        probe2 = lsh_candidate_pairs(sigs, key_col="doc_id").select(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert probe2.collect()[0]["n"] > 0
+        plan2 = probe2._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2
+        assert "skew=true" not in plan2  # the guard, not AQE, must own this
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
