@@ -215,6 +215,46 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:  # sharding (two-
     )
 
 
+def q_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (normalized)
+    """Normalization-aware dedup accounting: docs that are exact-distinct
+    but collapse to the same canonical form (lowercase, punctuation
+    stripped, whitespace folded) are near-identical re-encodings; per
+    source, count raw-distinct vs normalized-distinct payloads."""
+    from longqc_spark.operators.text import normalize_text_expr
+
+    docs = _read(spark, sf, "documents")
+    return (
+        docs.select(
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("raw_d"),
+            F.md5(normalize_text_expr("text").cast("binary")).alias("norm_d"),
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("raw_d").alias("n_raw_distinct"),
+            F.countDistinct("norm_d").alias("n_norm_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:  # train/val/test split
+    """Deterministic leakage-proof dataset split (md5 percent bucket per
+    doc_id, 80/10/10) — per split: doc count + total chars."""
+    from longqc_spark.operators.text import dataset_split_expr
+
+    docs = _read(spark, sf, "documents")
+    return (
+        docs.withColumn("split", dataset_split_expr("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:  # text: token counting
     docs = _read(spark, sf, "documents")
     return (
@@ -1779,6 +1819,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "oov_rate": q_oov_rate,
         "shard_assign": q_shard_assign,
+        "normalized_dedup": q_normalized_dedup,
+        "split_assign": q_split_assign,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2009,6 +2051,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(CAST(cb AS DOUBLE) / 20000.0) AS BIGINT) AS shard,
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_bytes
             FROM c GROUP BY shard ORDER BY shard
+        """,
+        "normalized_dedup": """
+            SELECT source,
+                   count(DISTINCT md5(text)) AS n_raw_distinct,
+                   count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 \\n]', ' ', 'g'), '\\s+', ' ', 'g')))) AS n_norm_distinct
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "split_assign": """
+            SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM (
+                SELECT n_chars,
+                       CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END AS split
+                FROM (
+                    SELECT n_chars,
+                           CAST(('0x' || substr(md5(doc_id || '#split'), 1, 8)) AS BIGINT) % 100 AS u
+                    FROM documents
+                )
+            ) GROUP BY split ORDER BY split
         """,
         "token_counts": """
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens

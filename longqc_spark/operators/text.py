@@ -205,3 +205,38 @@ def vocab_coverage(
         n_oov.cast("long").alias("n_oov"),
         (n_oov / F.greatest(n_tokens, F.lit(1))).alias("oov_frac"),
     )
+
+
+def normalize_text_expr(text_col: str = "text"):
+    """C4-style canonicalization for normalization-aware dedup, all JVM-side:
+    lowercase → strip non-alphanumerics → collapse whitespace → trim. Two
+    near-identical pages (case/punct/spacing differences) canonicalize to
+    the same digest; patterns chosen to evaluate identically under Java
+    regex and RE2 (DuckDB), so oracles reproduce the digest exactly."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9 \n]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def dataset_split_expr(key_col: str = "doc_id", seed: str = "split", fractions=(80, 10)):
+    """Deterministic train/val/test assignment: md5-derived percent bucket
+    per key (cross-engine exact — the md5-hex-to-int trick), split at
+    ``fractions`` = (train %, val %); remainder is test. The leakage-proof
+    split a training pipeline needs: assignment is a pure function of the
+    key, stable under any repartitioning or re-run."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    train, val = fractions
+    return (
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
