@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None) -> int:
                         "(extraction fused into the Arrow pass)")
     p.add_argument("--dedup", action="store_true",
                    help="exact-dedup stage before QC (min key per distinct text)")
+    p.add_argument("--exclude-labels", default=None, metavar="DIR",
+                   help="incremental cross-run dedup: drop docs whose payload "
+                        "digest is already committed in this previous run's "
+                        "label store (anti-join on its stored payload_md5)")
+    p.add_argument("--wave-buckets", type=int, default=None, metavar="K",
+                   help="stage-and-commit in waves of K buckets (intra-run "
+                        "checkpoints: a crash loses at most one wave; default "
+                        "one wave = one input scan)")
     p.add_argument("--fuzzy-scrub", action="store_true",
                    help="tolerance scrub pass: tokens within 1 edit of a "
                         "lexicon term at identity >= 0.75 are scrubbed too "
@@ -78,6 +86,8 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         html_col=args.html_col,
         dedup=args.dedup,
+        wave_buckets=args.wave_buckets,
+        exclude_labels_dir=args.exclude_labels,
     )
     n_committed = len(manifest["committed"])
     print(f"committed {n_committed}/{args.buckets} buckets → {args.out}/data", file=sys.stderr)

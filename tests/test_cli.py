@@ -43,3 +43,23 @@ def test_cli_expire_keep_zero_rejected(corpus_path, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         main(["--input", corpus_path, "--out", out, "--buckets", "1",
               "--expire-keep", "0", "--local-cores", "8"])
+
+
+def test_cli_incremental_exclude_and_waves(spark, corpus_path, tmp_path):
+    """--exclude-labels composes the cross-run dedup from the CLI; the
+    second run admits only payloads absent from the first run's store.
+    --wave-buckets plumbs through (manifest complete)."""
+    run1 = str(tmp_path / "r1")
+    assert main(["--input", corpus_path, "--out", run1, "--buckets", "2",
+                 "--wave-buckets", "1", "--local-cores", "8"]) == 0
+    m1 = json.load(open(os.path.join(run1, "manifest.json")))
+    assert len(m1["committed"]) == 2
+
+    run2 = str(tmp_path / "r2")
+    assert main(["--input", corpus_path, "--out", run2, "--buckets", "2",
+                 "--exclude-labels", run1, "--local-cores", "8"]) == 0
+    # identical input fully excluded: nothing admitted in run 2
+    labels2 = spark.read.parquet(os.path.join(run2, "data"))
+    assert labels2.count() == 0
+    m2 = json.load(open(os.path.join(run2, "manifest.json")))
+    assert sum(v["n_in"] for v in m2["committed"].values()) == 0
