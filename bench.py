@@ -53,6 +53,9 @@ BENCH_QUERIES = (
     "token_pmi",
     "mad_outliers",
     "decontaminate",
+    # round-3 operators
+    "incremental_dedup",
+    "shard_assign",
 )
 
 
