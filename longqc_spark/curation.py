@@ -1,0 +1,79 @@
+"""End-to-end training-data curation funnel — the composition a user of the
+reference would actually run, as ONE module: cross-run exclusion → QC
+keep/drop + scrub → eval-set decontamination → deterministic dataset split →
+byte-balanced shard assignment.
+
+Every stage is an operator that already carries its own oracle/tests; this
+facade only COMPOSES them (lazily where Spark allows), mirroring how the
+reference chains its phases (``longQC.py:299-517``: chunk loop → stats →
+filters → report) but over the web-text curation stages a 10^12-doc
+training pipeline needs.
+
+Scale notes: exclusion and decontamination are anti-joins whose build sides
+are digest/shingle columns (see ``operators.dedup``); QC is the one
+mapInPandas pass; the split is a pure expression; sharding adds two small
+driver actions (the two-pass prefix sum — ``operators.relational.
+assign_shards``). Nothing here introduces a new shuffle beyond the
+operators' own documented ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .config import DEFAULT_CONFIG, QCConfig
+from .operators.dedup import contamination_check, incremental_dedup
+from .operators.relational import assign_shards
+from .operators.text import dataset_split_expr
+from .pipeline import qc_pipeline
+
+
+def curate(
+    docs: DataFrame,
+    cfg: QCConfig = DEFAULT_CONFIG,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+    exclude_labels: DataFrame | None = None,
+    eval_df: DataFrame | None = None,
+    eval_key: str = "eval_id",
+    shard_bytes: int | None = None,
+    split_fractions: tuple[int, int] = (80, 10),
+) -> DataFrame:
+    """documents → curated training rows.
+
+    Stages (each optional input gates its stage):
+    1. ``exclude_labels``: incremental cross-run dedup against a committed
+       label store (anti-join on its stored ``payload_md5``);
+    2. QC: full stat vector + rules + scrub; only ``keep`` rows survive;
+    3. ``eval_df``: decontamination — drop docs sharing any 5-token shingle
+       with the eval set (broadcast semi-join, zero corpus shuffle);
+    4. ``split``: deterministic train/val/test (md5 percent bucket of key);
+    5. ``shard_bytes``: byte-balanced ``shard`` ids over scrubbed length
+       (two-pass prefix sum, no global window). Requires a numeric key
+       column (the range bucketing divides the key).
+
+    Returns the curated labels (stat vector + scrubbed_text + split
+    [+ shard]).
+    """
+    src = docs
+    if exclude_labels is not None:
+        src = incremental_dedup(
+            src, exclude_labels, key_col=key_col, text_col=text_col, html_col=html_col
+        )
+    labels = qc_pipeline(
+        src, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
+    ).filter(F.col("keep"))
+    if eval_df is not None:
+        contaminated = contamination_check(
+            docs, eval_df, key_col=key_col, text_col=text_col, eval_key=eval_key
+        ).select(key_col)
+        labels = labels.join(F.broadcast(contaminated), key_col, "left_anti")
+    labels = labels.withColumn(
+        "split", dataset_split_expr(key_col, fractions=split_fractions)
+    )
+    if shard_bytes is not None:
+        labels = assign_shards(
+            labels, shard_bytes=shard_bytes, bytes_col="n_chars", key_col=key_col
+        )
+    return labels

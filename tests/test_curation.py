@@ -1,0 +1,86 @@
+"""The end-to-end curation facade: every stage gates correctly and the
+composition equals the stepwise manual pipeline."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from longqc_spark.config import DRIVER_DOCS_CONFIG
+from longqc_spark.curation import curate
+from longqc_spark.pipeline import qc_pipeline
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001):
+    return spark.read.parquet(f"{sf001}/documents.parquet")
+
+
+def test_curate_full_funnel(spark, docs):
+    # run-1 store: labels of a third of the corpus (digest column included)
+    committed = qc_pipeline(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        cfg=DRIVER_DOCS_CONFIG,
+        key_cols=["doc_id"],
+    ).select("doc_id", "payload_md5")
+    # eval set: 5 full documents verbatim → guaranteed shingle overlap
+    eval_df = (
+        docs.filter(F.col("doc_id").isin([1, 7, 11, 13, 17]))
+        .select(F.col("doc_id").alias("eval_id"), "text")
+    )
+
+    out = curate(
+        docs,
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="doc_id",
+        text_col="text",
+        exclude_labels=committed,
+        eval_df=eval_df,
+        shard_bytes=20_000,
+    ).toPandas()
+
+    # stage 1: every excluded payload is gone (doc_id%3==0 had its digests
+    # committed; identical payloads elsewhere are rare but legitimate)
+    assert not set(out.doc_id) & set(range(0, 500, 3))
+    # stage 2: only keepers survive
+    assert out.keep.all()
+    # stage 3: the verbatim eval docs are decontaminated away
+    assert not set(out.doc_id) & {1, 7, 11, 13, 17}
+    # stage 4: split is total and deterministic
+    assert set(out.split) <= {"train", "val", "test"}
+    assert (out.groupby("split").size() > 0).all()
+    # stage 5: shards are byte-bounded (target + one max doc)
+    sizes = out.groupby("shard").n_chars.sum()
+    assert (sizes <= 20_000 + out.n_chars.max()).all()
+    assert out.shard.min() == 0
+
+    # composition == stepwise manual pipeline (same operators, same order)
+    from longqc_spark.operators.dedup import contamination_check, incremental_dedup
+    from longqc_spark.operators.relational import assign_shards
+    from longqc_spark.operators.text import dataset_split_expr
+
+    step = incremental_dedup(docs, committed, key_col="doc_id", text_col="text")
+    step = qc_pipeline(step, DRIVER_DOCS_CONFIG, key_cols=["doc_id"]).filter("keep")
+    bad = contamination_check(docs, eval_df, key_col="doc_id", text_col="text")
+    step = step.join(F.broadcast(bad.select("doc_id")), "doc_id", "left_anti")
+    step = step.withColumn("split", dataset_split_expr("doc_id"))
+    step = assign_shards(step, shard_bytes=20_000, bytes_col="n_chars", key_col="doc_id")
+    want = step.toPandas()
+
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    pd.testing.assert_series_equal(a.split, b.split)
+    pd.testing.assert_series_equal(a.shard, b.shard)
+
+
+def test_curate_stages_optional(spark, docs):
+    """With no optional inputs, curate == qc_pipeline keepers + split."""
+    out = curate(docs, cfg=DRIVER_DOCS_CONFIG, key_col="doc_id").toPandas()
+    want = (
+        qc_pipeline(docs, DRIVER_DOCS_CONFIG, key_cols=["doc_id"])
+        .filter("keep")
+        .toPandas()
+    )
+    assert sorted(out.doc_id) == sorted(want.doc_id)
+    assert "shard" not in out.columns
+    assert set(out.split) <= {"train", "val", "test"}
