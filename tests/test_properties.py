@@ -357,3 +357,48 @@ def test_weighted_sample_weight_bias_and_stability(spark):
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert len(a) == 100
     assert a.n_chars.mean() > pdf.n_chars.mean()
+
+
+def test_normalize_text_idempotent_and_invariant(spark):
+    """Canonicalization is idempotent and collapses case/punct/spacing
+    variants to one digest — the property normalized dedup relies on."""
+    from longqc_spark.operators.text import normalize_text_expr
+
+    variants = [
+        "Hello,   World! Visit example.com NOW.",
+        "hello world visit example com now",
+        "HELLO---WORLD   visit EXAMPLE.COM now!!!",
+        "hello\tworld\nvisit example com\tnow",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(variants)], "id long, text string"
+    )
+    out = df.select(
+        "id",
+        normalize_text_expr("text").alias("norm"),
+    ).toPandas()
+    assert out.norm.nunique() == 1  # all variants collapse
+    # idempotence: normalizing the normalized column is a fixpoint
+    df2 = spark.createDataFrame(
+        [(r.id, r.norm) for r in out.itertuples()], "id long, text string"
+    )
+    again = df2.select(normalize_text_expr("text").alias("norm")).toPandas()
+    assert again.norm.tolist() == out.norm.tolist()
+
+
+def test_dataset_split_stable_and_total(spark):
+    """Split assignment is a pure function of the key: identical under
+    repartitioning, fractions roughly honored, every row assigned."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.operators.text import dataset_split_expr
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = df.withColumn("s", dataset_split_expr("doc_id")).toPandas()
+    b = df.repartition(17).withColumn("s", dataset_split_expr("doc_id")).toPandas()
+    a, b = a.sort_values("doc_id"), b.sort_values("doc_id")
+    assert a.s.tolist() == b.s.tolist()
+    frac = a.s.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
