@@ -2014,7 +2014,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, source, n_chars,
                        CAST(CAST(('0x' || substr(md5(doc_id || '#11'), 1, 8)) AS BIGINT) AS DOUBLE)
                            / CAST(n_chars AS DOUBLE) AS q
-                FROM documents ORDER BY q, doc_id LIMIT 50
+                FROM documents WHERE n_chars > 0 ORDER BY q, doc_id LIMIT 50
             ) ORDER BY doc_id
         """,
         "oov_rate": """

@@ -50,8 +50,11 @@ def curate(
        with the eval set (broadcast semi-join, zero corpus shuffle);
     4. ``split``: deterministic train/val/test (md5 percent bucket of key);
     5. ``shard_bytes``: byte-balanced ``shard`` ids over scrubbed length
-       (two-pass prefix sum, no global window). Requires a numeric key
-       column (the range bucketing divides the key).
+       (two-pass prefix sum, no global window). REQUIRES a numeric key
+       column — ``assign_shards`` validates this up front and raises a
+       TypeError naming the fix (derive ``xxhash64(url)`` or an id) rather
+       than dying in a deep ANSI cast; with the default string ``url`` key,
+       leave ``shard_bytes`` unset or supply a numeric key.
 
     Returns the curated labels (stat vector + scrubbed_text + split
     [+ shard]).
@@ -65,8 +68,11 @@ def curate(
         src, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
     ).filter(F.col("keep"))
     if eval_df is not None:
+        # shingle the post-exclusion survivors, not the raw batch: in the
+        # re-crawl case stage 1 removes most rows, and hits on excluded
+        # keys would be computed only to be discarded by the anti-join
         contaminated = contamination_check(
-            docs, eval_df, key_col=key_col, text_col=text_col, eval_key=eval_key
+            src, eval_df, key_col=key_col, text_col=text_col, eval_key=eval_key
         ).select(key_col)
         labels = labels.join(F.broadcast(contaminated), key_col, "left_anti")
     labels = labels.withColumn(

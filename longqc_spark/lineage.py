@@ -155,21 +155,6 @@ def run_qc_with_lineage(
         "dedup": dedup,
         **({"exclude_labels_dir": exclude_labels_dir} if exclude_labels_dir else {}),
     }
-    if exclude_labels_dir:
-        # incremental cross-run dedup: anti-join this batch against the
-        # PREVIOUS run's committed labels on their stored payload_md5 —
-        # run-1 input is never rescanned, only its label table's digest
-        # column (projection-pruned read). Part of run_config identity so a
-        # resume can't silently change the exclude-list.
-        from .operators.dedup import incremental_dedup
-
-        docs = incremental_dedup(
-            docs,
-            read_labels(docs.sparkSession, exclude_labels_dir),
-            key_col=key_col,
-            text_col=text_col,
-            html_col=html_col,
-        )
     manifest = load_manifest(out_dir)
     if manifest["run_id"] is None:
         manifest["run_id"] = uuid.uuid4().hex
@@ -191,6 +176,35 @@ def run_qc_with_lineage(
         return manifest  # exact resume: fully committed run is a no-op
     spark = docs.sparkSession
     bucket = bucket_expr(key_col, n_buckets)
+
+    excl_obs: Observation | None = None
+    excl_counts: dict[int, int] = {}
+    if exclude_labels_dir:
+        # incremental cross-run dedup: anti-join this batch against the
+        # PREVIOUS run's committed labels on their stored payload_md5 —
+        # run-1 input is never rescanned, only its label table's digest
+        # column (projection-pruned read). Part of run_config identity so a
+        # resume can't silently change the exclude-list. within_batch=False:
+        # intra-batch dedup is dedup=True's separately-audited job, and an
+        # exclusion-only run must not silently collapse batch duplicates.
+        # The pre-exclusion per-bucket counts ride the first staged job as
+        # an Observation so every excluded row lands in the audit trail
+        # (metric n_excluded) — a lineage system accounts for every drop.
+        from .operators.dedup import incremental_dedup
+
+        excl_obs = Observation("pre_exclusion_counts")
+        docs = docs.observe(
+            excl_obs,
+            *[F.count_if(bucket == b).alias(f"b{b}") for b in range(n_buckets)],
+        )
+        docs = incremental_dedup(
+            docs,
+            read_labels(spark, exclude_labels_dir),
+            key_col=key_col,
+            text_col=text_col,
+            html_col=html_col,
+            within_batch=False,
+        )
 
     # uncommitted leftovers from a crashed run → idempotent redo
     for b in todo:
@@ -259,14 +273,37 @@ def run_qc_with_lineage(
             part, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
         )
         staging = os.path.join(out_dir, root, f".staging-{uuid.uuid4().hex[:8]}")
-        labels.withColumn("bucket", bucket).write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(staging)
+        # With an exclusion observation attached, AQE's empty-relation
+        # propagation must be excluded for this one write: when the WHOLE
+        # batch is already committed (the no-op re-crawl), the anti-join
+        # output is empty at runtime and AQEPropagateEmptyRelation would
+        # replace the subtree INCLUDING the CollectMetrics node — the
+        # observation never fires and obs.get dies. Scoped set/restore.
+        rules_key = "spark.sql.adaptive.optimizer.excludedRules"
+        empty_rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+        prev_rules = spark.conf.get(rules_key, None) if excl_obs is not None else None
+        if excl_obs is not None:
+            spark.conf.set(
+                rules_key, f"{prev_rules},{empty_rule}" if prev_rules else empty_rule
+            )
+        try:
+            labels.withColumn("bucket", bucket).write.partitionBy("bucket").mode(
+                "overwrite"
+            ).parquet(staging)
+        finally:
+            if excl_obs is not None:
+                if prev_rules is None:
+                    spark.conf.unset(rules_key)
+                else:
+                    spark.conf.set(rules_key, prev_rules)
         if dedup and w_i == 0:
             # harvest the observation the staged write just populated —
             # pre-dedup counts for every bucket, no second scan
             got = obs.get
             pre_counts = {b: int(got[f"b{b}"]) for b in range(n_buckets)}
+        if excl_obs is not None and w_i == 0:
+            got_x = excl_obs.get
+            excl_counts = {b: int(got_x[f"b{b}"]) for b in range(n_buckets)}
 
         # per-bucket lineage metrics from the staged OUTPUT, column-pruned
         # to the numeric stat columns (+key) — a few % of the written bytes,
@@ -324,6 +361,22 @@ def run_qc_with_lineage(
                                 )
                             }
                             if dedup
+                            else {}
+                        ),
+                        **(
+                            {
+                                # pre-exclusion minus post-exclusion count:
+                                # every row the exclude-list dropped, audited
+                                "n_excluded": float(
+                                    excl_counts.get(b, 0)
+                                    - (
+                                        pre_counts.get(b, 0)
+                                        if dedup
+                                        else (row["n_in"] if row else 0)
+                                    )
+                                )
+                            }
+                            if excl_obs is not None
                             else {}
                         ),
                     },

@@ -484,6 +484,7 @@ def incremental_dedup(
     text_col: str = "text",
     html_col: str | None = None,
     digest_col: str = "payload_md5",
+    within_batch: bool = True,
 ) -> DataFrame:
     """Cross-RUN dedup: admit only the docs of a new batch (re-crawl) whose
     payload digest is absent from an already-committed label corpus — the
@@ -493,7 +494,9 @@ def incremental_dedup(
     Two stages, both digest-keyed:
     1. WITHIN-batch exact dedup — keep the min-key doc per digest (the same
        deterministic winner rule as the lineage dedup window, so resumed /
-       repeated runs agree);
+       repeated runs agree). ``within_batch=False`` skips this stage and
+       performs ONLY the cross-run exclusion — used by the lineage layer,
+       where intra-batch dedup is ``dedup=True``'s separately-audited job;
     2. anti-join against the committed corpus's STORED ``payload_md5``
        column (written by ``qc_pipeline`` at label time) — run-1 INPUT is
        never re-read, only its label table's one digest column.
@@ -507,12 +510,14 @@ def incremental_dedup(
     Returns the surviving rows of ``new_docs`` (original columns).
     """
     digest = F.md5(F.col(html_col or text_col).cast("binary"))
-    w = Window.partitionBy(digest).orderBy(key_col)
-    fresh = (
-        new_docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    fresh = new_docs
+    if within_batch:
+        w = Window.partitionBy(digest).orderBy(key_col)
+        fresh = (
+            new_docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     known = committed.select(F.col(digest_col).alias("_known_md5")).distinct()
     return fresh.join(
         known, on=digest == F.col("_known_md5"), how="left_anti"

@@ -329,12 +329,20 @@ def decode_video_frames(payload: bytes, fake: bool = False) -> np.ndarray:
     (deterministic pseudo-decode seeded from crc32(payload), plumbing tests
     only)."""
     if payload[:4] == VIDEO_MAGIC:
+        if len(payload) < 8:
+            raise ValueError("truncated LQCV container (no frame count)")
         (n_frames,) = struct.unpack_from("<I", payload, 4)
         frames, pos = [], 8
-        for _ in range(n_frames):
+        for i in range(n_frames):
+            if pos + 4 > len(payload):
+                raise ValueError(f"truncated LQCV container at frame {i} header")
             (sz,) = struct.unpack_from("<I", payload, pos)
+            if pos + 4 + sz > len(payload):
+                raise ValueError(f"truncated LQCV container at frame {i} body")
             frames.append(decode_bmp(payload[pos + 4 : pos + 4 + sz]))
             pos += 4 + sz
+        if not frames:  # zero-frame containers are valid — np.stack([]) is not
+            return np.empty((0, 0, 0, 3), dtype=np.uint8)
         return np.stack(frames)
     if not fake:
         raise NotImplementedError(

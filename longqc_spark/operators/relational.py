@@ -327,32 +327,50 @@ def assign_shards(
     passes with NO global sort:
 
     1. partial-agg byte sums per key RANGE (``key div range_width`` — tiny
-       result, collected);
-    2. driver prefix-sums the range table (≤ keys/range_width rows) and the
-       per-range offsets ride back into a pure map as a literal lookup;
-       the within-range cumsum is a window PARTITIONED by range — bounded
-       work per task, shuffle keyed by range.
+       result, collected; size ``range_width`` so the range table stays
+       driver-friendly, e.g. ≤10^6 rows — at 10^12 keys that is
+       range_width=10^6, still only ~10^6-row windows per task);
+    2. driver prefix-sums the range table and the per-range offsets join
+       back via a BROADCAST hash join on the range id (O(1) per row — a
+       create_map literal here would put every offset into the plan and
+       linear-scan it per row); the within-range cumsum is a window
+       PARTITIONED by range — bounded work per task, shuffle keyed by
+       range.
 
     The division is one IEEE double op (exact cross-engine); byte totals
-    stay exact in BIGINT.
+    stay exact in BIGINT. ``key_col`` must be numeric (the range bucketing
+    divides it) — checked up front so string keys fail with an actionable
+    message instead of a deep ANSI cast error.
     → original columns + ``shard long``."""
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[key_col].dataType, T.NumericType):
+        raise TypeError(
+            f"assign_shards needs a NUMERIC key column for range bucketing; "
+            f"{key_col!r} is {df.schema[key_col].dataType.simpleString()} — "
+            "derive one first (e.g. xxhash64(url) or a monotonically "
+            "increasing id) and shard on that"
+        )
     rng = (F.col(key_col) / F.lit(range_width)).cast("long")
     totals = sorted(
         df.groupBy(rng.alias("r")).agg(F.sum(bytes_col).alias("s")).collect(),
         key=lambda row: row["r"],
     )
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for row in totals:
-        offsets[row["r"]] = acc
+        rows.append((row["r"], acc))
         acc += row["s"]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        rng,
-    )
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(rows or [(0, 0)], "_r long, _off long")
     w = Window.partitionBy(rng).orderBy(key_col)
     cum_within = F.sum(bytes_col).over(w) - F.col(bytes_col)
-    cum_before = (off + cum_within).cast("long")
-    return df.withColumn(
-        "shard",
-        F.floor(cum_before.cast("double") / F.lit(float(shard_bytes))).cast("long"),
+    cum_before = (F.col("_off") + cum_within).cast("long")
+    return (
+        df.withColumn("_r", rng)
+        .join(F.broadcast(offsets), "_r")
+        .withColumn(
+            "shard",
+            F.floor(cum_before.cast("double") / F.lit(float(shard_bytes))).cast("long"),
+        )
+        .drop("_r", "_off")
     )

@@ -151,7 +151,13 @@ def weighted_priority_sample(
     (reproducible in DuckDB via CAST('0x'||hex AS BIGINT)); q is ONE IEEE
     double division (correctly rounded, so bit-identical in any engine) —
     no transcendental functions. Plan: pure map + TakeOrderedAndProject
-    (k rows to the driver, no global sort)."""
+    (k rows to the driver, no global sort).
+
+    Zero/NULL weights are excluded up front: a weight-proportional sample
+    gives a weightless record probability 0 by definition — and under ANSI
+    mode u/0 would otherwise abort the job (NULL would sort FIRST and
+    always win, the exact inverse of the contract)."""
+    df = df.filter(F.col(weight_col) > 0)
     u = F.conv(
         F.substring(
             F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")).cast("binary")),
@@ -186,8 +192,13 @@ def vocab_coverage(
     the plan as a literal array (broadcast-by-construction), membership via
     ``array_contains`` inside a JVM higher-order filter, zero shuffle on the
     corpus side (the decontaminate asymmetry, applied to vocabulary).
-    → (key, n_tokens, n_oov, oov_frac)."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    → (key, n_tokens, n_oov, oov_frac). NULL text counts as an empty doc
+    (n_tokens=0, oov_frac=0) — without the coalesce, size(NULL)=NULL rows
+    would silently drop out of downstream averages."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
     vocab_rows = (
         df.select(F.explode(toks).alias("token"))
         .groupBy("token")

@@ -313,20 +313,27 @@ def test_incremental_cross_run_dedup(spark, docs, tmp_path):
     run_qc_with_lineage(docs_b, out2, n_buckets=4, exclude_labels_dir=out1)
     assert acc.value == n_run1_scans  # run-1 input untouched by run 2
 
-    # expected admissions, computed independently in pandas: min-url per
-    # digest within batch B, digest absent from A
+    # expected admissions, computed independently in pandas: EXCLUSION-ONLY
+    # semantics — every batch-B doc whose digest is absent from A survives
+    # (intra-batch duplicates are dedup=True's separately-audited job and
+    # must NOT be silently collapsed by the exclude-list)
     md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
     pa = docs_a.select("url", "text").toPandas()
     pb = docs_b.select("url", "text").toPandas()
     known = {md5(t) for t in pa.text}
     pb["d"] = pb.text.map(md5)
-    winners = pb.sort_values("url").drop_duplicates("d")
-    expect = sorted(winners[~winners.d.isin(known)].url)
+    expect = sorted(pb[~pb.d.isin(known)].url)
 
     got = sorted(r["url"] for r in read_labels(spark, out2).select("url").collect())
     assert got == expect
     # labels carry the digest column runs downstream can exclude against
     assert "payload_md5" in read_labels(spark, out2).columns
+
+    # every excluded row is in the audit trail: n_excluded sums to the
+    # exclude-list's drop count
+    m2 = load_manifest(out2)
+    n_excluded = sum(v["metrics"]["n_excluded"] for v in m2["committed"].values())
+    assert n_excluded == len(pb) - len(expect) > 0
 
     # a rerun with a DIFFERENT exclude config must be refused (checkpoint
     # identity includes the exclude-list)

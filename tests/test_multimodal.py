@@ -250,3 +250,16 @@ def test_sample_frames_matches_direct_decode(spark):
             assert got.loc[(row.media_id, int(idx)), "n_frames_total"] == len(frames)
             n_checked += 1
     assert n_checked > 0
+
+
+def test_video_zero_frames_and_truncation():
+    from longqc_spark.operators.multimodal import decode_video_frames, encode_video
+
+    empty = encode_video(np.empty((0, 8, 8, 3), dtype=np.uint8))
+    out = decode_video_frames(empty)
+    assert out.shape[0] == 0  # valid container, no frames, no crash
+
+    full = encode_video(np.zeros((2, 4, 4, 3), dtype=np.uint8))
+    for cut in (6, 10, len(full) - 3):
+        with pytest.raises(ValueError, match="truncated LQCV"):
+            decode_video_frames(full[:cut])

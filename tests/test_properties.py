@@ -402,3 +402,42 @@ def test_dataset_split_stable_and_total(spark):
     assert abs(frac["train"] - 0.8) < 0.03
     assert abs(frac["val"] - 0.1) < 0.02
     assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_weighted_sample_zero_and_null_weights_excluded(spark):
+    """Zero/NULL weights must neither crash (ANSI divide-by-zero) nor win
+    the sample (NULL priority would sort first) — they are excluded."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3, 4], "n_chars": [0, None, 10, 20, 30]}
+    )
+    from longqc_spark.operators.text import weighted_priority_sample
+
+    df = spark.createDataFrame(pdf.astype({"n_chars": "Int64"}))
+    got = weighted_priority_sample(df, k=10).toPandas()
+    assert sorted(got.doc_id) == [2, 3, 4]
+
+
+def test_assign_shards_rejects_string_key(spark):
+    import pytest as _pytest
+
+    from longqc_spark.operators.relational import assign_shards
+
+    df = spark.createDataFrame(
+        [("https://a.com/x", 10)], "url string, n_chars long"
+    )
+    with _pytest.raises(TypeError, match="NUMERIC key"):
+        assign_shards(df, shard_bytes=100, key_col="url")
+
+
+def test_vocab_coverage_null_text_counts_as_empty(spark):
+    from longqc_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "a a")], "doc_id long, text string"
+    )
+    got = vocab_coverage(df, vocab_size=1).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_tokens"] == 0
+    assert got.loc[1, "oov_frac"] == 0.0
+    assert len(got) == 3  # NULL-text doc present, not silently dropped
