@@ -45,6 +45,18 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(_SALT)), F.lit(n_buckets))
 
 
+def _bucket_count_exprs(bucket, n_buckets: int):
+    """Per-bucket row-count aggregates for an Observation. count_if, not
+    sum(when): returns 0 (not NULL) on all-empty input — shared by the
+    pre-dedup and pre-exclusion audits so the two cannot diverge."""
+    return [F.count_if(bucket == b).alias(f"b{b}") for b in range(n_buckets)]
+
+
+def _harvest_bucket_counts(obs: Observation, n_buckets: int) -> dict[int, int]:
+    got = obs.get
+    return {b: int(got[f"b{b}"]) for b in range(n_buckets)}
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest.json")
 
@@ -193,10 +205,7 @@ def run_qc_with_lineage(
         from .operators.dedup import incremental_dedup
 
         excl_obs = Observation("pre_exclusion_counts")
-        docs = docs.observe(
-            excl_obs,
-            *[F.count_if(bucket == b).alias(f"b{b}") for b in range(n_buckets)],
-        )
+        docs = docs.observe(excl_obs, *_bucket_count_exprs(bucket, n_buckets))
         docs = incremental_dedup(
             docs,
             read_labels(spark, exclude_labels_dir),
@@ -232,15 +241,7 @@ def run_qc_with_lineage(
         base = docs
         if need_obs:
             obs = Observation("pre_dedup_counts")
-            base = docs.observe(
-                obs,
-                *[
-                    # count_if, not sum(when): returns 0 (not NULL) on
-                    # all-empty input
-                    F.count_if(bucket == b).alias(f"b{b}")
-                    for b in range(n_buckets)
-                ],
-            )
+            base = docs.observe(obs, *_bucket_count_exprs(bucket, n_buckets))
         wide = html_col or text_col
         w = Window.partitionBy(F.md5(F.col(wide).cast("binary"))).orderBy(key_col)
         return (
@@ -281,8 +282,9 @@ def run_qc_with_lineage(
         # observation never fires and obs.get dies. Scoped set/restore.
         rules_key = "spark.sql.adaptive.optimizer.excludedRules"
         empty_rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
-        prev_rules = spark.conf.get(rules_key, None) if excl_obs is not None else None
-        if excl_obs is not None:
+        guard_obs = excl_obs is not None and w_i == 0  # later waves: obs already harvested
+        prev_rules = spark.conf.get(rules_key, None) if guard_obs else None
+        if guard_obs:
             spark.conf.set(
                 rules_key, f"{prev_rules},{empty_rule}" if prev_rules else empty_rule
             )
@@ -291,19 +293,17 @@ def run_qc_with_lineage(
                 "overwrite"
             ).parquet(staging)
         finally:
-            if excl_obs is not None:
+            if guard_obs:
                 if prev_rules is None:
                     spark.conf.unset(rules_key)
                 else:
                     spark.conf.set(rules_key, prev_rules)
         if dedup and w_i == 0:
-            # harvest the observation the staged write just populated —
-            # pre-dedup counts for every bucket, no second scan
-            got = obs.get
-            pre_counts = {b: int(got[f"b{b}"]) for b in range(n_buckets)}
+            # harvest the observations the staged write just populated —
+            # per-bucket counts with no second scan
+            pre_counts = _harvest_bucket_counts(obs, n_buckets)
         if excl_obs is not None and w_i == 0:
-            got_x = excl_obs.get
-            excl_counts = {b: int(got_x[f"b{b}"]) for b in range(n_buckets)}
+            excl_counts = _harvest_bucket_counts(excl_obs, n_buckets)
 
         # per-bucket lineage metrics from the staged OUTPUT, column-pruned
         # to the numeric stat columns (+key) — a few % of the written bytes,

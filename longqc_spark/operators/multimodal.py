@@ -300,8 +300,11 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def sample_frame_indices(n_total: int, n_sample: int) -> np.ndarray:
     """Uniform temporal frame sampling (REAL): first frame of each of
-    ``n_sample`` equal spans — deterministic, order-preserving."""
+    ``n_sample`` equal spans — deterministic, order-preserving. A zero-frame
+    container (valid LQCV) yields an empty index set, not 0/0."""
     n_sample = min(n_sample, n_total)
+    if n_sample == 0:
+        return np.empty(0, dtype=np.int64)
     return (np.arange(n_sample) * (n_total / n_sample)).astype(np.int64)
 
 

@@ -263,3 +263,23 @@ def test_video_zero_frames_and_truncation():
     for cut in (6, 10, len(full) - 3):
         with pytest.raises(ValueError, match="truncated LQCV"):
             decode_video_frames(full[:cut])
+
+
+def test_sample_frames_survives_zero_frame_video(spark):
+    from longqc_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_video,
+        sample_frames,
+    )
+
+    empty = encode_video(np.empty((0, 4, 4, 3), dtype=np.uint8))
+    full = encode_video(np.full((2, 4, 4, 3), 7, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(empty), "video/x-lqcv"),
+         (1, "video", bytearray(full), "video/x-lqcv")],
+        schema=MEDIA_SCHEMA,
+    )
+    got = sample_frames(media, n_frames=4).toPandas()
+    # the zero-frame container contributes no rows and kills nothing
+    assert set(got.media_id) == {1}
+    assert len(got) == 2
