@@ -296,7 +296,11 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sims: DataFrame, key_col: str = "doc_id", max_hamming: int = 3, n_chunks: int = 4
+    sims: DataFrame,
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Chunk-join candidate generation + exact hamming filter.
     → (key_a, key_b, hamming).
@@ -304,7 +308,15 @@ def simhash_near_pairs(
     Pigeonhole guarantee: any pair within hamming distance ``n_chunks - 1``
     shares at least one intact chunk, so recall is 1.0 for
     ``max_hamming ≤ n_chunks - 1`` (use n_chunks=8 for radius ≤7); beyond
-    that the join is best-effort."""
+    that the join is best-effort.
+
+    ``max_bucket``: the same boilerplate guard as ``lsh_candidate_pairs`` —
+    a template flood gives every flood doc the IDENTICAL simhash, so one
+    (chunk_id, chunk) bucket holds the whole flood and the self-join goes
+    quadratic (and, being a self-join, AQE cannot skew-split it). Over-cap
+    buckets star-expand onto the bucket's min key; the hamming filter still
+    applies to star pairs (flood docs are hamming-0 from the head), and
+    connected-components clusters are preserved."""
     width = 64 // n_chunks
     chunk_mask = (1 << width) - 1
     chunks = sims.select(
@@ -321,22 +333,43 @@ def simhash_near_pairs(
             )
         ).alias("chunk_id", "chunk"),
     )
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
-        l.join(
+    def all_pairs(df: DataFrame) -> DataFrame:
+        l, r = df.alias("l"), df.alias("r")
+        return l.join(
             r,
             (F.col("l.chunk_id") == F.col("r.chunk_id"))
             & (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"l.{key_col}").alias("key_a"),
             F.col(f"r.{key_col}").alias("key_b"),
             F.col("l.simhash").alias("sim_a"),
             F.col("r.simhash").alias("sim_b"),
         )
-        .distinct()
-    )
+
+    if max_bucket is None:
+        cand = all_pairs(chunks).distinct()
+    else:
+        stats = chunks.groupBy("chunk_id", "chunk").agg(
+            F.count(F.lit(1)).alias("_bsize"),
+            F.min(key_col).alias("_bhead"),
+            F.min_by("simhash", key_col).alias("_bhead_sim"),
+        )
+        tagged = chunks.join(stats, ["chunk_id", "chunk"])
+        small = all_pairs(
+            tagged.filter(F.col("_bsize") <= max_bucket).drop(
+                "_bsize", "_bhead", "_bhead_sim"
+            )
+        )
+        big = tagged.filter(
+            (F.col("_bsize") > max_bucket) & (F.col(key_col) != F.col("_bhead"))
+        ).select(
+            F.col("_bhead").alias("key_a"),
+            F.col(key_col).alias("key_b"),
+            F.col("_bhead_sim").alias("sim_a"),
+            F.col("simhash").alias("sim_b"),
+        )
+        cand = small.unionByName(big).distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
     return cand.select("key_a", "key_b", hamming).filter(F.col("hamming") <= max_hamming)
 

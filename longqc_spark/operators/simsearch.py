@@ -53,14 +53,22 @@ def cosine_topk(
 def hyperplane_buckets(
     emb: DataFrame,
     n_bits: int = 8,
-    dim: int = 64,
+    dim: int | None = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector: bit i = sign(v·h_i).
     Hyperplanes are a deterministic seeded matrix, embedded as literal columns
-    (broadcast-equivalent; no Python at eval time). → (id, bucket int)."""
+    (broadcast-equivalent; no Python at eval time). → (id, bucket int).
+
+    ``dim=None`` infers the dimension from the data (one 1-row peek). The
+    plane length MUST match the vector length: ``zip_with`` pads the shorter
+    side with NULL, which silently nulls every bucket and makes downstream
+    bucket equi-joins return ZERO pairs — recall 0 with no error."""
+    if dim is None:
+        row = emb.select(F.size(vec_col)).first()
+        dim = int(row[0]) if row else 0
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     bit_cols = []
@@ -190,6 +198,7 @@ def embed_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
     cosine(a, b) > threshold — the semantic-dedup sibling of MinHash-LSH
@@ -203,17 +212,50 @@ def embed_neardup(
     (equi-join on the bucket id → shuffle hash join, AQE-skewable): at corpus
     scale only near-parallel vectors share all sign bits, cutting candidates
     ~2^bits× at some recall cost (raise recall by unioning rotations).
+
+    ``max_bucket`` (bucketed path only): the same embedding-flood guard as
+    the MinHash/SimHash joins — a corpus where one embedding repeats
+    verbatim (boilerplate pages embed identically) floods one hyperplane
+    bucket, and the self-join is quadratic AND un-splittable by AQE (both
+    sides share the skewed partition). Over-cap buckets star-expand onto
+    the min-id member; exact-duplicate vectors are cosine-1.0 from the head
+    so duplicate CLUSTERS survive intact, at the cost of direct pairwise
+    cosines between non-head members of an over-cap bucket.
     """
     a = emb.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
     if n_bits > 0:
-        ba = hyperplane_buckets(emb, n_bits=n_bits, id_col=id_col, vec_col=vec_col).select(
+        ba = hyperplane_buckets(
+            emb, n_bits=n_bits, dim=None, id_col=id_col, vec_col=vec_col
+        ).select(
             F.col(id_col).alias("key_a"), F.col("bucket").alias("bucket_a")
         )
         bb = ba.select(F.col("key_a").alias("key_b"), F.col("bucket_a").alias("bucket_b"))
         a = a.join(ba, "key_a")
         b = b.join(bb, "key_b")
-        pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("key_a") < F.col("key_b")))
+        if max_bucket is not None:
+            stats = ba.groupBy("bucket_a").agg(
+                F.count(F.lit(1)).alias("_bsize"), F.min("key_a").alias("_bhead")
+            )
+            a_tag = a.join(stats, "bucket_a")
+            small = a_tag.filter(F.col("_bsize") <= max_bucket).drop("_bsize", "_bhead").join(
+                b,
+                (F.col("bucket_a") == F.col("bucket_b")) & (F.col("key_a") < F.col("key_b")),
+            ).select("key_a", "va", "key_b", "vb")
+            heads = (
+                a_tag.filter(F.col("_bsize") > max_bucket)
+                .filter(F.col("key_a") == F.col("_bhead"))
+                .select("bucket_a", "key_a", "va")
+            )
+            big = heads.join(
+                b,
+                (F.col("bucket_a") == F.col("bucket_b")) & (F.col("key_a") < F.col("key_b")),
+            ).select("key_a", "va", "key_b", "vb")
+            pairs = small.unionByName(big)
+        else:
+            pairs = a.join(
+                b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("key_a") < F.col("key_b"))
+            )
     else:
         pairs = a.join(b, F.col("key_a") < F.col("key_b"))
     cosine = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))

@@ -162,3 +162,57 @@ def test_aqe_skew_split_one_sided_but_not_selfjoin(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_simhash_bucket_guard(spark):
+    """SimHash has the identical flood pathology (a template flood shares
+    ONE simhash, hence one chunk bucket per chunk_id): the guard bounds the
+    fan-out and preserves the flood's one-cluster connectivity."""
+    from longqc_spark.operators.dedup import simhash_near_pairs, simhash_signatures
+
+    n = 2000
+    docs = spark.createDataFrame(boilerplate_corpus(n))
+    sims = simhash_signatures(docs, key_col="doc_id", text_col="text").cache()
+
+    unguarded = simhash_near_pairs(sims, key_col="doc_id").count()
+    guarded_pairs = simhash_near_pairs(sims, key_col="doc_id", max_bucket=50)
+    guarded = guarded_pairs.count()
+    flood = int(n * 0.3)
+    assert unguarded >= flood * (flood - 1) // 2
+    assert guarded < 5 * n
+    # connectivity: all flood docs in one component via the star pairs
+    comp = connected_components(
+        guarded_pairs.filter(F.col("hamming") == 0).select("key_a", "key_b")
+    ).toPandas()
+    flood_ids = {i for i in range(n) if i % 10 < 3}
+    assert flood_ids <= set(comp.node)
+    assert comp[comp.node.isin(flood_ids)].component.nunique() == 1
+
+
+def test_embed_neardup_bucket_guard(spark):
+    """Embedding flood (one vector repeated in 30% of rows): the guarded
+    hyperplane path bounds pair fan-out; flood stays one cosine-1.0 cluster
+    via the star pairs."""
+    from longqc_spark.operators.simsearch import embed_neardup
+
+    rng = np.random.default_rng(3)
+    n, dim = 1500, 16
+    flood_vec = rng.normal(size=dim).tolist()
+    rows = []
+    for i in range(n):
+        if i % 10 < 3:
+            rows.append((i, flood_vec))
+        else:
+            rows.append((i, rng.normal(size=dim).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unguarded = embed_neardup(emb, threshold=0.99, n_bits=8).count()
+    guarded_df = embed_neardup(emb, threshold=0.99, n_bits=8, max_bucket=50)
+    guarded = guarded_df.count()
+    flood = int(n * 0.3)
+    assert unguarded >= flood * (flood - 1) // 2
+    assert guarded < 5 * n
+    comp = connected_components(guarded_df.select("key_a", "key_b")).toPandas()
+    flood_ids = {i for i in range(n) if i % 10 < 3}
+    assert flood_ids <= set(comp.node)
+    assert comp[comp.node.isin(flood_ids)].component.nunique() == 1
