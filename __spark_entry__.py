@@ -255,6 +255,26 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:  # train/val/test
     )
 
 
+def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:  # data mixing
+    """Deterministic training-mixture construction: 60/30/10 quota sampling
+    across three sources (md5-priority winners per source) — the data-mixing
+    step of a training pipeline, stable under repartitioning."""
+    from longqc_spark.operators.text import mix_sources
+
+    docs = _read(spark, sf, "documents")
+    mixed = mix_sources(
+        docs, weights={"src0": 0.6, "src1": 0.3, "src2": 0.1}, n_total=100
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:  # text: token counting
     docs = _read(spark, sf, "documents")
     return (
@@ -1821,6 +1841,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "normalized_dedup": q_normalized_dedup,
         "split_assign": q_split_assign,
+        "source_mix": q_source_mix,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2051,6 +2072,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(CAST(cb AS DOUBLE) / 20000.0) AS BIGINT) AS shard,
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_bytes
             FROM c GROUP BY shard ORDER BY shard
+        """,
+        "source_mix": """
+            WITH ranked AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id || '#23'), doc_id) AS rn
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM ranked
+            WHERE (source = 'src0' AND rn <= 60)
+               OR (source = 'src1' AND rn <= 30)
+               OR (source = 'src2' AND rn <= 10)
+            GROUP BY source ORDER BY source
         """,
         "normalized_dedup": """
             SELECT source,

@@ -251,3 +251,79 @@ def dataset_split_expr(key_col: str = "doc_id", seed: str = "split", fractions=(
         .when(u < train + val, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def domain_stats(
+    labels: DataFrame,
+    url_col: str = "url",
+    min_docs: int = 5,
+    max_drop_rate: float = 0.8,
+) -> DataFrame:
+    """Per-domain quality rollup + blocklist candidates — the crawl-side
+    feedback loop of a web QC pipeline: domains whose documents
+    overwhelmingly fail the rules are candidates for skipping at fetch time
+    (the reference's per-platform summary rollup, ``longQC.py:390-396``,
+    keyed by registrable host instead of platform).
+
+    All JVM-side: host extracted with one regexp from the url, partial-agg
+    groupBy (domain cardinality ≪ doc cardinality, classic map-side
+    combine). → (domain, n_docs, n_keep, keep_rate, avg_perplexity,
+    blocklist_candidate) for domains with ≥ ``min_docs``.
+    """
+    domain = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    return (
+        labels.groupBy(domain.alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_keep"),
+            F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+            F.avg("perplexity").alias("avg_perplexity"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .withColumn(
+            "blocklist_candidate", (1.0 - F.col("keep_rate")) > max_drop_rate
+        )
+        .orderBy("domain")
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    n_total: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Deterministic training-mixture construction: draw ``n_total`` docs
+    with per-source quotas ∝ ``weights`` (the data-mixing step every
+    LLM pipeline runs — "60% web, 30% code, 10% books"). Within each source
+    the md5-priority rule picks the quota's winners, so the mixture is
+    stable under repartitioning and re-runs, and composes with the split/
+    shard operators downstream.
+
+    One hash-partition shuffle (window per source partition), no global
+    sort — the ``stratified_hash_sample`` machinery with per-stratum quotas
+    instead of a constant n. Sources absent from ``weights`` contribute
+    nothing; a quota larger than a source's row count yields the whole
+    source (capped, like any sampler).
+    """
+    from pyspark.sql import Window
+
+    total_w = sum(weights.values())
+    quotas = {s: int(round(n_total * w / total_w)) for s, w in weights.items()}
+    quota_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv]),
+        F.col(source_col),
+    )
+    prio = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")).cast("binary")
+    )
+    w = Window.partitionBy(source_col).orderBy("_prio", key_col)
+    return (
+        df.filter(F.col(source_col).isin(list(quotas)))
+        .withColumn("_prio", prio)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota_col)
+        .drop("_prio", "_rn")
+    )

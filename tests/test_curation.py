@@ -84,3 +84,35 @@ def test_curate_stages_optional(spark, docs):
     assert sorted(out.doc_id) == sorted(want.doc_id)
     assert "shard" not in out.columns
     assert set(out.split) <= {"train", "val", "test"}
+
+
+def test_domain_stats_blocklist(spark, corpus_path):
+    from longqc_spark.operators.text import domain_stats
+
+    labels = qc_pipeline(spark.read.parquet(corpus_path))
+    stats = domain_stats(labels, min_docs=3, max_drop_rate=0.8).toPandas()
+    assert len(stats) > 0
+    assert (stats.n_docs >= 3).all()
+    assert ((stats.keep_rate >= 0) & (stats.keep_rate <= 1)).all()
+    # blocklist flag consistent with the rate it derives from
+    assert (stats.blocklist_candidate == ((1 - stats.keep_rate) > 0.8)).all()
+    # domains parse to real hosts (no scheme, no path)
+    assert stats.domain.str.contains("://").sum() == 0
+    assert stats.domain.str.contains("/").sum() == 0
+
+
+def test_mix_sources_quotas_and_stability(spark, docs):
+    from longqc_spark.operators.text import mix_sources
+
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    a = mix_sources(docs, weights, n_total=40).toPandas()
+    counts = a.source.value_counts()
+    assert counts["src0"] == 20 and counts["src1"] == 10 and counts["src2"] == 10
+    # absent sources contribute nothing
+    assert set(a.source) == {"src0", "src1", "src2"}
+    # repartition-stable
+    b = mix_sources(docs.repartition(11), weights, n_total=40).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # quota above a source's cardinality caps at the source
+    tiny = mix_sources(docs, {"src0": 1.0}, n_total=10**6).toPandas()
+    assert len(tiny) == len(docs.filter("source = 'src0'").toPandas())
