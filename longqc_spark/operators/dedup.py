@@ -98,6 +98,59 @@ def minhash_signatures(
     return df.select(key_col, text_col).mapInPandas(compute, schema=out_schema)
 
 
+def _star_guarded_pairs(
+    banded: DataFrame,
+    bucket_cols: tuple[str, ...],
+    key_col: str,
+    max_bucket: int | None,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """The ONE star-expansion flood guard shared by the LSH and SimHash
+    candidate joins (and mirrored by ``simsearch.embed_neardup``): buckets
+    up to ``max_bucket`` get the exact all-pairs self-join; larger buckets
+    pair every member with the bucket's min key only — O(k) fan-out,
+    connectivity to the head preserved. ``payload_col`` (e.g. the simhash)
+    is carried on both pair sides, with the head's payload via ``min_by``.
+    → (key_a, key_b[, payload_a, payload_b])."""
+
+    def all_pairs(df: DataFrame) -> DataFrame:
+        l, r = df.alias("l"), df.alias("r")
+        cond = F.col(f"l.{key_col}") < F.col(f"r.{key_col}")
+        for c in bucket_cols:
+            cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
+        cols = [
+            F.col(f"l.{key_col}").alias("key_a"),
+            F.col(f"r.{key_col}").alias("key_b"),
+        ]
+        if payload_col:
+            cols += [
+                F.col(f"l.{payload_col}").alias("payload_a"),
+                F.col(f"r.{payload_col}").alias("payload_b"),
+            ]
+        return l.join(r, cond).select(*cols)
+
+    if max_bucket is None:
+        return all_pairs(banded).distinct()
+    aggs = [F.count(F.lit(1)).alias("_bsize"), F.min(key_col).alias("_bhead")]
+    drop = ["_bsize", "_bhead"]
+    if payload_col:
+        aggs.append(F.min_by(payload_col, key_col).alias("_bhead_payload"))
+        drop.append("_bhead_payload")
+    stats = banded.groupBy(*bucket_cols).agg(*aggs)
+    tagged = banded.join(stats, list(bucket_cols))
+    small = all_pairs(tagged.filter(F.col("_bsize") <= max_bucket).drop(*drop))
+    big_cols = [F.col("_bhead").alias("key_a"), F.col(key_col).alias("key_b")]
+    if payload_col:
+        big_cols += [
+            F.col("_bhead_payload").alias("payload_a"),
+            F.col(payload_col).alias("payload_b"),
+        ]
+    big = tagged.filter(
+        (F.col("_bsize") > max_bucket) & (F.col(key_col) != F.col("_bhead"))
+    ).select(*big_cols)
+    return small.unionByName(big).distinct()
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     key_col: str = "doc_id",
@@ -137,31 +190,7 @@ def lsh_candidate_pairs(
         ).alias("band", "bhash"),
     )
 
-    def all_pairs(df: DataFrame) -> DataFrame:
-        left, right = df.alias("l"), df.alias("r")
-        return left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        ).select(
-            F.col(f"l.{key_col}").alias("key_a"), F.col(f"r.{key_col}").alias("key_b")
-        )
-
-    if max_bucket is None:
-        return all_pairs(banded).distinct()
-    # one partial-agg pass sizes every bucket and picks its head; the size
-    # column routes each bucket to the bounded strategy
-    stats = banded.groupBy("band", "bhash").agg(
-        F.count(F.lit(1)).alias("_bsize"), F.min(key_col).alias("_bhead")
-    )
-    tagged = banded.join(stats, ["band", "bhash"])
-    small = all_pairs(tagged.filter(F.col("_bsize") <= max_bucket).drop("_bsize", "_bhead"))
-    big = (
-        tagged.filter((F.col("_bsize") > max_bucket) & (F.col(key_col) != F.col("_bhead")))
-        .select(F.col("_bhead").alias("key_a"), F.col(key_col).alias("key_b"))
-    )
-    return small.unionByName(big).distinct()
+    return _star_guarded_pairs(banded, ("band", "bhash"), key_col, max_bucket)
 
 
 def minhash_jaccard_estimate(
@@ -315,8 +344,15 @@ def simhash_near_pairs(
     (chunk_id, chunk) bucket holds the whole flood and the self-join goes
     quadratic (and, being a self-join, AQE cannot skew-split it). Over-cap
     buckets star-expand onto the bucket's min key; the hamming filter still
-    applies to star pairs (flood docs are hamming-0 from the head), and
-    connected-components clusters are preserved."""
+    applies to star pairs, so flood docs (hamming 0 from the head) stay one
+    cluster. PRECISE contract under the guard: the pigeonhole recall
+    guarantee holds through every under-cap bucket, and within an over-cap
+    bucket connectivity is guaranteed only for members within
+    ``max_hamming`` of the bucket HEAD — a pair of non-head members whose
+    ONLY intact shared chunk lands in an over-cap bucket is given up (their
+    star pairs to a distant head fail the hamming filter). That trade
+    targets exactly the template-flood case the guard exists for; use
+    ``max_bucket=None`` when full radius-recall is required."""
     width = 64 // n_chunks
     chunk_mask = (1 << width) - 1
     chunks = sims.select(
@@ -333,44 +369,12 @@ def simhash_near_pairs(
             )
         ).alias("chunk_id", "chunk"),
     )
-    def all_pairs(df: DataFrame) -> DataFrame:
-        l, r = df.alias("l"), df.alias("r")
-        return l.join(
-            r,
-            (F.col("l.chunk_id") == F.col("r.chunk_id"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        ).select(
-            F.col(f"l.{key_col}").alias("key_a"),
-            F.col(f"r.{key_col}").alias("key_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
-        )
-
-    if max_bucket is None:
-        cand = all_pairs(chunks).distinct()
-    else:
-        stats = chunks.groupBy("chunk_id", "chunk").agg(
-            F.count(F.lit(1)).alias("_bsize"),
-            F.min(key_col).alias("_bhead"),
-            F.min_by("simhash", key_col).alias("_bhead_sim"),
-        )
-        tagged = chunks.join(stats, ["chunk_id", "chunk"])
-        small = all_pairs(
-            tagged.filter(F.col("_bsize") <= max_bucket).drop(
-                "_bsize", "_bhead", "_bhead_sim"
-            )
-        )
-        big = tagged.filter(
-            (F.col("_bsize") > max_bucket) & (F.col(key_col) != F.col("_bhead"))
-        ).select(
-            F.col("_bhead").alias("key_a"),
-            F.col(key_col).alias("key_b"),
-            F.col("_bhead_sim").alias("sim_a"),
-            F.col("simhash").alias("sim_b"),
-        )
-        cand = small.unionByName(big).distinct()
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    cand = _star_guarded_pairs(
+        chunks, ("chunk_id", "chunk"), key_col, max_bucket, payload_col="simhash"
+    )
+    hamming = F.bit_count(
+        F.col("payload_a").bitwiseXOR(F.col("payload_b"))
+    ).alias("hamming")
     return cand.select("key_a", "key_b", hamming).filter(F.col("hamming") <= max_hamming)
 
 

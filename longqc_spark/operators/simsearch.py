@@ -53,7 +53,7 @@ def cosine_topk(
 def hyperplane_buckets(
     emb: DataFrame,
     n_bits: int = 8,
-    dim: int | None = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
@@ -62,13 +62,16 @@ def hyperplane_buckets(
     Hyperplanes are a deterministic seeded matrix, embedded as literal columns
     (broadcast-equivalent; no Python at eval time). → (id, bucket int).
 
-    ``dim=None`` infers the dimension from the data (one 1-row peek). The
-    plane length MUST match the vector length: ``zip_with`` pads the shorter
-    side with NULL, which silently nulls every bucket and makes downstream
-    bucket equi-joins return ZERO pairs — recall 0 with no error."""
+    ``dim=None`` (the default) infers the dimension from the data — one
+    eager 1-row peek at build time, skipping NULL vectors. The plane length
+    MUST match the vector length: ``zip_with`` pads the shorter side with
+    NULL, which silently nulls every bucket and makes downstream bucket
+    equi-joins return ZERO pairs — recall 0 with no error; inference makes
+    that impossible for every caller (pass an explicit ``dim`` to keep the
+    builder fully lazy)."""
     if dim is None:
-        row = emb.select(F.size(vec_col)).first()
-        dim = int(row[0]) if row else 0
+        row = emb.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+        dim = int(row[0]) if row is not None and row[0] is not None else 0
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     bit_cols = []
@@ -166,13 +169,18 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_bits: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine rank within bucket. Recall grows with multi-probe /
-    fewer bits; this is the 1/2^bits-cost operating point."""
+    fewer bits; this is the 1/2^bits-cost operating point. ``dim`` defaults
+    to inference from the corpus (a hardcoded mismatch would NULL every
+    bucket — zero results, no error)."""
+    if dim is None:
+        row = emb.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+        dim = int(row[0]) if row is not None and row[0] is not None else 0
     b_corpus = hyperplane_buckets(emb, n_bits, dim, id_col, vec_col)
     b_query = hyperplane_buckets(queries, n_bits, dim, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
@@ -225,10 +233,13 @@ def embed_neardup(
     a = emb.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
     if n_bits > 0:
-        ba = hyperplane_buckets(
-            emb, n_bits=n_bits, dim=None, id_col=id_col, vec_col=vec_col
-        ).select(
-            F.col(id_col).alias("key_a"), F.col("bucket").alias("bucket_a")
+        # cache: the bucket expression (n_bits dot products per row) feeds
+        # the a-side, the b-side, and (guarded) the bucket-size stats —
+        # without the cache it is recomputed in every join branch
+        ba = (
+            hyperplane_buckets(emb, n_bits=n_bits, dim=None, id_col=id_col, vec_col=vec_col)
+            .select(F.col(id_col).alias("key_a"), F.col("bucket").alias("bucket_a"))
+            .cache()
         )
         bb = ba.select(F.col("key_a").alias("key_b"), F.col("bucket_a").alias("bucket_b"))
         a = a.join(ba, "key_a")

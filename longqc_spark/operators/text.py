@@ -265,14 +265,22 @@ def domain_stats(
     (the reference's per-platform summary rollup, ``longQC.py:390-396``,
     keyed by registrable host instead of platform).
 
-    All JVM-side: host extracted with one regexp from the url, partial-agg
-    groupBy (domain cardinality ≪ doc cardinality, classic map-side
-    combine). → (domain, n_docs, n_keep, keep_rate, avg_perplexity,
-    blocklist_candidate) for domains with ≥ ``min_docs``.
+    All JVM-side: host extracted with one regexp from the url (scheme
+    case-insensitive and optional, port stripped), partial-agg groupBy
+    (domain cardinality ≪ doc cardinality, classic map-side combine).
+    → (domain, n_docs, n_keep, keep_rate, avg_perplexity,
+    blocklist_candidate) for domains with ≥ ``min_docs``. URLs with no
+    parseable host are dropped rather than pooled into a bogus
+    empty-string pseudo-domain (which could otherwise surface as an
+    unactionable blocklist row).
     """
-    domain = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    domain = F.regexp_extract(
+        F.col(url_col), r"(?i)^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)", 1
+    )
     return (
-        labels.groupBy(domain.alias("domain"))
+        labels.withColumn("domain", domain)
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_if(F.col("keep")).alias("n_keep"),
@@ -310,8 +318,16 @@ def mix_sources(
     """
     from pyspark.sql import Window
 
+    # largest-remainder apportionment: floors first, then the leftover seats
+    # go to the largest fractional remainders (name tie-break) — quotas sum
+    # EXACTLY to n_total (round() would under/over-shoot on .5 ties: 0.5/0.5
+    # at n=25 gives 12+12)
     total_w = sum(weights.values())
-    quotas = {s: int(round(n_total * w / total_w)) for s, w in weights.items()}
+    raw = {s: n_total * w / total_w for s, w in weights.items()}
+    quotas = {s: int(raw[s]) for s in raw}
+    leftover = n_total - sum(quotas.values())
+    for s in sorted(raw, key=lambda s: (-(raw[s] - quotas[s]), s))[:leftover]:
+        quotas[s] += 1
     quota_col = F.element_at(
         F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv]),
         F.col(source_col),

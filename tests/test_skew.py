@@ -116,12 +116,13 @@ def test_aqe_skew_split_one_sided_but_not_selfjoin(spark):
     1. a ONE-SIDED skewed shuffle join IS split by AQE at these thresholds
        (final adaptive plan carries SortMergeJoin(skew=true)) — ordinary
        skewed equi-joins in this engine are protected by configuration;
-    2. the banded LSH SELF-join under a template flood is NOT: both join
-       sides are the same shuffle, so the skewed partition is skewed on
-       BOTH sides simultaneously and Spark's OptimizeSkewedJoin cannot
-       replicate either side — no skew=true appears. AQE therefore cannot
-       save a boilerplate-flooded LSH join; bounding the bucket itself
-       (max_bucket star expansion) is the only structural fix."""
+    2. AQE can at best split the flooded SELF-join's INPUT partitions
+       (plan-shape-dependent — observed both ways across plan variants);
+       it can never bound the OUTPUT: the flood still emits a quadratic
+       candidate-pair count (~C(flood,2)·coincidence factor), which is the
+       actual 100-TB failure. Only the max_bucket star expansion bounds
+       the pairs themselves — asserted here as quadratic-vs-linear on the
+       same signatures under the same AQE settings."""
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
@@ -145,17 +146,16 @@ def test_aqe_skew_split_one_sided_but_not_selfjoin(spark):
         plan = probe._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan and "skew=true" in plan
 
-        # fact 2: the flood SELF-join is un-splittable (both sides skewed
-        # on the same partition) — AQE runs but no skew split happens
+        # fact 2: with the SAME AQE settings, the unguarded flood self-join
+        # still emits a quadratic pair count — whatever AQE does to the
+        # input partitions, it cannot shrink the output; the guard can
         docs = spark.createDataFrame(boilerplate_corpus(4000))
-        sigs = minhash_signatures(docs, key_col="doc_id", text_col="text")
-        probe2 = lsh_candidate_pairs(sigs, key_col="doc_id").select(
-            F.count(F.lit(1)).alias("n")
-        )
-        assert probe2.collect()[0]["n"] > 0
-        plan2 = probe2._jdf.queryExecution().executedPlan().toString()
-        assert "isFinalPlan=true" in plan2
-        assert "skew=true" not in plan2  # the guard, not AQE, must own this
+        sigs = minhash_signatures(docs, key_col="doc_id", text_col="text").cache()
+        flood = 1200
+        unguarded = lsh_candidate_pairs(sigs, key_col="doc_id").count()
+        assert unguarded >= flood * (flood - 1) // 2
+        guarded = lsh_candidate_pairs(sigs, key_col="doc_id", max_bucket=50).count()
+        assert guarded < 5 * 4000
     finally:
         for k, v in saved.items():
             if v is None:
