@@ -336,10 +336,16 @@ def mix_sources(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")).cast("binary")
     )
     w = Window.partitionBy(source_col).orderBy("_prio", key_col)
+    max_q = max(quotas.values(), default=0)
     return (
         df.filter(F.col(source_col).isin(list(quotas)))
         .withColumn("_prio", prio)
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= quota_col)
+        # the LITERAL max-quota conjunct is what lets Catalyst derive a
+        # WindowGroupLimit (partial per-group top-k BEFORE the shuffle —
+        # only max_q candidates per source per partition move); the
+        # map-lookup quota alone is not a recognizable rank bound, and
+        # without the literal ALL selected-source rows would shuffle
+        .filter((F.col("_rn") <= F.lit(max_q)) & (F.col("_rn") <= quota_col))
         .drop("_prio", "_rn")
     )

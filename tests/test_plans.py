@@ -365,3 +365,32 @@ def test_assign_shards_no_global_window(spark, sf001):
     for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\](, \[[^\]]*\])?", plan):
         # 3-bracket form: (exprs, partition, order); 2-bracket = global
         assert m.group(2) is not None, f"global (unpartitioned) window: {m.group(0)}"
+
+
+def test_incremental_dedup_plan_shape(spark, sf001):
+    """The cross-run dedup plan must show: (a) partial top-1-per-group
+    BEFORE the window shuffle (WindowGroupLimit Partial — only candidate
+    winners shuffle), (b) exactly one exchange on the batch side, (c) an
+    anti-join on the digest."""
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    committed = docs.limit(100).select(
+        F.md5(F.col("text").cast("binary")).alias("payload_md5")
+    )
+    plan = _plan(incremental_dedup(docs, committed, key_col="doc_id", text_col="text"))
+    assert "LeftAnti" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "Partial" in plan
+
+
+def test_mix_sources_single_shuffle(spark, sf001):
+    """Mixture construction is ONE hash-partition shuffle (the per-source
+    window) — no global sort, no extra exchanges."""
+    from longqc_spark.operators.text import mix_sources
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(mix_sources(docs, {"src0": 0.5, "src1": 0.5}, n_total=40))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+    assert "WindowGroupLimit" in plan  # quota top-k pruned before the shuffle
