@@ -2017,18 +2017,24 @@ def oracle_sql() -> dict[str, str]:
             FROM per_text
         """,
         "incremental_dedup": """
+            -- NULL payloads carry no digest: they pass through both stages
+            -- untouched (mirrors incremental_dedup's explicit NULL branch)
             WITH known AS (
                 SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
             ), fresh AS (
                 SELECT source, n_chars, md5(text) AS d,
                        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                FROM documents WHERE doc_id % 2 = 0
+                FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+            ), admitted AS (
+                SELECT source, n_chars FROM fresh
+                WHERE rn = 1 AND d NOT IN (SELECT d FROM known)
+                UNION ALL
+                SELECT source, n_chars FROM documents
+                WHERE doc_id % 2 = 0 AND text IS NULL
             )
             SELECT source, count(*) AS n_admitted,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
-            FROM fresh
-            WHERE rn = 1 AND d NOT IN (SELECT d FROM known)
-            GROUP BY source ORDER BY source
+            FROM admitted GROUP BY source ORDER BY source
         """,
         "weighted_sample": """
             SELECT doc_id, source, n_chars FROM (

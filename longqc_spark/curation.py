@@ -38,6 +38,7 @@ def curate(
     eval_df: DataFrame | None = None,
     eval_key: str = "eval_id",
     shard_bytes: int | None = None,
+    shard_range_width: int | None = None,
     split_fractions: tuple[int, int] = (80, 10),
 ) -> DataFrame:
     """documents → curated training rows.
@@ -79,7 +80,13 @@ def curate(
         "split", dataset_split_expr(key_col, fractions=split_fractions)
     )
     if shard_bytes is not None:
+        # shard_range_width=None auto-scales the range table from the key
+        # span (bounded driver collect even for xxhash64-derived keys)
         labels = assign_shards(
-            labels, shard_bytes=shard_bytes, bytes_col="n_chars", key_col=key_col
+            labels,
+            shard_bytes=shard_bytes,
+            bytes_col="n_chars",
+            key_col=key_col,
+            range_width=shard_range_width,
         )
     return labels

@@ -36,7 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from .config import DEFAULT_CONFIG, QCConfig
-from .pipeline import qc_pipeline
+from .pipeline import LABEL_SCHEMA_VERSION, qc_pipeline
 
 _SALT = 1337
 
@@ -165,6 +165,13 @@ def run_qc_with_lineage(
         "text_col": text_col,
         "html_col": html_col,
         "dedup": dedup,
+        # label-schema version is part of the checkpoint identity: resuming a
+        # run whose earlier buckets were committed by an older qc_pipeline
+        # (e.g. pre-payload_md5 labels) would produce a dataset with mixed
+        # per-bucket schemas, and read_labels-based exclusion would silently
+        # see NULL digests for the old buckets. A version bump rejects the
+        # resume the same way a cfg change does.
+        "label_schema": LABEL_SCHEMA_VERSION,
         **({"exclude_labels_dir": exclude_labels_dir} if exclude_labels_dir else {}),
     }
     manifest = load_manifest(out_dir)
@@ -282,7 +289,11 @@ def run_qc_with_lineage(
         # observation never fires and obs.get dies. Scoped set/restore.
         rules_key = "spark.sql.adaptive.optimizer.excludedRules"
         empty_rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
-        guard_obs = excl_obs is not None and w_i == 0  # later waves: obs already harvested
+        # Guard ANY wave carrying an observation: the dedup pre_dedup_counts
+        # Observation rides the same staged write as the exclusion one, and a
+        # dedup=True run whose input is empty at runtime hits the identical
+        # AQE empty-relation elimination. Later waves: obs already harvested.
+        guard_obs = w_i == 0 and (excl_obs is not None or dedup)
         prev_rules = spark.conf.get(rules_key, None) if guard_obs else None
         if guard_obs:
             spark.conf.set(

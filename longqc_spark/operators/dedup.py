@@ -544,18 +544,26 @@ def incremental_dedup(
     can skew-split. No broadcast assumption: BOTH sides may be petabyte-scale
     (the committed corpus certainly is at 10^12 docs).
 
+    NULL payloads (html/text missing) carry no digest, so they are not
+    duplicates of anything — they pass through BOTH stages untouched rather
+    than being collapsed into one NULL-digest group by the window (which
+    would silently drop distinct docs) or dropped by the anti-join semantics
+    of ``NOT IN`` with a NULL probe. Oracle SQL mirrors this with an
+    explicit ``payload IS NULL OR …`` disjunct.
+
     Returns the surviving rows of ``new_docs`` (original columns).
     """
-    digest = F.md5(F.col(html_col or text_col).cast("binary"))
-    fresh = new_docs
+    payload = F.col(html_col or text_col)
+    digest = F.md5(payload.cast("binary"))
+    nulls = new_docs.filter(payload.isNull())
+    fresh = new_docs.filter(payload.isNotNull())
     if within_batch:
         w = Window.partitionBy(digest).orderBy(key_col)
         fresh = (
-            new_docs.withColumn("_rn", F.row_number().over(w))
+            fresh.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
     known = committed.select(F.col(digest_col).alias("_known_md5")).distinct()
-    return fresh.join(
-        known, on=digest == F.col("_known_md5"), how="left_anti"
-    )
+    kept = fresh.join(known, on=digest == F.col("_known_md5"), how="left_anti")
+    return kept.unionByName(nulls)

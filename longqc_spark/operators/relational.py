@@ -13,6 +13,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+import warnings
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -314,7 +317,8 @@ def assign_shards(
     shard_bytes: int,
     bytes_col: str = "n_chars",
     key_col: str = "doc_id",
-    range_width: int = 1000,
+    range_width: int | None = None,
+    target_ranges: int = 1 << 16,
 ) -> DataFrame:
     """Byte-balanced output sharding: shard id = floor(global running bytes
     BEFORE this record / shard_bytes) in key order — the deterministic
@@ -341,6 +345,18 @@ def assign_shards(
     stay exact in BIGINT. ``key_col`` must be numeric (the range bucketing
     divides it) — checked up front so string keys fail with an actionable
     message instead of a deep ANSI cast error.
+
+    ``range_width=None`` (the default) AUTO-SCALES from the observed key
+    span: width = ceil(span / target_ranges), so the driver-collected range
+    table is bounded at ~``target_ranges`` rows REGARDLESS of the key
+    domain. This matters precisely for the xxhash64-derived keys the
+    TypeError above recommends — they span the full int64 domain, where a
+    fixed width of 1000 would make the range table ~one row per document
+    (an unbounded driver collect). The shard assignment itself is
+    range_width-INVARIANT: the prefix sums are exact for any partitioning
+    of the key order, so auto-scaling never changes results (property
+    pinned in tests). The min/max pre-pass is a column-pruned agg that
+    parquet/Iceberg zone maps answer near-free.
     → original columns + ``shard long``."""
     from pyspark.sql import types as T
 
@@ -351,11 +367,24 @@ def assign_shards(
             "derive one first (e.g. xxhash64(url) or a monotonically "
             "increasing id) and shard on that"
         )
+    if range_width is None:
+        lo, hi = df.agg(
+            F.min(key_col).cast("double"), F.max(key_col).cast("double")
+        ).first()
+        span = 0.0 if lo is None else float(hi) - float(lo) + 1.0
+        range_width = max(1, int(math.ceil(span / float(target_ranges))))
     rng = (F.col(key_col) / F.lit(range_width)).cast("long")
     totals = sorted(
         df.groupBy(rng.alias("r")).agg(F.sum(bytes_col).alias("s")).collect(),
         key=lambda row: row["r"],
     )
+    if len(totals) > 4 * target_ranges:
+        warnings.warn(
+            f"assign_shards collected {len(totals)} key ranges to the driver "
+            f"(range_width={range_width}); pass range_width=None to "
+            "auto-scale from the key span, or raise range_width",
+            stacklevel=2,
+        )
     rows, acc = [], 0
     for row in totals:
         rows.append((row["r"], acc))

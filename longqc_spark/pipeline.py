@@ -25,6 +25,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .config import DEFAULT_CONFIG, QCConfig
+
+# Version of the labels-table schema qc_pipeline emits. Bump whenever a
+# column is added/removed/retyped (v2 = payload_md5 added in round 3) —
+# lineage stamps this into run_config so a resume cannot mix per-bucket
+# label schemas under one manifest.
+LABEL_SCHEMA_VERSION = 2
 from .kernels import compute_stats, scrub_batch
 
 # ---------------------------------------------------------------------------

@@ -299,3 +299,27 @@ def test_hll_sketch_rollup(spark, sf001):
         assert abs(r.n_distinct_est - exact_pg[r.event_type]) / exact_pg[r.event_type] < 0.05
     # sum of per-group estimates >= union estimate (disjoint here, ~equal)
     assert pg.n_distinct_est.sum() >= est * 0.95
+
+
+def test_embed_neardup_cache_bounded(spark):
+    """ADVICE r3: the bucket cache is one-slot — each embed_neardup call
+    releases the previous call's cached bucket table, so repeated calls in a
+    long-lived session never accumulate cached partitions."""
+    from longqc_spark.operators import simsearch
+    from longqc_spark.operators.simsearch import embed_neardup, release_bucket_cache
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    embed_neardup(emb, threshold=0.9, n_bits=2).count()
+    first = simsearch._BUCKET_CACHE[0]
+    assert first.storageLevel.useMemory  # materialized
+    # different n_bits → different logical plan (an identical plan would be
+    # re-registered by Spark's CacheManager and mask the unpersist)
+    embed_neardup(emb, threshold=0.9, n_bits=3).count()
+    assert len(simsearch._BUCKET_CACHE) == 1  # one-slot: old entry released
+    assert simsearch._BUCKET_CACHE[0] is not first
+    assert not first.storageLevel.useMemory  # previous cache unpersisted
+    release_bucket_cache()
+    assert simsearch._BUCKET_CACHE == []

@@ -339,3 +339,35 @@ def test_incremental_cross_run_dedup(spark, docs, tmp_path):
     # identity includes the exclude-list)
     with pytest.raises(ValueError, match="run config"):
         run_qc_with_lineage(docs_b, out2, n_buckets=4)
+
+
+def test_dedup_empty_input_observation_guard(spark, docs, tmp_path):
+    """ADVICE r3: a dedup=True run whose input is runtime-empty (no
+    exclusion configured) carries the pre_dedup_counts Observation on the
+    staged write; AQE's empty-relation propagation would eliminate the
+    CollectMetrics node and the harvest would die. The guard must cover any
+    observation-bearing wave, not just the exclusion one."""
+    empty = docs.filter(F.length("text") < -1)  # runtime-empty, not constant-folded
+    out = str(tmp_path / "emptydedup")
+    m = run_qc_with_lineage(empty, out, n_buckets=3, dedup=True)
+    assert len(m["committed"]) == 3
+    assert all(v["n_in"] == 0 for v in m["committed"].values())
+    assert all(v["metrics"]["n_dup_dropped"] == 0 for v in m["committed"].values())
+
+
+def test_label_schema_version_in_checkpoint_identity(spark, docs, tmp_path):
+    """ADVICE r3: resuming a run whose buckets were committed by an older
+    label schema (manifest run_config lacks/has a different label_schema)
+    must be rejected like any other config change — never silently mix
+    per-bucket schemas."""
+    import json
+
+    out = str(tmp_path / "schemaver")
+    run_qc_with_lineage(docs, out, n_buckets=2)
+    mpath = os.path.join(out, "manifest.json")
+    m = json.load(open(mpath))
+    assert m["run_config"]["label_schema"] == 2
+    m["run_config"].pop("label_schema")  # simulate a pre-versioning manifest
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="run config differs"):
+        run_qc_with_lineage(docs, out, n_buckets=2)

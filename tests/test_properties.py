@@ -441,3 +441,71 @@ def test_vocab_coverage_null_text_counts_as_empty(spark):
     assert got.loc[1, "n_tokens"] == 0
     assert got.loc[1, "oov_frac"] == 0.0
     assert len(got) == 3  # NULL-text doc present, not silently dropped
+
+
+def test_assign_shards_autoscale_range_width(spark):
+    """ADVICE r3: range_width=None auto-scales from the key span so the
+    driver-collected range table stays bounded even for xxhash64-style keys
+    spanning the full int64 domain — and the shard assignment is
+    range_width-INVARIANT, so auto-scaling never changes results."""
+    import numpy as np
+    import pandas as pd
+
+    from longqc_spark.operators.relational import assign_shards
+
+    rng = np.random.default_rng(11)
+    # int64-domain keys: fixed width=1000 would mean ~1 range per row
+    keys = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+    pdf = pd.DataFrame({"doc_id": keys, "n_chars": rng.integers(1, 900, size=500)})
+    df = spark.createDataFrame(pdf)
+
+    auto = (
+        assign_shards(df, shard_bytes=5000, target_ranges=64)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # ground truth: cumsum in key order
+    p = pdf.sort_values("doc_id").reset_index(drop=True)
+    cb = p.n_chars.cumsum() - p.n_chars
+    expect = np.floor(cb.astype(float) / 5000.0).astype(int)
+    assert auto.shard.tolist() == expect.tolist()
+
+    # invariance: a huge explicit width gives identical shards
+    fixed = (
+        assign_shards(df, shard_bytes=5000, range_width=2**58)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert fixed.shard.tolist() == auto.shard.tolist()
+
+
+def test_incremental_dedup_null_payloads_pass_through(spark):
+    """ADVICE r3: NULL payloads carry no digest — they are not duplicates of
+    each other (the old window collapsed them to one row) nor of anything
+    committed (NOT-IN-with-NULL would drop them). They must pass through."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, None), (4, None), (5, "bbb")],
+        "doc_id long, text string",
+    )
+    committed = spark.createDataFrame([("bbb",)], "t string").select(
+        F.md5(F.col("t").cast("binary")).alias("payload_md5")
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            new, committed, key_col="doc_id", text_col="text"
+        ).collect()
+    )
+    # 1 wins within-batch over 2; 3 and 4 BOTH survive; 5 is committed → dropped
+    assert got == [1, 3, 4]
+
+    # within_batch=False (lineage exclusion-only): batch dups AND nulls survive
+    got2 = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            new, committed, key_col="doc_id", text_col="text", within_batch=False
+        ).collect()
+    )
+    assert got2 == [1, 2, 3, 4]
