@@ -1783,29 +1783,30 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession
     return wrapped
 
 
-# The driver's CORRECTNESS check covers the FIRST 50 registry entries. Round
-# 1-2 checked the original head of the registry (all green); round 3 rotates
-# the 46 entries the driver had never seen (tpch_q5like .. lateral_topk —
-# previously only local-oracle-green) into the window, topped up with
-# previously-driver-green anchors. Order carries no semantics beyond this.
+# The driver's CORRECTNESS check covers the FIRST 50 registry entries. Rounds
+# 1-2 checked the original head; round 3 rotated in the 46 never-seen entries
+# (tpch_q5like .. lateral_topk). Round 4 puts the LAST 6 never-driver-checked
+# queries (the round-3 additions outside r3's window) at the head — after
+# this round every registry entry has a driver-verified CORRECTNESS row —
+# topped up with previously-driver-green anchors sampled across categories
+# as regression canaries. Order carries no semantics beyond this.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # 46 never-driver-checked (registry positions 51-96 in rounds 1-2)
-    "tpch_q5like", "tpch_q7like", "tpch_q10like", "tpch_q12like", "semi_join",
-    "scalar_subquery", "having_topk", "range_frame", "month_revenue",
-    "lead_first", "session_window_native", "dup_spans", "trace_reconstruct",
-    "dedup_clusters", "except_all", "intersect_all", "array_ops",
-    "embed_neardup", "minhash_sql", "minhash_pipeline", "simhash_pipeline",
-    "simhash_sql", "rank_windows", "json_extract", "distinct_users",
-    "hll_rollup", "base64_payload", "edit_distance", "regex_counts",
-    "unpivot_stats", "posexplode_tokens", "vector_norms", "grouping_sets",
-    "extract_text", "ntile_deciles", "corr_stats", "bpe_tokens",
-    "tpch_q14like", "tpch_q16like", "tpch_q19like", "tpch_q22like",
-    "percent_rank", "full_outer", "map_rollup", "ccsynth_source",
-    "lateral_topk",
-    # new round-3 queries — need driver rows too
-    "incremental_dedup",
-    # previously-driver-green anchors (regression canaries) fill to 50
-    "length_stats", "decontaminate", "exact_dedup",
+    # the 6 never-driver-checked round-3 queries (local-oracle-green)
+    "weighted_sample", "oov_rate", "shard_assign", "normalized_dedup",
+    "split_assign", "source_mix",
+    # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
+    "length_stats", "n50", "n50_approx", "binned_median", "histogram",
+    "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
+    "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
+    "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
+    "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
+    "fingerprint", "running_sum", "pivot_counts", "token_quality",
+    "tumbling_counts", "interval_occupancy", "active_regions", "merge_upsert",
+    "salted_agg", "set_ops", "cube_counts", "approx_quantiles",
+    "mean_stddev", "collect_set", "moving_avg", "sessionize", "asof_join",
+    "range_join", "attribution_join", "tpch_q1", "tpch_q3",
+    # r3-green spot check from the rotated block
+    "trace_reconstruct",
 )
 
 
