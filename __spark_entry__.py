@@ -546,7 +546,14 @@ def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:  # multimodal UDT
 
 def q_ml_quality(spark: SparkSession, sf: str) -> DataFrame:  # trained scorer, rows-only
     """pyspark.ml decision-tree quality scorer trained on the rule labels;
-    deterministic (fixed seed/feature order) → stable confusion counts."""
+    deterministic (fixed seed/feature order) → stable confusion counts.
+
+    DELIBERATELY EAGER — the one registry entry that is not a lazy plan:
+    training + scoring must run against the SAME cached labels snapshot
+    (training is itself an action), and the ≤4-row confusion matrix is
+    collected here so the cache can be released before returning; handing
+    the driver a lazy plan would either leak the cache or retrain on an
+    uncached (nondeterministically resampled) input when it collects."""
     from longqc_spark.config import DRIVER_DOCS_CONFIG
     from longqc_spark.mlquality import score_quality, train_quality_model
     from longqc_spark.pipeline import qc_pipeline

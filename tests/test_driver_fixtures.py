@@ -239,3 +239,41 @@ def test_round2_queries_parallelism_invariant(spark, sf001):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+# VERDICT r3 item 6: golden value-hash pins for every rows-only registry
+# entry that lacked one — a silent behavior change now fails tests even
+# though no DuckDB oracle exists. Hash = sha256 of the column-name-sorted,
+# row-sorted CSV with floats rounded to 6dp (order- and
+# parallelism-insensitive; all these outputs are deterministic functions of
+# the versioned sf0.001 testdata + seeded models).
+_GOLDEN_SF001 = {
+    "minhash_lsh": (28, "6922dfeb94595690"),
+    "simhash": (1688, "6f4bbaf909242932"),
+    "lsh_topk": (60, "a3b53d9cc3cf0022"),
+    "ivf_topk": (30, "6584b4905fb1811b"),
+    "hll_rollup": (6, "a21dd41f1b5cf455"),
+    "media_features": (3, "4c5fc880670265aa"),
+    "media_frames": (85, "2a9b05232581451f"),
+    "ccsynth_source": (4, "34b14c5532134246"),
+}
+
+
+def _canon_hash(pdf):
+    import hashlib
+
+    df = pdf[sorted(pdf.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+@pytest.mark.parametrize("name", sorted(_GOLDEN_SF001))
+def test_rows_only_query_golden_hash(spark, sf001, name):
+    pdf = entry.queries()[name](spark, sf001).toPandas()
+    n, h = _GOLDEN_SF001[name]
+    assert len(pdf) == n, f"{name}: rows {len(pdf)} != pinned {n}"
+    assert _canon_hash(pdf) == h, f"{name}: value hash drifted from pin"

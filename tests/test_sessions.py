@@ -83,10 +83,20 @@ def test_tws_sessions_match_batch_closed(spark, sf001, tmp_path):
     twin computes (and therefore agree with the GroupState implementation).
 
     Gated on google.protobuf (the TWS state protocol dependency): present on
-    standard Spark clusters, absent from this sandbox image."""
+    standard Spark clusters, absent from this sandbox image. Verified r4:
+    `import google.protobuf` → ModuleNotFoundError (no `google` namespace
+    package at all in site-packages), and the image has no package-index
+    network access (`pip download protobuf` → DNS resolution failure), so
+    the gate cannot be lifted here; the GroupState twin runtime-covers the
+    semantics and the processor logic is parity-tested below."""
     import pytest as _pytest
 
-    _pytest.importorskip("google.protobuf")
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state protocol needs google.protobuf: absent from image "
+        "(ModuleNotFoundError: No module named 'google') and uninstallable "
+        "offline (pip → '[Errno -2] Name or service not known')",
+    )
     from longqc_spark.streaming.sessions import sessionize_stream_tws
 
     events = spark.read.parquet(f"{sf001}/events.parquet").filter(F.col("user_id") < 50)
