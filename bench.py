@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -59,8 +60,46 @@ BENCH_QUERIES = (
 )
 
 
+def host_probe(cores: int, iters: int = 20_000_000) -> tuple[float, float]:
+    """In-run host-speed calibration (VERDICT r3 item 3): a pure-ALU spin
+    with zero memory traffic, single-process and all-cores, in M iters/s.
+    This shared VM drifts 1.2-1.6x between rounds (BENCH_r02 vs r03 showed a
+    uniform offset on UNCHANGED queries); recording the probe beside the
+    timings lets tools/bench_compare.py --normalize grade the CODE, not the
+    VM epoch. Runs before the JVM starts so Spark itself can't skew it."""
+    import multiprocessing as mp
+
+    def spin(n: int) -> int:
+        acc = 0
+        for i in range(n):
+            acc ^= i * 2654435761 & 0xFFFFFFFF
+        return acc
+
+    def one(procs: int) -> float:
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            if procs == 1:
+                spin(iters)
+            else:
+                with mp.Pool(procs) as pool:
+                    pool.map(_probe_spin, [iters] * procs)
+            best = max(best, procs * iters / (time.time() - t0))
+        return round(best / 1e6, 2)
+
+    return one(1), one(cores)
+
+
+def _probe_spin(n: int) -> int:  # module-level: mp.Pool needs a picklable fn
+    acc = 0
+    for i in range(n):
+        acc ^= i * 2654435761 & 0xFFFFFFFF
+    return acc
+
+
 def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe_1, probe_all = host_probe(cores)
     spark = get_spark("longqc-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
@@ -124,6 +163,34 @@ def main() -> None:
     timings["minhash_lsh_20k"] = best
     dedup_docs_per_sec = n_slice / best
 
+    # -- user-facing curation funnel (VERDICT r3 item 8): lineage-committed
+    # QC run over the 100k corpus, then curated training export (decontam +
+    # split + shard) from the committed labels — the longqc-spark
+    # --curate-out CLI path end-to-end, cold (a lineage commit is a write
+    # job; there is no warm steady state to amortize into) --
+    import shutil
+    import tempfile
+
+    from longqc_spark.curation import curate_from_labels
+    from longqc_spark.lineage import read_labels, run_qc_with_lineage
+
+    eval_df = cc.orderBy("url").limit(200).select(
+        F.row_number().over(Window.orderBy("url")).alias("eval_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_curate_")
+    try:
+        t0 = time.time()
+        run_qc_with_lineage(cc, os.path.join(tmp, "run"), n_buckets=8)
+        curate_from_labels(
+            read_labels(spark, os.path.join(tmp, "run")),
+            eval_df=eval_df,
+            key_col="url",
+            shard_bytes=500_000,
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "curated"))
+        timings["qc_curate_cc100k"] = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # -- operator queries (steady-state: best of 2; first run pays the cold
     # single-row-group scan + JIT) --
     qs = entrymod.queries()
@@ -147,6 +214,10 @@ def main() -> None:
         "docs_per_sec_fullfunnel": round(docs_per_sec_funnel, 1),
         "dedup_docs_per_sec": round(dedup_docs_per_sec, 1),
         "cores": cores,
+        # host-drift calibration (M iters/s): normalize round-over-round
+        # deltas with tools/bench_compare.py --normalize
+        "host_probe_mips_1": probe_1,
+        "host_probe_mips_all": probe_all,
     }
     print(json.dumps(out))
 

@@ -54,6 +54,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="tolerance scrub pass: tokens within 1 edit of a "
                         "lexicon term at identity >= 0.75 are scrubbed too "
                         "(approximate-adapter-match analog)")
+    p.add_argument("--curate-out", default=None, metavar="DIR",
+                   help="after the lineage commit: export a curated training "
+                        "table (keep-rows + decontam + split + shard) from "
+                        "the committed labels store to this parquet dir")
+    p.add_argument("--decontam-eval", default=None, metavar="PARQUET",
+                   help="eval-set parquet (eval_id, text) to decontaminate "
+                        "the curated export against (5-token shingle "
+                        "broadcast semi-join on the scrubbed text)")
+    p.add_argument("--shard-bytes", type=int, default=None, metavar="N",
+                   help="byte-balanced shard ids in the curated export "
+                        "(two-pass prefix sum over xxhash64(key))")
     p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
     p.add_argument("--compact", action="store_true",
                    help="after the run: bin-packing compaction of the labels "
@@ -91,6 +102,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     n_committed = len(manifest["committed"])
     print(f"committed {n_committed}/{args.buckets} buckets → {args.out}/data", file=sys.stderr)
+
+    if args.curate_out:
+        from .curation import curate_from_labels
+
+        eval_df = (
+            spark.read.parquet(args.decontam_eval) if args.decontam_eval else None
+        )
+        curated = curate_from_labels(
+            read_labels(spark, args.out),
+            eval_df=eval_df,
+            key_col=args.key_col,
+            shard_bytes=args.shard_bytes,
+        )
+        curated.write.mode("overwrite").parquet(args.curate_out)
+        n_curated = spark.read.parquet(args.curate_out).count()
+        print(f"curated {n_curated} rows → {args.curate_out}", file=sys.stderr)
 
     if args.compact:
         from .lineage import compact_labels

@@ -27,6 +27,31 @@ from .operators.relational import assign_shards
 from .operators.text import dataset_split_expr
 from .pipeline import qc_pipeline
 
+# One-slot registry for the contaminated-key cache (same pattern as
+# operators.simsearch): the decontamination shingle explode is the most
+# expensive leg of the funnel, and downstream sharding adds two driver
+# actions that would otherwise re-execute it. Caching the HIT-KEY table
+# (small: eval-overlap keys only, never corpus-sized) makes the shingle
+# pass run exactly once per curate call; each call releases the previous
+# call's cache so long-lived sessions stay bounded.
+_CONTAM_CACHE: list = []
+
+
+def release_contam_cache() -> None:
+    """Unpersist any contaminated-key table cached by a prior curate call."""
+    while _CONTAM_CACHE:
+        try:
+            _CONTAM_CACHE.pop().unpersist(False)
+        except Exception:
+            pass
+
+
+def _cached_contaminated(df):
+    release_contam_cache()
+    c = df.cache()
+    _CONTAM_CACHE.append(c)
+    return c
+
 
 def curate(
     docs: DataFrame,
@@ -72,9 +97,14 @@ def curate(
         # shingle the post-exclusion survivors, not the raw batch: in the
         # re-crawl case stage 1 removes most rows, and hits on excluded
         # keys would be computed only to be discarded by the anti-join
-        contaminated = contamination_check(
-            src, eval_df, key_col=key_col, text_col=text_col, eval_key=eval_key
-        ).select(key_col)
+        # cached: sharding adds two driver actions downstream; without the
+        # cache each would re-run the corpus shingle explode (profiled 3x
+        # the decontam cost at 100k docs)
+        contaminated = _cached_contaminated(
+            contamination_check(
+                src, eval_df, key_col=key_col, text_col=text_col, eval_key=eval_key
+            ).select(key_col)
+        )
         labels = labels.join(F.broadcast(contaminated), key_col, "left_anti")
     labels = labels.withColumn(
         "split", dataset_split_expr(key_col, fractions=split_fractions)
@@ -90,3 +120,57 @@ def curate(
             range_width=shard_range_width,
         )
     return labels
+
+
+def curate_from_labels(
+    labels: DataFrame,
+    eval_df: DataFrame | None = None,
+    eval_key: str = "eval_id",
+    key_col: str = "url",
+    text_col: str = "scrubbed_text",
+    shard_bytes: int | None = None,
+    split_fractions: tuple[int, int] = (80, 10),
+) -> DataFrame:
+    """Committed labels store → curated training export (stages 3-5 of the
+    funnel, for the lineage workflow where stages 1-2 — exclusion + QC —
+    already ran under ``run_qc_with_lineage`` and sit in a resumable,
+    audited label store).
+
+    Decontamination shingles the SCRUBBED text by default — the bytes a
+    training run would actually consume — so eval contamination surviving
+    the scrub is still caught. A non-numeric ``key_col`` gets a
+    deterministic ``shard_key = xxhash64(key)`` derived for sharding (the
+    auto-scaled range table keeps the driver collect bounded; see
+    ``assign_shards``); split stays on the original key, so split
+    assignment is stable under re-sharding.
+
+    Reference analog: the post-filter emit phase (``longQC.py:499-517``)
+    where surviving reads are written for downstream use — here with the
+    split/shard structure a 10^12-doc training pipeline needs.
+    """
+    from pyspark.sql import types as T
+
+    out = labels.filter(F.col("keep"))
+    if eval_df is not None:
+        # contamination_check shingles one text_col name on both sides;
+        # the eval set's text column (conventionally "text") is aliased to
+        # the labels-side name
+        ev = eval_df
+        if text_col not in ev.columns and "text" in ev.columns:
+            ev = ev.select(F.col(eval_key), F.col("text").alias(text_col))
+        contaminated = _cached_contaminated(
+            contamination_check(
+                out, ev, key_col=key_col, text_col=text_col, eval_key=eval_key
+            ).select(key_col)
+        )
+        out = out.join(F.broadcast(contaminated), key_col, "left_anti")
+    out = out.withColumn("split", dataset_split_expr(key_col, fractions=split_fractions))
+    if shard_bytes is not None:
+        skey = key_col
+        if not isinstance(out.schema[key_col].dataType, T.NumericType):
+            out = out.withColumn("shard_key", F.xxhash64(key_col))
+            skey = "shard_key"
+        out = assign_shards(
+            out, shard_bytes=shard_bytes, bytes_col="n_chars", key_col=skey
+        )
+    return out

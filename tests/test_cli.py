@@ -63,3 +63,43 @@ def test_cli_incremental_exclude_and_waves(spark, corpus_path, tmp_path):
     assert labels2.count() == 0
     m2 = json.load(open(os.path.join(run2, "manifest.json")))
     assert sum(v["n_in"] for v in m2["committed"].values()) == 0
+
+
+def test_cli_curate_export(spark, corpus_path, tmp_path):
+    """--curate-out exports the user-facing funnel from the committed labels
+    store: keep rows only, decontaminated against the eval set, split +
+    shard columns present — resumable lineage commit first, curated training
+    table second."""
+    out = str(tmp_path / "run")
+    curated_dir = str(tmp_path / "curated")
+    # eval set = the first corpus doc's text → that doc must be decontaminated
+    docs = spark.read.parquet(corpus_path)
+    first = docs.orderBy("url").limit(1).select(
+        F.lit(0).alias("eval_id"), F.col("text")
+    )
+    eval_path = str(tmp_path / "eval")
+    first.write.parquet(eval_path)
+
+    rc = main(
+        [
+            "--input", corpus_path,
+            "--out", out,
+            "--buckets", "2",
+            "--curate-out", curated_dir,
+            "--decontam-eval", eval_path,
+            "--shard-bytes", "50000",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    curated = spark.read.parquet(curated_dir)
+    assert {"split", "shard", "shard_key"} <= set(curated.columns)
+    assert curated.filter(~F.col("keep")).count() == 0
+    labels = spark.read.parquet(os.path.join(out, "data"))
+    n_keep = labels.filter(F.col("keep")).count()
+    # decontam dropped the planted eval doc (if it survived QC) and nothing else
+    assert n_keep - 1 <= curated.count() <= n_keep
+    # splits cover only train/val/test and all shards are contiguous 0..max
+    assert {r["split"] for r in curated.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }

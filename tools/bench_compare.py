@@ -58,9 +58,24 @@ def main() -> int:
     ap.add_argument("baseline")
     ap.add_argument("current")
     ap.add_argument("--max-ratio", type=float, default=1.5)
+    ap.add_argument("--normalize", action="store_true",
+                    help="divide out host drift using the host_probe_mips_all "
+                         "calibration each bench line carries: normalized "
+                         "current_sec = raw_sec * cur_mips / base_mips, so the "
+                         "verdict grades the code, not the VM epoch")
     args = ap.parse_args()
     base, cur = load(args.baseline), load(args.current)
     bq, cq = base.get("queries", {}), cur.get("queries", {})
+    norm = 1.0
+    if args.normalize:
+        bp, cp = base.get("host_probe_mips_all"), cur.get("host_probe_mips_all")
+        if bp and cp:
+            norm = cp / bp
+            print(f"host probe: {bp} -> {cp} M iters/s; normalizing current "
+                  f"timings by x{norm:.3f}")
+        else:
+            print("host probe missing from one side; comparing raw timings")
+    cq = {k: v * norm for k, v in cq.items()}
     failures = []
     rows = []
     for name in sorted(set(bq) | set(cq)):
@@ -84,7 +99,8 @@ def main() -> int:
     print(
         f"shared-query total ({len(shared)} queries): {tot_b:.2f}s -> "
         f"{tot_c:.2f}s ({tot_ratio:.2f}x)   "
-        f"[raw totals: {base.get('value')}s -> {cur.get('value')}s]"
+        f"[raw totals: {base.get('value')}s -> {cur.get('value')}s"
+        + (f"; host-normalized x{norm:.3f}]" if norm != 1.0 else "]")
     )
     print("\n".join(rows))
     if tot_ratio > args.max_ratio:
