@@ -164,6 +164,101 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cr
     )
 
 
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy URLs from (doc_id, source) — the testdata has no
+    URL column, so both engines build the IDENTICAL string: mixed-case
+    scheme/host, rotating query-string variants (tracking param first,
+    tracking param last, trailing slash, fragment) chosen by doc_id % 4."""
+    d = F.col("doc_id")
+    q = (
+        F.when(d % 4 == 0, F.concat(F.lit("?id="), (d % 5).cast("string"), F.lit("&utm_source=feed")))
+        .when(d % 4 == 1, F.concat(F.lit("?utm_campaign=x&page="), (d % 3).cast("string")))
+        .when(d % 4 == 2, F.lit("/"))
+        .otherwise(F.lit("#Section2"))
+    )
+    head = F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://www."))
+    return docs.withColumn(
+        "url",
+        F.concat(
+            head, F.lit("site"), (d % 17).cast("string"), F.lit(".Example.COM/Page"),
+            (d % 50).cast("string"), q,
+        ),
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:  # web: URL dedup
+    """URL canonicalization + URL-level dedup: strip fragments/tracking
+    params, lowercase scheme+host, then count raw vs canonical identities
+    per source — the crawl-dedup step that collapses the thousands of
+    tracking-URL aliases a page is recrawled under."""
+    from longqc_spark.operators.web import canonical_url_expr
+
+    docs = _synth_urls(_read(spark, sf, "documents"))
+    return (
+        docs.withColumn("curl", canonical_url_expr("url"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_urls"),
+            F.countDistinct("curl").alias("n_canonical_urls"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:  # web: representation cap
+    """Per-domain representation cap (anti-over-representation): at most 20
+    docs per domain by deterministic md5 priority; per-domain kept counts +
+    kept bytes. One shuffle keyed by domain; the literal cap bound drops
+    over-quota rows in the same stage."""
+    from longqc_spark.operators.web import domain_cap
+
+    docs = _synth_urls(_read(spark, sf, "documents"))
+    return (
+        domain_cap(docs, cap=20, url_col="url", key_col="doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("domain")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: boilerplate lines
+    """Within-document line dedup (first occurrence wins): documents are
+    re-lined every 4 words (deterministic), duplicate lines dropped, and
+    the per-source aggregate carries a hex-hash checksum of every deduped
+    text so the ORDER of surviving lines is oracle-verified, not just the
+    counts."""
+    from longqc_spark.operators.web import dedup_lines_expr
+
+    docs = _read(spark, sf, "documents").withColumn(
+        "lined", F.regexp_replace("text", r"((?:\S+ ){3}\S+) ", "$1\n")
+    )
+    deduped = docs.withColumn("dtext", dedup_lines_expr("lined"))
+    return (
+        deduped.select(
+            "source",
+            F.size(F.split("lined", r"\n")).alias("n_lines"),
+            F.size(F.split("dtext", r"\n")).alias("n_unique"),
+            F.conv(F.substring(F.md5(F.col("dtext").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.sum("n_unique").cast("bigint").alias("total_unique_lines"),
+            F.count_if(F.col("n_unique") < F.col("n_lines")).alias("n_docs_changed"),
+            F.sum("h").cast("bigint").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:  # SA1+ weighted
     """Weight-proportional priority sample (Duffield-Lund-Thorup): md5-based
     uniform / weight, k smallest win — deterministic, parallel-stable,
@@ -1801,6 +1896,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # the 6 never-driver-checked round-3 queries (local-oracle-green)
     "weighted_sample", "oov_rate", "shard_assign", "normalized_dedup",
     "split_assign", "source_mix",
+    # new round-4 web-hygiene queries — need driver rows too
+    "url_canonical", "domain_cap", "line_dedup",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -1811,9 +1908,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tumbling_counts", "interval_occupancy", "active_regions", "merge_upsert",
     "salted_agg", "set_ops", "cube_counts", "approx_quantiles",
     "mean_stddev", "collect_set", "moving_avg", "sessionize", "asof_join",
-    "range_join", "attribution_join", "tpch_q1", "tpch_q3",
-    # r3-green spot check from the rotated block
-    "trace_reconstruct",
+    "range_join", "attribution_join",
 )
 
 
@@ -1850,6 +1945,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "split_assign": q_split_assign,
         "source_mix": q_source_mix,
+        "url_canonical": q_url_canonical,
+        "domain_cap": q_domain_cap,
+        "line_dedup": q_line_dedup,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2086,6 +2184,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(CAST(cb AS DOUBLE) / 20000.0) AS BIGINT) AS shard,
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_bytes
             FROM c GROUP BY shard ORDER BY shard
+        """,
+        "url_canonical": """
+            WITH u AS (
+                SELECT doc_id, source,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+                       || 'site' || CAST(doc_id % 17 AS VARCHAR) || '.Example.COM/Page'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || (CASE doc_id % 4
+                           WHEN 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed'
+                           WHEN 1 THEN '?utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+                           WHEN 2 THEN '/'
+                           ELSE '#Section2' END) AS url
+                FROM documents
+            ), c1 AS (
+                SELECT doc_id, source, url,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           url, '#.*$', '', 'g'), '\\?', '?&', 'g'),
+                           '&(utm_[^=&]*|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '', 'g'),
+                           '\\?&', '?', 'g'), '[?&]$', '', 'g') AS s
+                FROM u
+            ), c2 AS (
+                SELECT doc_id, source, url,
+                       regexp_replace(
+                           CASE WHEN regexp_extract(s, '^[^/]*//[^/?#]*', 0) = '' THEN s
+                                ELSE lower(regexp_extract(s, '^[^/]*//[^/?#]*', 0))
+                                     || regexp_replace(s, '^[^/]*//[^/?#]*', '')
+                           END, '/$', '', 'g') AS curl
+                FROM c1
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT url) AS n_raw_urls,
+                   count(DISTINCT curl) AS n_canonical_urls
+            FROM c2 GROUP BY source ORDER BY source
+        """,
+        "domain_cap": """
+            WITH u AS (
+                SELECT doc_id, source, n_chars,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+                       || 'site' || CAST(doc_id % 17 AS VARCHAR) || '.Example.COM/Page'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || (CASE doc_id % 4
+                           WHEN 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed'
+                           WHEN 1 THEN '?utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+                           WHEN 2 THEN '/'
+                           ELSE '#Section2' END) AS url
+                FROM documents
+            ), d AS (
+                SELECT *, regexp_extract(lower(url), '^[a-z]+://(www\\.)?([^/?#:]+)', 2) AS domain
+                FROM u
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY domain
+                    ORDER BY md5('domcap#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM d
+            )
+            SELECT domain, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+                   min(doc_id) AS min_doc
+            FROM r WHERE rk <= 20 GROUP BY domain ORDER BY domain
+        """,
+        "line_dedup": """
+            WITH l AS (
+                SELECT doc_id, source,
+                       regexp_replace(text, '((?:\\S+ ){3}\\S+) ', '\\1' || chr(10), 'g') AS lined
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, source, unnest(a) AS line, generate_subscripts(a, 1) AS ord
+                FROM (SELECT doc_id, source, string_split(lined, chr(10)) AS a FROM l)
+            ), firsts AS (
+                SELECT doc_id, source, line, min(ord) AS o
+                FROM ex GROUP BY doc_id, source, line
+            ), re AS (
+                SELECT doc_id, source, count(*) AS n_unique,
+                       string_agg(line, chr(10) ORDER BY o) AS dtext
+                FROM firsts GROUP BY doc_id, source
+            ), base AS (
+                SELECT r.source, c.n_lines, r.n_unique,
+                       CAST(('0x' || substr(md5(r.dtext), 1, 8)) AS BIGINT) AS h
+                FROM re r JOIN (
+                    SELECT doc_id, len(string_split(lined, chr(10))) AS n_lines FROM l
+                ) c USING (doc_id)
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_lines) AS BIGINT) AS total_lines,
+                   CAST(sum(n_unique) AS BIGINT) AS total_unique_lines,
+                   count(*) FILTER (WHERE n_unique < n_lines) AS n_docs_changed,
+                   CAST(sum(h) AS BIGINT) AS text_checksum
+            FROM base GROUP BY source ORDER BY source
         """,
         "source_mix": """
             WITH ranked AS (

@@ -1,0 +1,118 @@
+"""Web-corpus hygiene operators: URL canonicalization, URL-level dedup,
+per-domain representation caps, and within-document line dedup — the
+Common-Crawl curation steps that act on the URL/page structure rather than
+the text statistics (the structural complement of the QC rule cascade,
+reference analog: the per-read name/coordinate handling around
+``lq_utils.py:141-196`` lifted to the web-page identity space).
+
+All JVM-side column expressions (regexp/array higher-order functions, no
+Python): canonicalization and line dedup are pure maps fused into the scan
+stage; ``domain_cap`` is the only operator here with a shuffle (by domain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Query parameters commonly injected for click tracking; stripping them is
+# the single highest-yield URL canonicalization for crawl dedup (the same
+# page is re-crawled under thousands of distinct tracking URLs).
+_TRACKING_PARAMS = r"utm_[^=&]*|gclid|fbclid|ref|mc_cid|mc_eid"
+
+
+def canonical_url_expr(col: str = "url") -> Column:
+    """Canonical form of a URL, as a chain of JVM regexp rewrites (each
+    step mirrors 1:1 into ANSI/DuckDB ``regexp_replace`` for oracle
+    parity):
+
+    1. strip the ``#fragment`` (never part of page identity);
+    2. rewrite ``?`` → ``?&`` so EVERY query param is ``&``-prefixed —
+       this makes the tracking strip position-independent (a tracking
+       param in first position would otherwise leave a dangling ``&``);
+    3. strip tracking query params (``utm_*``, ``gclid``, ...);
+    4. collapse the ``?&`` seam back to ``?`` and drop a trailing
+       ``?``/``&`` (query emptied entirely);
+    5. lowercase the scheme+host (case-insensitive per RFC 3986) while
+       leaving the path's case alone;
+    6. drop a trailing ``/``.
+
+    Pure map — at 10^12 docs this fuses into the scan stage (no shuffle,
+    stays in whole-stage codegen)."""
+    u = F.regexp_replace(F.col(col), r"#.*$", "")
+    u = F.regexp_replace(u, r"\?", "?&")
+    u = F.regexp_replace(u, r"&(" + _TRACKING_PARAMS + r")=[^&]*", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    head = F.lower(F.regexp_extract(u, r"^[^/]*//[^/?#]*", 0))
+    tail = F.regexp_replace(u, r"^[^/]*//[^/?#]*", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    return F.regexp_replace(u, r"/$", "")
+
+
+def domain_expr(col: str = "url") -> Column:
+    """Registrable-host approximation: the URL's host with any ``www.``
+    prefix dropped (a full public-suffix-list parse needs a lookup table;
+    for corpus capping the host is the operative grain)."""
+    return F.regexp_extract(F.lower(F.col(col)), r"^[a-z]+://(?:www\.)?([^/?#:]+)", 1)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", key_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup AFTER canonicalization: one row per canonical
+    URL, deterministic min-key winner (the same winner rule as every other
+    dedup here, so policies compose). The canonical column is kept as
+    ``canonical_url`` for lineage.
+
+    Scale: hash-groupBy-equivalent window on the canonical string — one
+    shuffle keyed by it; partial row_number state is one counter per key.
+    """
+    out = df.withColumn("canonical_url", canonical_url_expr(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(key_col)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain representation cap: keep at most ``cap`` documents per
+    domain, chosen by a deterministic md5 priority over the key (NOT crawl
+    order — crawl order over-samples a site's front section). The standard
+    anti-over-representation step of web-corpus construction: without it a
+    handful of mega-domains dominate the token budget.
+
+    Scale: one shuffle keyed by domain. A mega-domain is the built-in skew
+    case, but the per-row window state is a single counter and the LITERAL
+    cap bound means every row with rank > cap is dropped in the same stage
+    — output per partition is bounded by cap × domains-in-partition, so
+    the skew cost is scan-side only (AQE can split the oversized input
+    partition; nothing quadratic exists to guard).
+    → original columns + ``domain``."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    out = df.withColumn("domain", domain_expr(url_col))
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.concat(F.lit("domcap#"), F.col(key_col).cast("string")).cast("binary")),
+        F.col(key_col),
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def dedup_lines_expr(text_col: str = "text") -> Column:
+    """Within-document line dedup, first occurrence wins — the cheap,
+    shuffle-free sibling of global line dedup (C4 does the global variant;
+    within-doc removes the nav/footer boilerplate repeated inside a page).
+    ``array_distinct`` preserves first-occurrence order in Spark; the
+    DuckDB oracle reproduces it with a min-ordinality window."""
+    return F.array_join(F.array_distinct(F.split(F.col(text_col), r"\n")), "\n")

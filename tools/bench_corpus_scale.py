@@ -122,6 +122,54 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # -- incremental cross-run dedup at corpus scale (VERDICT r3 item 4):
+    # a 'committed run' = 1/3 of the corpus's digests (the projected,
+    # distinct payload_md5 column a real run leaves in its label store), a
+    # 're-crawl batch' = 1/2 of the corpus overlapping it; both sides are
+    # corpus-scale, so the anti-join shuffles on the digest (no broadcast
+    # assumption). Reference analog: the spike-in filter job
+    # (``longQC.py:553-592``). --
+    from longqc_spark.operators.dedup import contamination_check, incremental_dedup
+
+    h = F.pmod(F.xxhash64("url"), F.lit(6))
+    committed = docs.filter(h.isin(0, 2, 4)).select(
+        F.md5(F.col("text").cast("binary")).alias("payload_md5")
+    )
+    batch = docs.filter(h.isin(0, 1, 3))
+    n_batch = batch.count()
+    best = float("inf")
+    for i in range(2):  # pass 0 = warm-up
+        t0 = time.time()
+        n_admitted = incremental_dedup(batch, committed, key_col="url", text_col="text").count()
+        best = min(best, time.time() - t0)
+    out["incremental_dedup"] = {
+        "sec": round(best, 1),
+        "docs_per_sec": round(n_batch / best),
+        "n_batch": n_batch,
+        "n_admitted": n_admitted,
+    }
+
+    # -- decontamination at corpus scale: 2k-doc eval set vs the full
+    # corpus; the eval shingle set broadcasts, the corpus never shuffles --
+    eval_df = (
+        docs.filter(F.pmod(F.xxhash64("url"), F.lit(max(args.docs // 2000, 1))) == 0)
+        .select(F.col("url").alias("eval_id"), "text")
+        .cache()
+    )
+    n_eval = eval_df.count()
+    best = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        n_hits = contamination_check(docs, eval_df, key_col="url", text_col="text").count()
+        best = min(best, time.time() - t0)
+    eval_df.unpersist()
+    out["decontaminate"] = {
+        "sec": round(best, 1),
+        "docs_per_sec": round(args.docs / best),
+        "n_eval": n_eval,
+        "n_hits": n_hits,
+    }
+
     if args.skew_docs:
         # skew-adversarial: 30% one-template flood vs uniform, same size,
         # guarded LSH (max_bucket bounds the flood bucket's fan-out)
@@ -130,16 +178,30 @@ def main() -> None:
             df = boilerplate_docs(spark, n, flood_frac=frac).cache()
             df.count()
             best_t, pairs = float("inf"), 0
+            plan = ""
             for i in range(2):  # pass 0 = warm-up
                 t0 = time.time()
-                pairs = minhash_jaccard_estimate(
+                # aggregate-then-collect so the adaptive FINAL plan is
+                # capturable from this same DataFrame's queryExecution
+                # (count()/write build fresh QEs with isFinalPlan=false)
+                cnt_df = minhash_jaccard_estimate(
                     df, key_col="url", threshold=0.8, max_bucket=200
-                ).count()
+                ).groupBy().count()
+                pairs = cnt_df.collect()[0][0]
                 best_t = min(best_t, time.time() - t0)
+                plan = cnt_df._jdf.queryExecution().executedPlan().toString()
             out[f"lsh_{tag}_{n // 1_000_000}m"] = {
                 "sec": round(best_t, 1),
                 "docs_per_sec": round(n / best_t),
                 "n_pairs": pairs,
+                # VERDICT r3 item 5: does AQE's skew-join split fire on the
+                # banded self-join at this scale, or does the max_bucket
+                # guard alone carry the skew? ("skew=true" markers in the
+                # adaptive final plan; expected FALSE — AQE cannot split a
+                # skewed SELF-join since both sides share the skewed
+                # partition, which is exactly why the guard exists;
+                # pinned in tests/test_skew.py)
+                "skew_join_split_fired": "skew=true" in plan,
             }
             df.unpersist()
         u = out[f"lsh_uniform_{n // 1_000_000}m"]["sec"]
