@@ -323,3 +323,22 @@ def test_embed_neardup_cache_bounded(spark):
     assert not first.storageLevel.useMemory  # previous cache unpersisted
     release_bucket_cache()
     assert simsearch._BUCKET_CACHE == []
+
+
+def test_contamination_hashed_matches_string_path(spark, sf001):
+    """The 64-bit hashed shingle path (production default) must produce
+    IDENTICAL per-doc contamination counts to the human-readable string
+    path — a silent divergence would mean hash construction broke, not a
+    collision (p < 1e-14 per doc)."""
+    from longqc_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    a = contamination_check(docs, eval_df, hashed=True).toPandas()
+    b = contamination_check(docs, eval_df, hashed=False).toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    assert len(a) > 0
