@@ -394,3 +394,47 @@ def test_mix_sources_single_shuffle(spark, sf001):
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan
     assert "WindowGroupLimit" in plan  # quota top-k pruned before the shuffle
+
+
+def test_url_canonicalization_fuses_into_scan(spark, sf001):
+    """Canonicalization + line dedup are pure regexp/array expressions: the
+    plan from scan to projection must contain NO Exchange (fused map,
+    whole-stage codegen)."""
+    from longqc_spark.operators.web import canonical_url_expr, dedup_lines_expr
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("https://site"), F.col("doc_id"), F.lit(".com/p"))
+    )
+    plan = _plan(
+        docs.select(
+            canonical_url_expr("url").alias("c"), dedup_lines_expr("text").alias("t")
+        )
+    )
+    assert "Exchange" not in plan
+    # formatted mode marks whole-stage-codegen operators with a leading `*`
+    assert "* Project" in _formatted(
+        docs.select(canonical_url_expr("url").alias("c"))
+    )
+
+
+def test_domain_cap_single_shuffle(spark, sf001):
+    """domain_cap is one shuffle keyed by domain: exactly one Exchange, a
+    PARTITIONED window (no global single-task window), and the literal cap
+    bound applied in the same stage as the row_number."""
+    from longqc_spark.operators.web import domain_cap
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").withColumn(
+        "url",
+        F.concat(F.lit("https://site"), F.pmod("doc_id", F.lit(7)), F.lit(".com/p")),
+    )
+    plan = _plan(domain_cap(docs, cap=5, url_col="url", key_col="doc_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the window is PARTITIONED by domain (a global window would have an
+    # empty partition spec — the single-task scale-killer)
+    import re as _re
+
+    win = _re.search(r"Window \[.*windowspecdefinition\(domain#\d+", plan)
+    assert win, plan[:2000]
+    # the cap filter sits above the window in the SAME stage (no exchange
+    # between them): everything after the one Exchange is cap-bounded
+    assert "Filter" in plan
