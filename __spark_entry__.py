@@ -259,6 +259,98 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: boilerplate
     )
 
 
+def _synth_crawl(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-snapshot crawl table from doc_id — a COARSE
+    canonical-url space (7 sites x 13 pages, 4 rotating query/fragment
+    variants) so the same page is captured many times, plus a synthetic
+    ``warc_ts`` (base day + doc_id%11 days + doc_id%37 minutes). Both
+    engines build the identical values."""
+    d = F.col("doc_id")
+    q = (
+        F.when(d % 4 == 0, F.concat(F.lit("?id="), (d % 5).cast("string"), F.lit("&utm_source=feed")))
+        .when(d % 4 == 1, F.concat(F.lit("?utm_campaign=x&page="), (d % 3).cast("string")))
+        .when(d % 4 == 2, F.lit("/"))
+        .otherwise(F.lit("#Section2"))
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www.site"), (d % 7).cast("string"),
+            F.lit(".example.com/page"), (d % 13).cast("string"), q,
+        ),
+    ).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2025-01-01 00:00:00' + make_interval(0, 0, 0, "
+            "CAST(doc_id % 11 AS INT), 0, CAST(doc_id % 37 AS INT), 0)"
+        ),
+    )
+
+
+def q_latest_crawl(spark: SparkSession, sf: str) -> DataFrame:  # web: snapshot collapse
+    """Multi-snapshot collapse: one row per canonical URL, newest fetch
+    wins (ties by min doc_id); per-source rollup of the surviving pages
+    with a sum-of-doc_id checksum so WHICH fetch won is oracle-verified,
+    not just how many."""
+    from longqc_spark.operators.web import latest_crawl
+
+    docs = _synth_crawl(_read(spark, sf, "documents"))
+    return (
+        latest_crawl(docs, url_col="url", ts_col="warc_ts", key_col="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            F.max(F.date_format("warc_ts", "yyyy-MM-dd")).alias("latest_day"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_snapshot_novelty(spark: SparkSession, sf: str) -> DataFrame:  # web: crawl health
+    """Per-crawl-day novelty series: share of each day's fetches that were
+    the first-ever capture of their canonical URL."""
+    from longqc_spark.operators.web import snapshot_novelty
+
+    docs = _synth_crawl(_read(spark, sf, "documents"))
+    return snapshot_novelty(docs, url_col="url", ts_col="warc_ts", key_col="doc_id")
+
+
+def q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: C4 global line dedup
+    """GLOBAL boilerplate-line removal (C4's corpus-level line rule):
+    documents re-lined every 4 words, every line occurring in >= 3
+    distinct documents dropped from ALL of them; per-source totals plus a
+    text checksum so surviving-line ORDER is oracle-verified."""
+    from longqc_spark.operators.web import corpus_line_dedup
+
+    docs = _read(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){3}\S+) ", "$1\n")
+    )
+    before = docs.withColumn("n_lines", F.size(F.split("text", r"\n")))
+    deduped = corpus_line_dedup(before, text_col="text", key_col="doc_id", min_docs=3)
+    return (
+        deduped.select(
+            "source",
+            "n_lines",
+            F.when(F.col("text") == "", 0)
+            .otherwise(F.size(F.split("text", r"\n")))
+            .alias("n_kept"),
+            F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.sum("n_kept").cast("bigint").alias("total_kept_lines"),
+            F.count_if(F.col("n_kept") < F.col("n_lines")).alias("n_docs_changed"),
+            F.sum("h").cast("bigint").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:  # SA1+ weighted
     """Weight-proportional priority sample (Duffield-Lund-Thorup): md5-based
     uniform / weight, k smallest win — deterministic, parallel-stable,
@@ -1896,8 +1988,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # the 6 never-driver-checked round-3 queries (local-oracle-green)
     "weighted_sample", "oov_rate", "shard_assign", "normalized_dedup",
     "split_assign", "source_mix",
-    # new round-4 web-hygiene queries — need driver rows too
+    # new round-4 web-hygiene + crawl-snapshot queries — need driver rows too
     "url_canonical", "domain_cap", "line_dedup",
+    "latest_crawl", "snapshot_novelty", "corpus_line_dedup",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -1907,8 +2000,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "fingerprint", "running_sum", "pivot_counts", "token_quality",
     "tumbling_counts", "interval_occupancy", "active_regions", "merge_upsert",
     "salted_agg", "set_ops", "cube_counts", "approx_quantiles",
-    "mean_stddev", "collect_set", "moving_avg", "sessionize", "asof_join",
-    "range_join", "attribution_join",
+    "mean_stddev", "collect_set", "moving_avg", "sessionize",
+    # (asof_join/range_join/attribution_join rotated out to make room for
+    # the three crawl-snapshot queries — all three were driver-green in r2)
 )
 
 
@@ -1948,6 +2042,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
+        "latest_crawl": q_latest_crawl,
+        "snapshot_novelty": q_snapshot_novelty,
+        "corpus_line_dedup": q_corpus_line_dedup,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2270,6 +2367,119 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_unique) AS BIGINT) AS total_unique_lines,
                    count(*) FILTER (WHERE n_unique < n_lines) AS n_docs_changed,
                    CAST(sum(h) AS BIGINT) AS text_checksum
+            FROM base GROUP BY source ORDER BY source
+        """,
+        "latest_crawl": """
+            WITH u AS (
+                SELECT doc_id, source,
+                       'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/page' || CAST(doc_id % 13 AS VARCHAR)
+                       || (CASE doc_id % 4
+                           WHEN 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed'
+                           WHEN 1 THEN '?utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+                           WHEN 2 THEN '/'
+                           ELSE '#Section2' END) AS url,
+                       TIMESTAMP '2025-01-01 00:00:00'
+                       + (doc_id % 11) * INTERVAL 1 DAY
+                       + (doc_id % 37) * INTERVAL 1 MINUTE AS warc_ts
+                FROM documents
+            ), c1 AS (
+                SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           url, '#.*$', '', 'g'), '\\?', '?&', 'g'),
+                           '&(utm_[^=&]*|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '', 'g'),
+                           '\\?&', '?', 'g'), '[?&]$', '', 'g') AS s
+                FROM u
+            ), c2 AS (
+                SELECT doc_id, source, warc_ts,
+                       regexp_replace(
+                           CASE WHEN regexp_extract(s, '^[^/]*//[^/?#]*', 0) = '' THEN s
+                                ELSE lower(regexp_extract(s, '^[^/]*//[^/?#]*', 0))
+                                     || regexp_replace(s, '^[^/]*//[^/?#]*', '')
+                           END, '/$', '', 'g') AS curl
+                FROM c1
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY curl
+                    ORDER BY warc_ts DESC, doc_id ASC) AS rk
+                FROM c2
+            )
+            SELECT source, count(*) AS n_pages,
+                   CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+                   max(strftime(warc_ts, '%Y-%m-%d')) AS latest_day
+            FROM r WHERE rk = 1 GROUP BY source ORDER BY source
+        """,
+        "snapshot_novelty": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/page' || CAST(doc_id % 13 AS VARCHAR)
+                       || (CASE doc_id % 4
+                           WHEN 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed'
+                           WHEN 1 THEN '?utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+                           WHEN 2 THEN '/'
+                           ELSE '#Section2' END) AS url,
+                       TIMESTAMP '2025-01-01 00:00:00'
+                       + (doc_id % 11) * INTERVAL 1 DAY
+                       + (doc_id % 37) * INTERVAL 1 MINUTE AS warc_ts
+                FROM documents
+            ), c1 AS (
+                SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           url, '#.*$', '', 'g'), '\\?', '?&', 'g'),
+                           '&(utm_[^=&]*|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '', 'g'),
+                           '\\?&', '?', 'g'), '[?&]$', '', 'g') AS s
+                FROM u
+            ), c2 AS (
+                SELECT doc_id, warc_ts,
+                       regexp_replace(
+                           CASE WHEN regexp_extract(s, '^[^/]*//[^/?#]*', 0) = '' THEN s
+                                ELSE lower(regexp_extract(s, '^[^/]*//[^/?#]*', 0))
+                                     || regexp_replace(s, '^[^/]*//[^/?#]*', '')
+                           END, '/$', '', 'g') AS curl
+                FROM c1
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY curl
+                    ORDER BY warc_ts ASC, doc_id ASC) AS rk
+                FROM c2
+            )
+            SELECT strftime(warc_ts, '%Y-%m-%d') AS crawl_day,
+                   count(*) AS n_fetches,
+                   count(*) FILTER (WHERE rk = 1) AS n_novel,
+                   round(CAST(count(*) FILTER (WHERE rk = 1) AS DOUBLE) / count(*), 6)
+                       AS novelty_frac
+            FROM r GROUP BY crawl_day ORDER BY crawl_day
+        """,
+        "corpus_line_dedup": """
+            WITH l AS (
+                SELECT doc_id, source,
+                       regexp_replace(text, '((?:\\S+ ){3}\\S+) ', '\\1' || chr(10), 'g') AS lined
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(a) AS line, generate_subscripts(a, 1) AS ord
+                FROM (SELECT doc_id, string_split(lined, chr(10)) AS a FROM l)
+            ), heavy AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS nd FROM ex GROUP BY line
+                ) WHERE nd >= 3
+            ), kept AS (
+                SELECT doc_id, line, ord FROM ex
+                WHERE line NOT IN (SELECT line FROM heavy)
+            ), re AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY ord) AS dtext
+                FROM kept GROUP BY doc_id
+            ), base AS (
+                SELECT l.source,
+                       len(string_split(l.lined, chr(10))) AS n_lines,
+                       CASE WHEN coalesce(re.dtext, '') = '' THEN 0
+                            ELSE re.n_kept END AS n_kept,
+                       coalesce(re.dtext, '') AS dtext
+                FROM l LEFT JOIN re USING (doc_id)
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_lines) AS BIGINT) AS total_lines,
+                   CAST(sum(n_kept) AS BIGINT) AS total_kept_lines,
+                   count(*) FILTER (WHERE n_kept < n_lines) AS n_docs_changed,
+                   CAST(sum(CAST(('0x' || substr(md5(dtext), 1, 8)) AS BIGINT)) AS BIGINT)
+                       AS text_checksum
             FROM base GROUP BY source ORDER BY source
         """,
         "source_mix": """

@@ -116,3 +116,126 @@ def dedup_lines_expr(text_col: str = "text") -> Column:
     ``array_distinct`` preserves first-occurrence order in Spark; the
     DuckDB oracle reproduces it with a min-ordinality window."""
     return F.array_join(F.array_distinct(F.split(F.col(text_col), r"\n")), "\n")
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style GLOBAL boilerplate-line removal: drop every line that
+    occurs in ``min_docs``-or-more *distinct* documents (nav bars, cookie
+    banners, footers — the lines whose corpus frequency, not their
+    within-doc repetition, marks them as boilerplate), preserving the
+    original order of the surviving lines. Documents whose every line is
+    boilerplate survive with empty text (the downstream length rule drops
+    them — policy stays composable). Reference analog: the corpus-level
+    over-represented-sequence cut of ``lq_utils.py:141-196``'s masking
+    stage, lifted from read k-mers to page lines.
+
+    Scale (the heavy path — this is the one web-hygiene op that must see
+    every line twice):
+
+    1. explode lines with position — map-side only;
+    2. per-line distinct-doc counts keyed by ``md5(line)`` (never the
+       line string — shuffle rows are 16-byte keys; md5 so the SAME key
+       is computable in the DuckDB oracle, and 128 bits so collisions
+       cannot silently drop a good line);
+    3. the heavy set (count >= min_docs) is a tiny fraction of distinct
+       lines — the anti-join against it is broadcast-able and AQE picks
+       that up at runtime; no all-pairs path exists;
+    4. reassemble per document (`array_sort(collect_list(struct))`,
+       one shuffle keyed by ``key_col``), then a left join back onto the
+       input so all-boilerplate docs keep their row.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    ).withColumn("_lh", F.md5(F.col("_line").cast("binary")))
+    heavy = (
+        lines.groupBy("_lh")
+        .agg(F.countDistinct(key_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_lh")
+    )
+    kept = lines.join(heavy, "_lh", "left_anti")
+    reassembled = (
+        kept.groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("_dtext")
+        )
+    )
+    return (
+        df.join(reassembled, key_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_dtext"), F.lit("")))
+        .drop("_dtext")
+    )
+
+
+def latest_crawl(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot dedup: one row per CANONICAL url — the newest fetch wins
+    (max ``ts_col``, ties broken by min ``key_col`` so the winner is
+    deterministic). The standard Common-Crawl multi-snapshot collapse:
+    a page re-fetched across monthly crawls contributes its freshest
+    capture only. Keeps ``canonical_url`` for lineage.
+
+    Scale: ONE shuffle keyed by the canonical string; per-key window
+    state is a single running rank counter, so a hot URL costs scan-side
+    skew only (nothing quadratic)."""
+    out = df.withColumn("canonical_url", canonical_url_expr(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def snapshot_novelty(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-crawl-day novelty: for each fetch day, how many fetches were
+    the FIRST-ever capture of their canonical URL (novelty_frac = share
+    of the day's fetches that grew the corpus vs re-crawled known pages)
+    — the crawl-health time series a snapshot scheduler watches, the web
+    analog of the reference's per-time-bin yield series
+    (``lq_nanopore.py:294-314``).
+
+    Scale: one window shuffle keyed by canonical url (rank of each fetch
+    within its url's history), then an ordinary partial-agg rollup by
+    day. → ``(crawl_day:string, n_fetches, n_novel, novelty_frac)``."""
+    out = df.withColumn("canonical_url", canonical_url_expr(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .groupBy(F.date_format(ts_col, "yyyy-MM-dd").alias("crawl_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.count_if(F.col("_rk") == 1).alias("n_novel"),
+            F.round(
+                F.count_if(F.col("_rk") == 1) / F.count(F.lit(1)), 6
+            ).alias("novelty_frac"),
+        )
+        .orderBy("crawl_day")
+    )

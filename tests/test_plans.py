@@ -438,3 +438,35 @@ def test_domain_cap_single_shuffle(spark, sf001):
     # the cap filter sits above the window in the SAME stage (no exchange
     # between them): everything after the one Exchange is cap-bounded
     assert "Filter" in plan
+
+
+def test_latest_crawl_single_window_shuffle(spark, sf001):
+    """Snapshot collapse is ONE shuffle keyed by the canonical URL: the
+    canonicalization is a pure map fused below the window's Exchange."""
+    from longqc_spark.operators.web import latest_crawl
+
+    docs = (
+        spark.read.parquet(f"{sf001}/documents.parquet")
+        .withColumn("url", F.concat(F.lit("https://s"), F.pmod("doc_id", F.lit(9)), F.lit(".com/p")))
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+    )
+    plan = _plan(latest_crawl(docs))
+    assert plan.count("Exchange") == 1
+    assert "canonical_url" in plan
+
+
+def test_corpus_line_dedup_no_cartesian_partial_agg(spark, sf001):
+    """Global line dedup: the distinct-doc count must carry map-side
+    partial aggregation, the heavy-line join must be an equi-join on the
+    16-byte md5 key (never a nested-loop over line strings), and no
+    cartesian path may exist anywhere in the plan."""
+    from longqc_spark.operators.web import corpus_line_dedup
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").select("doc_id", "text")
+    plan = _plan(corpus_line_dedup(docs, min_docs=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # anti-join keyed by the md5 hash, not the raw line
+    assert "_lh" in plan
+    # partial (map-side) aggregation on the count: >= 2 HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2

@@ -95,3 +95,79 @@ def test_dedup_lines_first_occurrence_wins(spark):
     )
     got = [r["t"] for r in df.select(dedup_lines_expr("text").alias("t")).collect()]
     assert got == ["b\na\nc", "x", ""]
+
+
+def _crawl_df(spark):
+    rows = [
+        # same canonical page fetched 3 times (alias variants), newest = id 3
+        (1, "https://a.com/p/", "2025-01-01 00:00:00", "line A\nBOILER\nline B"),
+        (2, "https://a.com/p#frag", "2025-02-01 00:00:00", "BOILER\nline C"),
+        (3, "https://a.com/p?utm_source=x", "2025-03-01 00:00:00", "BOILER\nline D"),
+        # distinct page, single fetch
+        (4, "https://b.com/q", "2025-01-15 00:00:00", "line E\nBOILER"),
+        # all-boilerplate doc
+        (5, "https://c.com/r", "2025-01-20 00:00:00", "BOILER"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "url", "warc_ts", "text"])
+    )
+    return df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def test_latest_crawl_keeps_newest_per_canonical_url(spark):
+    from longqc_spark.operators.web import latest_crawl
+
+    kept = latest_crawl(_crawl_df(spark)).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [3, 4, 5]
+    assert kept[0]["canonical_url"] == "https://a.com/p"
+
+
+def test_snapshot_novelty_first_capture_flags(spark):
+    from longqc_spark.operators.web import snapshot_novelty
+
+    out = {
+        r["crawl_day"]: (r["n_fetches"], r["n_novel"])
+        for r in snapshot_novelty(_crawl_df(spark)).collect()
+    }
+    # Jan 1: first capture of a.com/p → novel; Feb/Mar recaptures → not novel
+    assert out["2025-01-01"] == (1, 1)
+    assert out["2025-02-01"] == (1, 0)
+    assert out["2025-03-01"] == (1, 0)
+    assert out["2025-01-15"] == (1, 1) and out["2025-01-20"] == (1, 1)
+
+
+def test_corpus_line_dedup_drops_global_boilerplate_keeps_order(spark):
+    from longqc_spark.operators.web import corpus_line_dedup
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in corpus_line_dedup(_crawl_df(spark), min_docs=3).collect()
+    }
+    # BOILER occurs in 5 distinct docs → dropped everywhere, order preserved
+    assert out[1] == "line A\nline B"
+    assert out[2] == "line C"
+    # all-boilerplate doc survives as an empty-text row
+    assert out[5] == ""
+    # a line occurring in only 2 docs is NOT dropped at min_docs=3
+    assert "line C" in out[2]
+    assert len(out) == 5
+
+
+def test_corpus_line_dedup_within_doc_repeats_count_once(spark):
+    from longqc_spark.operators.web import corpus_line_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["dup\ndup\ndup\nkeep", "other"],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["text"] for r in corpus_line_dedup(df, min_docs=2).collect()
+    }
+    # 'dup' appears 3x but in ONE distinct doc → distinct-doc count is 1,
+    # below min_docs=2 → kept (all three occurrences)
+    assert out[1] == "dup\ndup\ndup\nkeep"
+    assert out[2] == "other"
