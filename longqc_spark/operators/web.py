@@ -66,13 +66,20 @@ def url_dedup(
 
     Scale: hash-groupBy-equivalent window on the canonical string — one
     shuffle keyed by it; partial row_number state is one counter per key.
+
+    NULL-url rows are NOT duplicates of each other: they pass through
+    unchanged (canonical_url NULL) instead of collapsing into one window
+    group that silently keeps a single winner.
     """
     out = df.withColumn("canonical_url", canonical_url_expr(url_col))
+    keyed = out.filter(F.col(url_col).isNotNull())
+    nulls = out.filter(F.col(url_col).isNull())
     w = Window.partitionBy("canonical_url").orderBy(key_col)
     return (
-        out.withColumn("_rn", F.row_number().over(w))
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .unionByName(nulls)
     )
 
 
@@ -94,18 +101,26 @@ def domain_cap(
     — output per partition is bounded by cap × domains-in-partition, so
     the skew cost is scan-side only (AQE can split the oversized input
     partition; nothing quadratic exists to guard).
-    → original columns + ``domain``."""
+    → original columns + ``domain``.
+
+    Rows with no parseable domain (NULL url or a non-URL string) have no
+    identity to cap on: they pass through uncapped rather than being
+    lumped into one pseudo-domain that silently drops all but ``cap``."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     out = df.withColumn("domain", domain_expr(url_col))
+    has_dom = F.col("domain").isNotNull() & (F.col("domain") != "")
+    keyed = out.filter(has_dom)
+    rest = out.filter(~has_dom)  # has_dom is never NULL: isNotNull() anchors it
     w = Window.partitionBy("domain").orderBy(
         F.md5(F.concat(F.lit("domcap#"), F.col(key_col).cast("string")).cast("binary")),
         F.col(key_col),
     )
     return (
-        out.withColumn("_rk", F.row_number().over(w))
+        keyed.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
+        .unionByName(rest)
     )
 
 
@@ -176,7 +191,14 @@ def corpus_line_dedup(
     )
     return (
         df.join(reassembled, key_col, "left")
-        .withColumn(text_col, F.coalesce(F.col("_dtext"), F.lit("")))
+        # NULL text stays NULL (a missing payload is not an empty page);
+        # a non-null doc whose every line was boilerplate becomes ""
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("_dtext"), F.lit(""))
+            ),
+        )
         .drop("_dtext")
     )
 
@@ -195,15 +217,22 @@ def latest_crawl(
 
     Scale: ONE shuffle keyed by the canonical string; per-key window
     state is a single running rank counter, so a hot URL costs scan-side
-    skew only (nothing quadratic)."""
+    skew only (nothing quadratic).
+
+    NULL-url rows have no page identity: they pass through unchanged
+    (canonical_url NULL) rather than collapsing into one group whose
+    single newest row silently wins."""
     out = df.withColumn("canonical_url", canonical_url_expr(url_col))
+    keyed = out.filter(F.col(url_col).isNotNull())
+    nulls = out.filter(F.col(url_col).isNull())
     w = Window.partitionBy("canonical_url").orderBy(
         F.col(ts_col).desc(), F.col(key_col).asc()
     )
     return (
-        out.withColumn("_rk", F.row_number().over(w))
+        keyed.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
+        .unionByName(nulls)
     )
 
 

@@ -171,3 +171,37 @@ def test_corpus_line_dedup_within_doc_repeats_count_once(spark):
     # below min_docs=2 → kept (all three occurrences)
     assert out[1] == "dup\ndup\ndup\nkeep"
     assert out[2] == "other"
+
+
+def test_null_keys_pass_through_not_collapsed(spark):
+    """NULL url/text rows have no identity: every web op must pass them
+    through rather than lumping them into one window group and silently
+    keeping a single winner (the incremental_dedup NULL-digest lesson)."""
+    from longqc_spark.operators.web import (
+        corpus_line_dedup,
+        domain_cap,
+        latest_crawl,
+        url_dedup,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "url": ["https://a.com/p", None, None, "not a url"],
+                "warc_ts": ["2025-01-01"] * 4,
+                "text": ["x", None, None, "y"],
+            }
+        )
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    # url_dedup / latest_crawl: both NULL-url rows survive
+    assert sorted(r["doc_id"] for r in url_dedup(df).collect()) == [1, 2, 3, 4]
+    assert sorted(r["doc_id"] for r in latest_crawl(df).collect()) == [1, 2, 3, 4]
+    # domain_cap at cap=1: the two NULL-url rows AND the unparseable-url row
+    # pass through uncapped (no domain identity)
+    assert sorted(r["doc_id"] for r in domain_cap(df, cap=1).collect()) == [1, 2, 3, 4]
+    # corpus_line_dedup: NULL text stays NULL (not coerced to "")
+    out = {r["doc_id"]: r["text"] for r in corpus_line_dedup(df, min_docs=2).collect()}
+    assert out[2] is None and out[3] is None
+    assert out[1] == "x" and out[4] == "y"

@@ -76,7 +76,21 @@ def main() -> None:
         "--out",
         default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_CORPUS.json"),
     )
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="run only the named sections (qc_pipeline minhash_lsh lineage "
+        "incremental_dedup decontaminate corpus_line_dedup latest_crawl "
+        "skew) and MERGE their keys into an existing --out record instead "
+        "of overwriting it",
+    )
     args = ap.parse_args()
+    only = set(args.only or [])
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
     spark = get_spark("corpus-scale", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
@@ -98,29 +112,32 @@ def main() -> None:
         out["generate_sec"] = round(time.time() - t0, 1)
 
     docs = spark.read.parquet(path)
-    best = float("inf")
-    for i in range(3):  # pass 0 = warm-up
-        t0 = time.time()
-        qc_pipeline(docs, num_partitions=0).agg(
-            F.count(F.lit(1)), F.count_if(F.col("keep"))
-        ).collect()
-        if i:
-            best = min(best, time.time() - t0)
-    out["qc_pipeline"] = {"sec": round(best, 1), "docs_per_sec": round(args.docs / best)}
+    if want("qc_pipeline"):
+        best = float("inf")
+        for i in range(3):  # pass 0 = warm-up
+            t0 = time.time()
+            qc_pipeline(docs, num_partitions=0).agg(
+                F.count(F.lit(1)), F.count_if(F.col("keep"))
+            ).collect()
+            if i:
+                best = min(best, time.time() - t0)
+        out["qc_pipeline"] = {"sec": round(best, 1), "docs_per_sec": round(args.docs / best)}
 
-    t0 = time.time()
-    minhash_jaccard_estimate(docs, key_col="url", threshold=0.5).count()
-    dt = time.time() - t0
-    out["minhash_lsh"] = {"sec": round(dt, 1), "docs_per_sec": round(args.docs / dt)}
-
-    tmp = tempfile.mkdtemp(prefix="qc_scale_")
-    try:
+    if want("minhash_lsh"):
         t0 = time.time()
-        run_qc_with_lineage(docs, tmp, n_buckets=16)
+        minhash_jaccard_estimate(docs, key_col="url", threshold=0.5).count()
         dt = time.time() - t0
-        out["lineage_16buckets"] = {"sec": round(dt, 1), "docs_per_sec": round(args.docs / dt)}
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        out["minhash_lsh"] = {"sec": round(dt, 1), "docs_per_sec": round(args.docs / dt)}
+
+    if want("lineage"):
+        tmp = tempfile.mkdtemp(prefix="qc_scale_")
+        try:
+            t0 = time.time()
+            run_qc_with_lineage(docs, tmp, n_buckets=16)
+            dt = time.time() - t0
+            out["lineage_16buckets"] = {"sec": round(dt, 1), "docs_per_sec": round(args.docs / dt)}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # -- incremental cross-run dedup at corpus scale (VERDICT r3 item 4):
     # a 'committed run' = 1/3 of the corpus's digests (the projected,
@@ -131,46 +148,121 @@ def main() -> None:
     # (``longQC.py:553-592``). --
     from longqc_spark.operators.dedup import contamination_check, incremental_dedup
 
-    h = F.pmod(F.xxhash64("url"), F.lit(6))
-    committed = docs.filter(h.isin(0, 2, 4)).select(
-        F.md5(F.col("text").cast("binary")).alias("payload_md5")
-    )
-    batch = docs.filter(h.isin(0, 1, 3))
-    n_batch = batch.count()
-    best = float("inf")
-    for i in range(2):  # pass 0 = warm-up
-        t0 = time.time()
-        n_admitted = incremental_dedup(batch, committed, key_col="url", text_col="text").count()
-        best = min(best, time.time() - t0)
-    out["incremental_dedup"] = {
-        "sec": round(best, 1),
-        "docs_per_sec": round(n_batch / best),
-        "n_batch": n_batch,
-        "n_admitted": n_admitted,
-    }
+    if want("incremental_dedup"):
+        h = F.pmod(F.xxhash64("url"), F.lit(6))
+        committed = docs.filter(h.isin(0, 2, 4)).select(
+            F.md5(F.col("text").cast("binary")).alias("payload_md5")
+        )
+        batch = docs.filter(h.isin(0, 1, 3))
+        n_batch = batch.count()
+        best = float("inf")
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_admitted = incremental_dedup(batch, committed, key_col="url", text_col="text").count()
+            best = min(best, time.time() - t0)
+        out["incremental_dedup"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(n_batch / best),
+            "n_batch": n_batch,
+            "n_admitted": n_admitted,
+        }
 
     # -- decontamination at corpus scale: 2k-doc eval set vs the full
     # corpus; the eval shingle set broadcasts, the corpus never shuffles --
-    eval_df = (
-        docs.filter(F.pmod(F.xxhash64("url"), F.lit(max(args.docs // 2000, 1))) == 0)
-        .select(F.col("url").alias("eval_id"), "text")
-        .cache()
-    )
-    n_eval = eval_df.count()
-    best = float("inf")
-    for i in range(2):
-        t0 = time.time()
-        n_hits = contamination_check(docs, eval_df, key_col="url", text_col="text").count()
-        best = min(best, time.time() - t0)
-    eval_df.unpersist()
-    out["decontaminate"] = {
-        "sec": round(best, 1),
-        "docs_per_sec": round(args.docs / best),
-        "n_eval": n_eval,
-        "n_hits": n_hits,
-    }
+    if want("decontaminate"):
+        eval_df = (
+            docs.filter(F.pmod(F.xxhash64("url"), F.lit(max(args.docs // 2000, 1))) == 0)
+            .select(F.col("url").alias("eval_id"), "text")
+            .cache()
+        )
+        n_eval = eval_df.count()
+        best = float("inf")
+        for i in range(2):
+            t0 = time.time()
+            n_hits = contamination_check(docs, eval_df, key_col="url", text_col="text").count()
+            best = min(best, time.time() - t0)
+        eval_df.unpersist()
+        out["decontaminate"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_eval": n_eval,
+            "n_hits": n_hits,
+        }
 
-    if args.skew_docs:
+    # -- C4-style GLOBAL line dedup at corpus scale: the one web-hygiene op
+    # that must see every line twice (count pass keyed by 16-byte md5 +
+    # reassembly pass keyed by doc). Docs are re-lined every 8 words; the
+    # corpus-frequency cut is min_docs=50. The ccsynth corpus embeds
+    # repeated boilerplate sentences, so the heavy set is non-empty and the
+    # anti-join actually drops lines. --
+    if want("corpus_line_dedup"):
+        from longqc_spark.operators.web import corpus_line_dedup
+
+        lined = docs.withColumn(
+            "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+        )
+        best = float("inf")
+        dropped = 0
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            row = (
+                corpus_line_dedup(lined, text_col="text", key_col="url", min_docs=50)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("text")).alias("kept_chars"),
+                )
+                .collect()[0]
+            )
+            best = min(best, time.time() - t0)
+        before = lined.agg(F.sum(F.length("text"))).collect()[0][0]
+        dropped = before - row["kept_chars"]
+        out["corpus_line_dedup"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "chars_dropped": int(dropped),
+        }
+
+    # -- snapshot collapse at corpus scale: one window shuffle keyed by the
+    # canonical URL. Synthetic multi-snapshot recrawl: page identity is
+    # folded to ~n/3 canonical pages (each fetched ~3x on different
+    # synthetic days), and a third of fetches carry a tracking-param alias
+    # so canonicalization does real merging work. Cheap by design —
+    # included so the full crawl-maintenance path has a tracked number. --
+    if want("latest_crawl"):
+        from longqc_spark.operators.web import latest_crawl
+
+        page = F.pmod(F.xxhash64("url"), F.lit(max(args.docs // 3, 1)))
+        crawl = docs.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://www.s"),
+                F.pmod(page, F.lit(100_000)).cast("string"),
+                F.lit(".example.com/p"),
+                page.cast("string"),
+                F.when(
+                    F.pmod(F.xxhash64("url"), F.lit(3)) == 0,
+                    F.lit("?utm_source=feed"),
+                ).otherwise(F.lit("")),
+            ),
+        ).withColumn(
+            "warc_ts",
+            F.expr(
+                "timestamp'2025-01-01' + make_interval(0, 0, 0, "
+                "CAST(pmod(xxhash64(url, 7), 28) AS INT), 0, 0, 0)"
+            ),
+        )
+        best = float("inf")
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_kept = latest_crawl(crawl, key_col="url").count()
+            best = min(best, time.time() - t0)
+        out["latest_crawl"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_kept": n_kept,
+        }
+
+    if want("skew") and args.skew_docs:
         # skew-adversarial: 30% one-template flood vs uniform, same size,
         # guarded LSH (max_bucket bounds the flood bucket's fan-out)
         n = args.skew_docs
@@ -208,6 +300,14 @@ def main() -> None:
         s = out[f"lsh_skew30_{n // 1_000_000}m"]["sec"]
         out["skew_over_uniform_ratio"] = round(s / u, 2)
 
+    if only and os.path.exists(args.out):
+        # partial run: merge the fresh sections into the standing record
+        # (same n_docs/cores only — a size change invalidates old keys)
+        with open(args.out) as f:
+            prev = json.loads(f.read())
+        if prev.get("n_docs") == out["n_docs"] and prev.get("cores") == out["cores"]:
+            prev.update(out)
+            out = prev
     with open(args.out, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
