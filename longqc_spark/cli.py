@@ -50,6 +50,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="stage-and-commit in waves of K buckets (intra-run "
                         "checkpoints: a crash loses at most one wave; default "
                         "one wave = one input scan)")
+    p.add_argument("--collapse-snapshots", action="store_true",
+                   help="web-hygiene stage 0: keep only the newest fetch "
+                        "(by --ts-col) per canonical URL before QC")
+    p.add_argument("--ts-col", default="warc_ts",
+                   help="fetch-timestamp column for --collapse-snapshots")
+    p.add_argument("--dedup-urls", action="store_true",
+                   help="web-hygiene stage 0: one row per canonical URL "
+                        "(min-key winner; for single-snapshot inputs)")
+    p.add_argument("--domain-cap", type=int, default=None, metavar="N",
+                   help="web-hygiene stage 0: cap each registered domain at "
+                        "its N best-keyed docs")
+    p.add_argument("--line-dedup-min-docs", type=int, default=None, metavar="K",
+                   help="web-hygiene stage 0: C4-style global line dedup — "
+                        "drop lines occurring in >= K distinct docs "
+                        "corpus-wide (needs --text-col, not --html-col)")
     p.add_argument("--fuzzy-scrub", action="store_true",
                    help="tolerance scrub pass: tokens within 1 edit of a "
                         "lexicon term at identity >= 0.75 are scrubbed too "
@@ -88,6 +103,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.fuzzy_scrub:
         cfg = cfg.with_overrides(scrub_fuzzy=True)
     docs = spark.read.parquet(args.input)
+    if (args.collapse_snapshots or args.dedup_urls
+            or args.domain_cap is not None
+            or args.line_dedup_min_docs is not None):
+        from .curation import web_hygiene
+
+        docs = web_hygiene(
+            docs,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            html_col=args.html_col,
+            collapse_snapshots=args.collapse_snapshots,
+            ts_col=args.ts_col,
+            dedup_urls=args.dedup_urls,
+            domain_cap_n=args.domain_cap,
+            line_dedup_min_docs=args.line_dedup_min_docs,
+        )
     manifest = run_qc_with_lineage(
         docs,
         args.out,

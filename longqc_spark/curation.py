@@ -53,6 +53,50 @@ def _cached_contaminated(df):
     return c
 
 
+def web_hygiene(
+    docs: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+    collapse_snapshots: bool = False,
+    ts_col: str = "warc_ts",
+    dedup_urls: bool = False,
+    domain_cap_n: int | None = None,
+    line_dedup_min_docs: int | None = None,
+) -> DataFrame:
+    """Stage 0 of the funnel — crawl-level hygiene before any QC work, in
+    order: snapshot collapse (``collapse_snapshots`` — newest ``ts_col``
+    fetch per canonical URL wins) or URL dedup (``dedup_urls`` — min-key
+    winner, for single-snapshot inputs), then per-domain representation cap
+    (``domain_cap_n``), then C4-style GLOBAL line dedup
+    (``line_dedup_min_docs`` — drop lines occurring in that many distinct
+    docs corpus-wide; needs a real ``text_col``, so it is incompatible with
+    extraction-deferred ``html_col`` inputs).
+
+    Shared by ``curate()`` and the CLI (``--collapse-snapshots`` etc.) so
+    the gating/order semantics cannot drift between the two entry points.
+    """
+    from .operators.web import corpus_line_dedup, domain_cap, latest_crawl, url_dedup
+
+    src = docs
+    if collapse_snapshots:
+        src = latest_crawl(src, url_col=key_col, ts_col=ts_col, key_col=key_col)
+    elif dedup_urls:
+        src = url_dedup(src, url_col=key_col, key_col=key_col)
+    if domain_cap_n is not None:
+        src = domain_cap(src, cap=domain_cap_n, url_col=key_col, key_col=key_col)
+    if line_dedup_min_docs is not None:
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "line_dedup_min_docs needs an extracted text column; run "
+                "extraction first or drop the html_col deferral"
+            )
+        src = corpus_line_dedup(
+            src, text_col=text_col, key_col=key_col, min_docs=line_dedup_min_docs
+        )
+    return src
+
+
 def curate(
     docs: DataFrame,
     cfg: QCConfig = DEFAULT_CONFIG,
@@ -65,10 +109,23 @@ def curate(
     shard_bytes: int | None = None,
     shard_range_width: int | None = None,
     split_fractions: tuple[int, int] = (80, 10),
+    collapse_snapshots: bool = False,
+    ts_col: str = "warc_ts",
+    dedup_urls: bool = False,
+    domain_cap_n: int | None = None,
+    line_dedup_min_docs: int | None = None,
 ) -> DataFrame:
     """documents → curated training rows.
 
     Stages (each optional input gates its stage):
+    0. web hygiene (``operators.web``), in order: snapshot collapse
+       (``collapse_snapshots`` — newest ``ts_col`` fetch per canonical URL
+       wins) or URL dedup (``dedup_urls`` — min-key winner, for
+       single-snapshot inputs), then per-domain representation cap
+       (``domain_cap_n``), then C4-style GLOBAL line dedup
+       (``line_dedup_min_docs`` — drop lines occurring in that many
+       distinct docs corpus-wide; needs a real ``text_col``, so it is
+       incompatible with extraction-deferred ``html_col`` inputs);
     1. ``exclude_labels``: incremental cross-run dedup against a committed
        label store (anti-join on its stored ``payload_md5``);
     2. QC: full stat vector + rules + scrub; only ``keep`` rows survive;
@@ -85,7 +142,17 @@ def curate(
     Returns the curated labels (stat vector + scrubbed_text + split
     [+ shard]).
     """
-    src = docs
+    src = web_hygiene(
+        docs,
+        key_col=key_col,
+        text_col=text_col,
+        html_col=html_col,
+        collapse_snapshots=collapse_snapshots,
+        ts_col=ts_col,
+        dedup_urls=dedup_urls,
+        domain_cap_n=domain_cap_n,
+        line_dedup_min_docs=line_dedup_min_docs,
+    )
     if exclude_labels is not None:
         src = incremental_dedup(
             src, exclude_labels, key_col=key_col, text_col=text_col, html_col=html_col

@@ -6,6 +6,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from longqc_spark.cli import main
 
@@ -63,6 +64,59 @@ def test_cli_incremental_exclude_and_waves(spark, corpus_path, tmp_path):
     assert labels2.count() == 0
     m2 = json.load(open(os.path.join(run2, "manifest.json")))
     assert sum(v["n_in"] for v in m2["committed"].values()) == 0
+
+
+def test_cli_web_hygiene_stage0(spark, corpus_path, tmp_path):
+    """--collapse-snapshots / --domain-cap / --line-dedup-min-docs apply
+    crawl-level hygiene before the lineage run: the committed labels store
+    holds one row per canonical page, capped per domain, with the planted
+    corpus-wide boilerplate line scrubbed out of every text."""
+    docs = spark.read.parquet(corpus_path)
+    n = docs.count()
+    crawl = (
+        docs.withColumn("rn", F.row_number().over(Window.orderBy("url")))
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://host"), (F.col("rn") % 3).cast("string"),
+                F.lit(".com/p"), (F.col("rn") % 20).cast("string"),
+                F.when(F.col("rn") % 2 == 0, F.lit("?utm_source=t"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        .withColumn(
+            "warc_ts",
+            F.expr("timestamp'2025-06-01' + make_interval(0,0,0,"
+                   "CAST(rn % 7 AS INT),0,0,0)"),
+        )
+        .withColumn("text", F.concat(F.lit("SHARED NAV BAR\n"), F.col("text")))
+        .drop("rn")
+    )
+    crawl_path = str(tmp_path / "crawl")
+    crawl.write.parquet(crawl_path)
+
+    out = str(tmp_path / "hyg_out")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--collapse-snapshots",
+            "--domain-cap", "15",
+            "--line-dedup-min-docs", "3",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    labels = spark.read.parquet(os.path.join(out, "data"))
+    pdf = labels.toPandas()
+    # collapse: 3 hosts x 20 paths = 60 canonical pages max (from n aliases)
+    assert 0 < len(pdf) <= min(60, n)
+    assert pdf.url.nunique() == len(pdf)
+    # domain cap respected per registered domain
+    assert pdf.url.str.extract(r"https://(host\d)")[0].value_counts().max() <= 15
+    # global line dedup removed the planted boilerplate from every survivor
+    assert not pdf.scrubbed_text.str.contains("SHARED NAV BAR").any()
 
 
 def test_cli_curate_export(spark, corpus_path, tmp_path):

@@ -116,3 +116,63 @@ def test_mix_sources_quotas_and_stability(spark, docs):
     # quota above a source's cardinality caps at the source
     tiny = mix_sources(docs, {"src0": 1.0}, n_total=10**6).toPandas()
     assert len(tiny) == len(docs.filter("source = 'src0'").toPandas())
+
+
+def test_curate_web_hygiene_stage0(spark, docs):
+    """Stage 0 (snapshot collapse → domain cap → global line dedup) gates
+    and composes: aliases collapse to the newest fetch, mega-domains are
+    capped, corpus-frequent boilerplate lines vanish from kept text."""
+    # 3 synthetic fetches per page (url aliases differing by tracking
+    # params), one boilerplate line planted in EVERY doc's text
+    d = F.col("doc_id")
+    crawl = (
+        docs.filter(d < 120)
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://site"), (d % 4).cast("string"),
+                F.lit(".com/p"), (d % 30).cast("string"),
+                F.when(d % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+            ),
+        )
+        .withColumn(
+            "warc_ts",
+            F.expr(
+                "timestamp'2025-01-01' + make_interval(0,0,0,"
+                "CAST(doc_id % 9 AS INT),0,0,0)"
+            ),
+        )
+        .withColumn("text", F.concat(F.lit("COOKIE BANNER\n"), F.col("text")))
+    )
+
+    out = curate(
+        crawl,
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="url",
+        text_col="text",
+        collapse_snapshots=True,
+        domain_cap_n=20,
+        line_dedup_min_docs=3,
+    )
+    pdf = out.toPandas()
+    # snapshot collapse: at most one row per canonical page (4*30=120 pages,
+    # 3 aliases each → <= 120/3 + cap effects survivors)
+    assert len(pdf) <= 120
+    # the planted corpus-wide boilerplate line is gone from every kept text
+    assert not pdf.scrubbed_text.str.contains("COOKIE BANNER").any()
+    # domain cap: no domain contributes more than 20 kept rows
+    assert pdf.url.str.extract(r"https://(site\d)")[0].value_counts().max() <= 20
+
+
+def test_curate_line_dedup_requires_text(spark, docs):
+    with pytest.raises(ValueError, match="text column"):
+        curate(
+            docs.filter(F.col("doc_id") < 10)
+            .withColumn("url", F.concat(F.lit("https://a.com/"), F.col("doc_id")))
+            .withColumn("html", F.col("text").cast("binary"))
+            .drop("text"),
+            cfg=DRIVER_DOCS_CONFIG,
+            key_col="url",
+            html_col="html",
+            line_dedup_min_docs=3,
+        )
