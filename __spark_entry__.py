@@ -164,6 +164,35 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cr
     )
 
 
+def q_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (bloom prefilter)
+    """Same cross-run dedup as ``incremental_dedup`` but with the Bloom
+    prefilter on: a filter built over the BATCH digests is applied map-side
+    to the committed corpus's digest scan BEFORE the distinct+anti-join, so
+    the corpus-side shuffle carries ≈|batch∩corpus| + fpp·|corpus| rows
+    instead of the whole corpus. No false negatives → bit-identical results;
+    the oracle is therefore the exact path's SQL verbatim (reference analog:
+    the chunk-loop exclude-list consult, ``longQC.py:376-389``, made a
+    broadcast membership sketch)."""
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    docs = _read(spark, sf, "documents")
+    committed = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("text").cast("binary")).alias("payload_md5")
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 == 0)
+    admitted = incremental_dedup(
+        new_batch, committed, key_col="doc_id", text_col="text", bloom_fpp=0.01
+    )
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy URLs from (doc_id, source) — the testdata has no
     URL column, so both engines build the IDENTICAL string: mixed-case
@@ -1990,7 +2019,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "split_assign", "source_mix",
     # new round-4 web-hygiene + crawl-snapshot queries — need driver rows too
     "url_canonical", "domain_cap", "line_dedup",
-    "latest_crawl", "snapshot_novelty", "corpus_line_dedup",
+    "latest_crawl", "snapshot_novelty", "corpus_line_dedup", "bloom_dedup",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -2033,6 +2062,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "bloom_dedup": q_bloom_dedup,
         "weighted_sample": q_weighted_sample,
         "oov_rate": q_oov_rate,
         "shard_assign": q_shard_assign,
@@ -2222,6 +2252,26 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": """
             -- NULL payloads carry no digest: they pass through both stages
             -- untouched (mirrors incremental_dedup's explicit NULL branch)
+            WITH known AS (
+                SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
+            ), fresh AS (
+                SELECT source, n_chars, md5(text) AS d,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+            ), admitted AS (
+                SELECT source, n_chars FROM fresh
+                WHERE rn = 1 AND d NOT IN (SELECT d FROM known)
+                UNION ALL
+                SELECT source, n_chars FROM documents
+                WHERE doc_id % 2 = 0 AND text IS NULL
+            )
+            SELECT source, count(*) AS n_admitted,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM admitted GROUP BY source ORDER BY source
+        """,
+        # bloom_dedup: the Bloom prefilter has no false negatives, so the
+        # result set is BIT-IDENTICAL to the exact anti-join — same oracle
+        "bloom_dedup": """
             WITH known AS (
                 SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
             ), fresh AS (

@@ -18,11 +18,12 @@ All signature computation is flat-stream numpy inside ``mapInPandas``.
 
 from __future__ import annotations
 
+import math
 from itertools import chain
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..models import hash_tokens, ngram_keys
 
@@ -551,6 +552,97 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+# Bloom sizing cap: 2^33 bits = 1 GiB of filter — beyond this the filter no
+# longer broadcasts comfortably and the caller should shard by digest prefix.
+_BLOOM_MAX_BITS = 1 << 33
+
+
+def _bloom_positions(col: Column | str, m: int, k: int) -> Column:
+    """k bit positions in [0, m) for one digest, ALL JVM-side: the i-th
+    position is ``pmod(xxhash64(digest, i), m)`` — xxhash64 over (col,
+    literal) yields an independent 64-bit hash per i, so build and probe
+    agree by construction with zero Python in the hashing path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(*[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m)) for i in range(k)])
+
+
+def digest_bloom(
+    df: DataFrame,
+    digest_col: str = "payload_md5",
+    fpp: float = 1e-3,
+    n_items: int | None = None,
+) -> tuple[bytes, int, int]:
+    """Build a Bloom filter over a digest column → ``(bits, m, k)``.
+
+    Spark's JVM ``BloomFilterAggregate`` is not in the public function
+    registry, so this is the classic treeAggregate shape in DataFrame
+    clothing: positions are computed JVM-side (``_bloom_positions``), each
+    partition ORs its rows into one numpy bit array inside ``mapInPandas``
+    (one binary row per partition), and the driver ORs the per-partition
+    blooms — driver traffic is ``n_partitions × m/8`` bytes, never
+    row-count-bound. Sizing is the standard ``m = -n ln(fpp)/ln²2``,
+    ``k = m/n ln2``, capped at 1 GiB (shard by digest prefix past that).
+
+    Reference analog: the exclude-list membership structure the chunk loop
+    consults before re-emitting a read (``longQC.py:376-389``), made
+    probabilistic so membership travels as a broadcast payload instead of a
+    shuffled table.
+    """
+    src = df.select(F.col(digest_col).alias("_d")).filter(F.col("_d").isNotNull())
+    n = n_items if n_items is not None else src.count()
+    n = max(int(n), 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max(m, 64), _BLOOM_MAX_BITS)
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    nbytes = m // 8
+
+    def build(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                flat = np.concatenate(pdf["p"].to_numpy())
+                np.bitwise_or.at(
+                    bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
+                )
+        if seen:  # empty partitions yield nothing (Arrow empty-batch gotcha)
+            yield pd.DataFrame({"bf": [bits.tobytes()]})
+
+    parts = src.select(_bloom_positions("_d", m, k).alias("p")).mapInPandas(
+        build, "bf binary"
+    ).collect()
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in parts:
+        bits |= np.frombuffer(r["bf"], dtype=np.uint8)
+    return bits.tobytes(), m, k
+
+
+def bloom_might_contain(col: Column | str, bloom: bytes, m: int, k: int) -> Column:
+    """Boolean column: digest MAY be in the filter (no false negatives).
+
+    The filter ships once per executor as a SparkContext broadcast; the
+    probe is one Arrow-vectorized pandas UDF doing pure numpy bit tests
+    over the JVM-computed position arrays — a map-side predicate with no
+    join, no shuffle, and no per-row Python.
+    """
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(bloom)
+    n_hashes = k
+
+    @F.pandas_udf("boolean")
+    def _maybe(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        flat = np.concatenate(pos.to_numpy())
+        hit = (bits[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.reshape(-1, n_hashes).all(axis=1))
+
+    return _maybe(_bloom_positions(col, m, k))
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     committed: DataFrame,
@@ -559,6 +651,7 @@ def incremental_dedup(
     html_col: str | None = None,
     digest_col: str = "payload_md5",
     within_batch: bool = True,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Cross-RUN dedup: admit only the docs of a new batch (re-crawl) whose
     payload digest is absent from an already-committed label corpus — the
@@ -581,6 +674,19 @@ def incremental_dedup(
     can skew-split. No broadcast assumption: BOTH sides may be petabyte-scale
     (the committed corpus certainly is at 10^12 docs).
 
+    ``bloom_fpp`` (optional) removes that corpus-side shuffle entirely: a
+    Bloom filter is built over the BATCH digests (the small side — one extra
+    batch scan + a broadcast of the filter bytes) and applied as a map-side
+    predicate on the committed corpus's digest scan, shrinking ``known`` to
+    ≈ |batch ∩ corpus| + fpp·|corpus| rows BEFORE the anti-join — small
+    enough that AQE turns the join broadcast. No false negatives → every
+    digest that could match survives the prefilter, so the result is
+    bit-identical to the exact path (the FPs only add never-matching rows to
+    the anti-join build side). Budget fpp ≈ |batch| / (10·|corpus|): at a
+    10^12-doc corpus and a 10^8-doc re-crawl, fpp=1e-5 costs a ~34-bit/item
+    filter (~400 MB broadcast) and leaves ~10^7 stray corpus rows — three
+    orders of magnitude below the shuffle it replaces.
+
     NULL payloads (html/text missing) carry no digest, so they are not
     duplicates of anything — they pass through BOTH stages untouched rather
     than being collapsed into one NULL-digest group by the window (which
@@ -601,6 +707,14 @@ def incremental_dedup(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    known = committed.select(F.col(digest_col).alias("_known_md5")).distinct()
+    known = committed.select(F.col(digest_col).alias("_known_md5"))
+    if bloom_fpp is not None:
+        # prefilter BEFORE the distinct so the corpus-wide shuffle (the
+        # distinct's exchange) also runs over the shrunken row set
+        bloom, m, k = digest_bloom(
+            fresh.select(digest.alias("_d")), "_d", fpp=bloom_fpp
+        )
+        known = known.filter(bloom_might_contain("_known_md5", bloom, m, k))
+    known = known.distinct()
     kept = fresh.join(known, on=digest == F.col("_known_md5"), how="left_anti")
     return kept.unionByName(nulls)

@@ -470,3 +470,36 @@ def test_corpus_line_dedup_no_cartesian_partial_agg(spark, sf001):
     assert "_lh" in plan
     # partial (map-side) aggregation on the count: >= 2 HashAggregate nodes
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bloom_prefilter_probes_corpus_below_the_distinct(spark, sf001, tmp_path):
+    """With bloom_fpp on, the committed corpus's digest scan is filtered by
+    the Arrow-vectorized bloom probe BEFORE the distinct's exchange — the
+    corpus-wide shuffle carries only maybe-hits. The probe must appear as a
+    child of the committed-side Aggregate in the optimized plan, and the
+    anti-join survives unchanged."""
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    lbl = str(tmp_path / "labels")
+    docs.limit(200).select(
+        F.md5(F.col("text").cast("binary")).alias("payload_md5")
+    ).write.parquet(lbl)
+    committed = spark.read.parquet(lbl)
+
+    df = incremental_dedup(
+        docs, committed, key_col="doc_id", text_col="text", bloom_fpp=0.01
+    )
+    phys = _plan(df)
+    assert "LeftAnti" in phys
+    assert "ArrowEvalPython" in phys  # the bloom probe, vectorized
+
+    # optimized logical plan prints parent-first: the probe Filter must sit
+    # BELOW the distinct Aggregate on the committed side (pre-shuffle)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    agg_idx = [i for i, l in enumerate(lines)
+               if "Aggregate" in l and "_known_md5" in l]
+    probe_idx = [i for i, l in enumerate(lines) if "pythonudf" in l.lower()]
+    assert agg_idx and probe_idx
+    assert min(probe_idx) > min(agg_idx), "bloom probe hoisted above distinct"

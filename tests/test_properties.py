@@ -509,3 +509,56 @@ def test_incremental_dedup_null_payloads_pass_through(spark):
         ).collect()
     )
     assert got2 == [1, 2, 3, 4]
+
+
+def test_digest_bloom_membership_and_fp_rate(spark):
+    """Bloom invariants: every inserted digest passes the probe (NO false
+    negatives — the property the dedup prefilter's exactness rests on);
+    a disjoint probe set false-positives near the configured budget."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.operators.dedup import bloom_might_contain, digest_bloom
+
+    members = spark.range(2000).select(
+        F.md5(F.concat(F.lit("m"), F.col("id").cast("string")).cast("binary")).alias("d")
+    )
+    bloom, m, k = digest_bloom(members, "d", fpp=0.01)
+    assert members.filter(bloom_might_contain("d", bloom, m, k)).count() == 2000
+
+    others = spark.range(10_000).select(
+        F.md5(F.concat(F.lit("x"), F.col("id").cast("string")).cast("binary")).alias("d")
+    )
+    fp = others.filter(bloom_might_contain("d", bloom, m, k)).count()
+    assert fp / 10_000 < 0.05  # 5x the 1% budget — generous variance margin
+    assert fp > 0  # and it IS probabilistic, not a degenerate always-false
+
+
+def test_incremental_dedup_bloom_path_bit_identical(spark):
+    """bloom_fpp engages the corpus-side prefilter; the admitted set must be
+    BIT-identical to the exact path — dup collapse, committed exclusion, and
+    NULL-payload passthrough all preserved."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    rows = [(i, f"text{i % 40}" if i % 7 else None) for i in range(200)]
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    committed = spark.createDataFrame(
+        [(f"text{j}",) for j in range(0, 40, 3)], "t string"
+    ).select(F.md5(F.col("t").cast("binary")).alias("payload_md5"))
+
+    exact = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            new, committed, key_col="doc_id", text_col="text"
+        ).collect()
+    )
+    bloomed = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            new, committed, key_col="doc_id", text_col="text", bloom_fpp=0.01
+        ).collect()
+    )
+    assert bloomed == exact
+    # sanity on the fixture: some nulls pass, some dups collapsed
+    assert any(i % 7 == 0 for i in exact) and len(exact) < 200
