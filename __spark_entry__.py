@@ -193,6 +193,21 @@ def q_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (bloom pr
     )
 
 
+def q_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:  # agg (rule calibration)
+    """Keep-rule calibration curve: n_keep/keep_rate for a grid of candidate
+    min-length cutoffs in ONE input pass (per-threshold count_if partial
+    aggs + stack unpivot — no grid×rows explode; the DuckDB oracle uses the
+    naive CROSS JOIN grid formulation, same numbers). Reference analog: the
+    fitted-cutoff tuning loop (``lq_gamma.py``) without the per-candidate
+    re-run."""
+    from longqc_spark.operators.relational import threshold_sweep
+
+    docs = _read(spark, sf, "documents")
+    return threshold_sweep(
+        docs, "n_chars", [100.0, 500.0, 1000.0, 2000.0, 5000.0, 10000.0]
+    )
+
+
 def _synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy URLs from (doc_id, source) — the testdata has no
     URL column, so both engines build the IDENTICAL string: mixed-case
@@ -2020,6 +2035,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # new round-4 web-hygiene + crawl-snapshot queries — need driver rows too
     "url_canonical", "domain_cap", "line_dedup",
     "latest_crawl", "snapshot_novelty", "corpus_line_dedup", "bloom_dedup",
+    "threshold_sweep",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -2063,6 +2079,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
         "bloom_dedup": q_bloom_dedup,
+        "threshold_sweep": q_threshold_sweep,
         "weighted_sample": q_weighted_sample,
         "oov_rate": q_oov_rate,
         "shard_assign": q_shard_assign,
@@ -2288,6 +2305,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_admitted,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM admitted GROUP BY source ORDER BY source
+        """,
+        "threshold_sweep": """
+            SELECT CAST(t AS DOUBLE) AS threshold,
+                   count(*) FILTER (WHERE n_chars >= t) AS n_keep,
+                   CAST(count(*) FILTER (WHERE n_chars >= t) AS DOUBLE)
+                       / CAST(count(n_chars) AS DOUBLE) AS keep_rate
+            FROM documents
+            CROSS JOIN (VALUES (100),(500),(1000),(2000),(5000),(10000)) g(t)
+            GROUP BY t ORDER BY threshold
         """,
         "weighted_sample": """
             SELECT doc_id, source, n_chars FROM (

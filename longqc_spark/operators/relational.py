@@ -403,3 +403,52 @@ def assign_shards(
         )
         .drop("_r", "_off")
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    col: str,
+    thresholds: list[float],
+    direction: str = ">=",
+) -> DataFrame:
+    """Rule-calibration curve: for every candidate threshold, how many rows
+    would a ``col direction threshold`` keep-rule admit, in ONE input pass.
+
+    The reference tunes its cutoffs by inspecting stat histograms and
+    re-running (``lq_gamma.py``'s fitted cutoff + the CLI threshold knobs);
+    at 10^12 docs a re-run per candidate is off the table, so the sweep is
+    folded into a single aggregation: one ``count_if`` per grid point —
+    all partial (map-side) aggregates, one single-row exchange — then a
+    ``stack`` unpivot of that row into (threshold, n_keep, keep_rate).
+    The input is NOT multiplied by the grid size — the only Generate in the
+    plan is the stack over the one-row agg output — unlike the naive
+    ``CROSS JOIN grid`` formulation (the DuckDB oracle) which scans
+    grid× rows.
+
+    ``direction`` is ``">="`` (keep at-or-above, e.g. min-length rules) or
+    ``"<="`` (keep at-or-below, e.g. max-symbol-ratio rules).
+    """
+    if direction not in (">=", "<="):
+        raise ValueError(f"direction must be '>=' or '<=', got {direction!r}")
+    c = F.col(col)
+    preds = [
+        c >= F.lit(t) if direction == ">=" else c <= F.lit(t) for t in thresholds
+    ]
+    row = df.agg(
+        F.count(c).alias("_n"),  # count of non-null: NULL passes no rule
+        *[F.count_if(p).alias(f"_k{i}") for i, p in enumerate(preds)],
+    )
+    pairs = ", ".join(
+        f"CAST({float(t)!r} AS DOUBLE), _k{i}" for i, t in enumerate(thresholds)
+    )
+    return (
+        row.selectExpr(
+            "_n", f"stack({len(thresholds)}, {pairs}) AS (threshold, n_keep)"
+        )
+        .select(
+            "threshold",
+            "n_keep",
+            (F.col("n_keep") / F.col("_n")).alias("keep_rate"),
+        )
+        .orderBy("threshold")
+    )

@@ -503,3 +503,37 @@ def test_bloom_prefilter_probes_corpus_below_the_distinct(spark, sf001, tmp_path
     probe_idx = [i for i, l in enumerate(lines) if "pythonudf" in l.lower()]
     assert agg_idx and probe_idx
     assert min(probe_idx) > min(agg_idx), "bloom probe hoisted above distinct"
+
+
+def test_threshold_sweep_single_pass_no_explode(spark, sf001):
+    """The calibration sweep is ONE aggregation pass: a single exchange (the
+    one-row final agg), no grid-side Generate/explode multiplying the scan,
+    values correct for both rule directions and NULL-blind."""
+    from longqc_spark.operators.relational import threshold_sweep
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    df = threshold_sweep(docs, "n_chars", [100.0, 1000.0, 10000.0])
+    plan = _plan(df)
+    # stack compiles to Generate, but over the ONE-row agg output, never the
+    # scan: plan prints parent-first, so the Generate line must come BEFORE
+    # (above) the aggregate — the input is not multiplied by the grid
+    lines = plan.splitlines()
+    gen = min(i for i, l in enumerate(lines) if "Generate" in l)
+    agg = min(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    assert gen < agg, "grid explode below the aggregate (scan multiplied)"
+    assert plan.count("Exchange") == 1  # the single-row partial->final agg
+
+    pdf = df.toPandas()
+    n = docs.filter(F.col("n_chars").isNotNull()).count()
+    for t in (100.0, 1000.0, 10000.0):
+        expect = docs.filter(F.col("n_chars") >= t).count()
+        row = pdf[pdf.threshold == t].iloc[0]
+        assert row.n_keep == expect and row.keep_rate == expect / n
+
+    # "<=" direction: max-style rules (e.g. symbol-ratio caps)
+    le = threshold_sweep(docs, "n_chars", [1000.0], direction="<=").toPandas()
+    assert le.n_keep.iloc[0] == docs.filter(F.col("n_chars") <= 1000).count()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        threshold_sweep(docs, "n_chars", [1.0], direction="<")
