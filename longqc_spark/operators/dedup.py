@@ -557,13 +557,22 @@ def connected_components(
 _BLOOM_MAX_BITS = 1 << 33
 
 
-def _bloom_positions(col: Column | str, m: int, k: int) -> Column:
-    """k bit positions in [0, m) for one digest, ALL JVM-side: the i-th
-    position is ``pmod(xxhash64(digest, i), m)`` — xxhash64 over (col,
-    literal) yields an independent 64-bit hash per i, so build and probe
-    agree by construction with zero Python in the hashing path."""
+def _bloom_hashes(col: Column | str) -> list[Column]:
+    """The two JVM xxhash64 seeds feeding Kirsch–Mitzenmacher double
+    hashing: position_i = (h1 + i·h2) mod m, computed in numpy on both the
+    build and probe sides. Only TWO int64 columns ever cross the Arrow
+    boundary per row — not k position arrays — which is what keeps the
+    probe pass cheap enough to beat the shuffle it replaces."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array(*[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m)) for i in range(k)])
+    return [F.xxhash64(c), F.xxhash64(c, F.lit(0xB10053))]
+
+
+def _bloom_pos(h1: np.ndarray, h2: np.ndarray, i: int, m: int) -> np.ndarray:
+    # uint64 view keeps the JVM's signed bits verbatim; |1 makes the stride
+    # odd so it is coprime with any power-of-two-free m slice walk
+    u1 = h1.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64) | np.uint64(1)
+    return ((u1 + np.uint64(i) * u2) % np.uint64(m)).astype(np.int64)
 
 
 def digest_bloom(
@@ -576,11 +585,11 @@ def digest_bloom(
 
     Spark's JVM ``BloomFilterAggregate`` is not in the public function
     registry, so this is the classic treeAggregate shape in DataFrame
-    clothing: positions are computed JVM-side (``_bloom_positions``), each
-    partition ORs its rows into one numpy bit array inside ``mapInPandas``
-    (one binary row per partition), and the driver ORs the per-partition
-    blooms — driver traffic is ``n_partitions × m/8`` bytes, never
-    row-count-bound. Sizing is the standard ``m = -n ln(fpp)/ln²2``,
+    clothing: two JVM xxhash64 seeds per digest (``_bloom_hashes``) expand
+    to k Kirsch–Mitzenmacher positions in numpy, each partition ORs its
+    rows into one numpy bit array inside ``mapInPandas`` (one binary row
+    per partition), and the driver ORs the per-partition blooms — driver
+    traffic is ``n_partitions × m/8`` bytes, never row-count-bound. Sizing is the standard ``m = -n ln(fpp)/ln²2``,
     ``k = m/n ln2``, capped at 1 GiB (shard by digest prefix past that).
 
     Reference analog: the exclude-list membership structure the chunk loop
@@ -603,14 +612,17 @@ def digest_bloom(
         for pdf in batches:
             if len(pdf):
                 seen = True
-                flat = np.concatenate(pdf["p"].to_numpy())
-                np.bitwise_or.at(
-                    bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
-                )
+                h1, h2 = pdf["h1"].to_numpy(), pdf["h2"].to_numpy()
+                for i in range(k):
+                    flat = _bloom_pos(h1, h2, i, m)
+                    np.bitwise_or.at(
+                        bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
+                    )
         if seen:  # empty partitions yield nothing (Arrow empty-batch gotcha)
             yield pd.DataFrame({"bf": [bits.tobytes()]})
 
-    parts = src.select(_bloom_positions("_d", m, k).alias("p")).mapInPandas(
+    h1c, h2c = _bloom_hashes("_d")
+    parts = src.select(h1c.alias("h1"), h2c.alias("h2")).mapInPandas(
         build, "bf binary"
     ).collect()
     bits = np.zeros(nbytes, dtype=np.uint8)
@@ -629,18 +641,22 @@ def bloom_might_contain(col: Column | str, bloom: bytes, m: int, k: int) -> Colu
     """
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(bloom)
-    n_hashes = k
+    n_hashes, n_bits = k, m
 
     @F.pandas_udf("boolean")
-    def _maybe(pos: pd.Series) -> pd.Series:
-        if not len(pos):
+    def _maybe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        if not len(h1s):
             return pd.Series([], dtype=bool)
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        flat = np.concatenate(pos.to_numpy())
-        hit = (bits[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
-        return pd.Series(hit.reshape(-1, n_hashes).all(axis=1))
+        h1, h2 = h1s.to_numpy(), h2s.to_numpy()
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(n_hashes):  # short-circuits in aggregate: k is small
+            flat = _bloom_pos(h1, h2, i, n_bits)
+            ok &= ((bits[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(ok)
 
-    return _maybe(_bloom_positions(col, m, k))
+    h1c, h2c = _bloom_hashes(col)
+    return _maybe(h1c, h2c)
 
 
 def incremental_dedup(
@@ -685,7 +701,12 @@ def incremental_dedup(
     the anti-join build side). Budget fpp ≈ |batch| / (10·|corpus|): at a
     10^12-doc corpus and a 10^8-doc re-crawl, fpp=1e-5 costs a ~34-bit/item
     filter (~400 MB broadcast) and leaves ~10^7 stray corpus rows — three
-    orders of magnitude below the shuffle it replaces.
+    orders of magnitude below the shuffle it replaces. Opt-in because the
+    crossover is NETWORK economics: measured single-node (BENCH_CORPUS
+    `bloom_dedup_*`, 4M docs) the prefilter cuts shuffle rows 64× but still
+    loses wall-clock (9.0 s vs 5.9 s) — local shuffles are memcpy-cheap,
+    so the two extra bloom jobs only pay off once shuffle bytes cross
+    racks.
 
     NULL payloads (html/text missing) carry no digest, so they are not
     duplicates of anything — they pass through BOTH stages untouched rather

@@ -81,9 +81,9 @@ def main() -> None:
         nargs="*",
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
-        "incremental_dedup decontaminate corpus_line_dedup latest_crawl "
-        "skew) and MERGE their keys into an existing --out record instead "
-        "of overwriting it",
+        "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
+        "latest_crawl skew) and MERGE their keys into an existing --out "
+        "record instead of overwriting it",
     )
     args = ap.parse_args()
     only = set(args.only or [])
@@ -166,6 +166,57 @@ def main() -> None:
             "n_batch": n_batch,
             "n_admitted": n_admitted,
         }
+
+    # -- Bloom-prefiltered variant of the cross-run dedup, in BOTH regimes:
+    # (a) symmetric (same fixture as incremental_dedup above — batch ≈
+    # corpus, the regime where the prefilter CANNOT win: the extra
+    # bloom-build scan + probe pass cost more than a cheap local shuffle),
+    # and (b) the asymmetric regime it exists for — the full corpus's
+    # digests vs a small re-crawl batch, where the exact path must shuffle
+    # all corpus digests and the bloom path shuffles only maybe-hits. Each
+    # asymmetric variant is timed against the exact path on the SAME
+    # fixture; admitted counts must agree exactly. --
+    if want("bloom_dedup"):
+        h = F.pmod(F.xxhash64("url"), F.lit(6))
+        committed = docs.filter(h.isin(0, 2, 4)).select(
+            F.md5(F.col("text").cast("binary")).alias("payload_md5")
+        )
+        batch = docs.filter(h.isin(0, 1, 3))
+        n_batch = batch.count()
+        best = float("inf")
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_admitted = incremental_dedup(
+                batch, committed, key_col="url", text_col="text", bloom_fpp=1e-3
+            ).count()
+            best = min(best, time.time() - t0)
+        out["bloom_dedup_symmetric"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(n_batch / best),
+            "n_batch": n_batch,
+            "n_admitted": n_admitted,
+        }
+
+        corpus_digests = docs.select(
+            F.md5(F.col("text").cast("binary")).alias("payload_md5")
+        )
+        small = docs.filter(F.pmod(F.xxhash64("url"), F.lit(64)) == 0)
+        n_small = small.count()
+        for tag, fpp in (("exact", None), ("bloom", 1e-3)):
+            best = float("inf")
+            for i in range(2):  # pass 0 = warm-up
+                t0 = time.time()
+                n_adm = incremental_dedup(
+                    small, corpus_digests, key_col="url", text_col="text",
+                    bloom_fpp=fpp,
+                ).count()
+                best = min(best, time.time() - t0)
+            out[f"bloom_dedup_smallbatch_{tag}"] = {
+                "sec": round(best, 1),
+                "docs_per_sec": round(n_small / best),
+                "n_batch": n_small,
+                "n_admitted": n_adm,
+            }
 
     # -- decontamination at corpus scale: 2k-doc eval set vs the full
     # corpus; the eval shingle set broadcasts, the corpus never shuffles --
