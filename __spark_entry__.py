@@ -208,6 +208,27 @@ def q_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:  # agg (rule c
     )
 
 
+def q_f1_curve(spark: SparkSession, sf: str) -> DataFrame:  # agg (keep/drop F1 calibration)
+    """Precision/recall/F1 of an alpha-ratio keep-score against an
+    is-English reference label across a cutoff grid, ONE input pass — the
+    north-rule metric (keep/drop F1 vs reference labels) as a query. Score
+    and label are pure JVM/SQL expressions so both engines derive identical
+    inputs; the oracle uses the naive CROSS JOIN grid."""
+    from longqc_spark.operators.relational import classification_curve
+
+    docs = _read(spark, sf, "documents").filter(F.length("text") > 0)
+    scored = docs.select(
+        (F.col("lang") == "en").alias("label"),
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")).cast("double")
+            / F.length("text").cast("double")
+        ).alias("score"),
+    )
+    return classification_curve(
+        scored, "score", "label", [0.5, 0.7, 0.8, 0.9, 0.95]
+    )
+
+
 def _synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy URLs from (doc_id, source) — the testdata has no
     URL column, so both engines build the IDENTICAL string: mixed-case
@@ -2035,7 +2056,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # new round-4 web-hygiene + crawl-snapshot queries — need driver rows too
     "url_canonical", "domain_cap", "line_dedup",
     "latest_crawl", "snapshot_novelty", "corpus_line_dedup", "bloom_dedup",
-    "threshold_sweep",
+    "threshold_sweep", "f1_curve",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -2080,6 +2101,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "bloom_dedup": q_bloom_dedup,
         "threshold_sweep": q_threshold_sweep,
+        "f1_curve": q_f1_curve,
         "weighted_sample": q_weighted_sample,
         "oov_rate": q_oov_rate,
         "shard_assign": q_shard_assign,
@@ -2314,6 +2336,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             CROSS JOIN (VALUES (100),(500),(1000),(2000),(5000),(10000)) g(t)
             GROUP BY t ORDER BY threshold
+        """,
+        "f1_curve": """
+            WITH scored AS (
+                SELECT (lang = 'en') AS label,
+                       CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                           / CAST(length(text) AS DOUBLE) AS score
+                FROM documents WHERE length(text) > 0
+            ), base AS (
+                SELECT count(*) FILTER (WHERE label) AS pos FROM scored
+            ), cells AS (
+                SELECT CAST(t AS DOUBLE) AS threshold,
+                       count(*) FILTER (WHERE score >= t AND label) AS tp,
+                       count(*) FILTER (WHERE score >= t AND NOT label) AS fp,
+                       max(pos) AS pos
+                FROM scored CROSS JOIN base
+                CROSS JOIN (VALUES (0.5),(0.7),(0.8),(0.9),(0.95)) g(t)
+                GROUP BY t
+            )
+            SELECT threshold, tp, fp, pos - tp AS fn,
+                   CASE WHEN tp + fp > 0
+                        THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+                   CASE WHEN pos > 0
+                        THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END AS recall,
+                   CASE WHEN 2 * tp + fp + (pos - tp) > 0
+                        THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + (pos - tp) AS DOUBLE)
+                   END AS f1
+            FROM cells ORDER BY threshold
         """,
         "weighted_sample": """
             SELECT doc_id, source, n_chars FROM (

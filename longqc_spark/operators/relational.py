@@ -452,3 +452,59 @@ def threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def classification_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision/recall/F1 of the keep-rule ``score >= threshold`` against a
+    boolean reference label, for a whole threshold grid in ONE input pass —
+    the north-rule grading metric (keep/drop F1 vs reference labels) as a
+    first-class calibration operator.
+
+    Same single-aggregation shape as ``threshold_sweep``: two ``count_if``
+    per grid point (tp, fp — all partial map-side), one single-row
+    exchange, then a ``stack`` unpivot; fn derives from the global positive
+    count. Rows with NULL score predict negative at every threshold.
+    Zero-denominator cells yield NULL (mirrored by the oracle's CASE), not
+    an ANSI division error.
+
+    Reference analog: the QC accuracy report the reference derives by
+    re-running with tweaked cutoffs and diffing keep lists — here without
+    re-scanning per candidate.
+    """
+    s, lab = F.col(score_col), F.col(label_col)
+    aggs = [F.count_if(lab).alias("_pos")]
+    for i, t in enumerate(thresholds):
+        aggs.append(F.count_if((s >= F.lit(t)) & lab).alias(f"_tp{i}"))
+        aggs.append(F.count_if((s >= F.lit(t)) & ~lab).alias(f"_fp{i}"))
+    row = df.agg(*aggs)
+    triples = ", ".join(
+        f"CAST({float(t)!r} AS DOUBLE), _tp{i}, _fp{i}"
+        for i, t in enumerate(thresholds)
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return (
+        row.selectExpr(
+            "_pos",
+            f"stack({len(thresholds)}, {triples}) AS (threshold, tp, fp)",
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            (F.col("_pos") - F.col("tp")).alias("fn"),
+        )
+        .select(
+            "*",
+            F.when(tp + fp > 0, tp / (tp + fp)).alias("precision"),
+            F.when(tp + fn > 0, tp / (tp + fn)).alias("recall"),
+            F.when(
+                2 * tp + fp + fn > 0, (2 * tp) / (2 * tp + fp + fn)
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

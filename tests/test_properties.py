@@ -562,3 +562,30 @@ def test_incremental_dedup_bloom_path_bit_identical(spark):
     assert bloomed == exact
     # sanity on the fixture: some nulls pass, some dups collapsed
     assert any(i % 7 == 0 for i in exact) and len(exact) < 200
+
+
+def test_classification_curve_hand_values(spark):
+    """Hand-checkable confusion cells: scores .1/.4/.6/.9 with labels
+    F/T/F/T; NULL scores predict negative; an unreachable threshold gives
+    tp=0 → precision NULL (not an ANSI division error), recall 0."""
+    from longqc_spark.operators.relational import classification_curve
+
+    df = spark.createDataFrame(
+        [(0.1, False), (0.4, True), (0.6, False), (0.9, True), (None, True)],
+        "score double, label boolean",
+    )
+    pdf = (
+        classification_curve(df, "score", "label", [0.5, 2.0])
+        .toPandas()
+        .set_index("threshold")
+    )
+    # t=0.5: preds {0.6, 0.9} → tp=1 (0.9), fp=1 (0.6), fn=2 (0.4 + NULL)
+    r = pdf.loc[0.5]
+    assert (r.tp, r.fp, r.fn) == (1, 1, 2)
+    assert r.precision == 0.5 and r.recall == 1 / 3
+    assert abs(r.f1 - 2 * (0.5 * (1 / 3)) / (0.5 + 1 / 3)) < 1e-12
+    # t=2.0: nothing predicted positive
+    r2 = pdf.loc[2.0]
+    assert (r2.tp, r2.fp, r2.fn) == (0, 0, 3)
+    import pandas as _pd
+    assert _pd.isna(r2.precision) and r2.recall == 0.0 and r2.f1 == 0.0
