@@ -514,3 +514,45 @@ def read_labels(spark: SparkSession, out_dir: str, as_of: int | None = None) -> 
     # basePath keeps the bucket partition column in time-travel reads, so
     # as_of and current reads have IDENTICAL schemas
     return spark.read.option("basePath", os.path.join(out_dir, root)).parquet(*paths)
+
+
+def write_digest_index(
+    spark: SparkSession,
+    out_dir: str,
+    table: str = "longqc_digest_index",
+    n_buckets: int = 32,
+) -> str:
+    """Materialize the committed labels store's ``payload_md5`` column as a
+    digest-BUCKETED catalog table — the exact (non-probabilistic) answer to
+    the cross-run dedup shuffle: a bucketed scan reports
+    ``hashpartitioning(payload_md5, n_buckets)``, so both the distinct and
+    the anti-join in ``incremental_dedup`` consume it with ZERO corpus-side
+    Exchange; only the (small) re-crawl batch shuffles. Choose ``n_buckets``
+    equal to ``spark.sql.shuffle.partitions`` at dedup time and the batch
+    side's within-batch window exchange is REUSED for the join — one
+    exchange in the whole plan (pinned in test_plans).
+
+    This is storage-layout-for-compute: the reference pre-sorts its
+    exclude-list per chunk (``longQC.py:376-389``); at 10^12 docs the
+    analogous move is bucketing the digest column once at commit time so
+    every later re-crawl pays no corpus shuffle at all. Complements
+    ``incremental_dedup(bloom_fpp=)`` (probabilistic, zero-prep): the index
+    costs one corpus-wide write but makes every subsequent dedup exact AND
+    exchange-free.
+
+    Returns the table name (read back with ``spark.table(name)``).
+    """
+    labels = read_labels(spark, out_dir)
+    if "payload_md5" not in labels.columns:
+        raise ValueError(
+            "labels store predates payload digests (label_schema v1); "
+            "re-run QC to add payload_md5 before indexing"
+        )
+    (
+        labels.select("payload_md5")
+        .filter(F.col("payload_md5").isNotNull())
+        .write.bucketBy(n_buckets, "payload_md5")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table

@@ -718,11 +718,17 @@ def incremental_dedup(
     Returns the surviving rows of ``new_docs`` (original columns).
     """
     payload = F.col(html_col or text_col)
-    digest = F.md5(payload.cast("binary"))
     nulls = new_docs.filter(payload.isNull())
-    fresh = new_docs.filter(payload.isNotNull())
+    # materialize the digest ONCE: the window partitions on it AND the
+    # anti-join keys on it, so the window's exchange satisfies the join's
+    # distribution requirement and is REUSED (one batch-side shuffle total;
+    # deriving md5(...) twice makes Spark see two distinct expressions and
+    # shuffle twice)
+    fresh = new_docs.filter(payload.isNotNull()).withColumn(
+        "_digest", F.md5(payload.cast("binary"))
+    )
     if within_batch:
-        w = Window.partitionBy(digest).orderBy(key_col)
+        w = Window.partitionBy("_digest").orderBy(key_col)
         fresh = (
             fresh.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -733,9 +739,11 @@ def incremental_dedup(
         # prefilter BEFORE the distinct so the corpus-wide shuffle (the
         # distinct's exchange) also runs over the shrunken row set
         bloom, m, k = digest_bloom(
-            fresh.select(digest.alias("_d")), "_d", fpp=bloom_fpp
+            fresh.select(F.col("_digest").alias("_d")), "_d", fpp=bloom_fpp
         )
         known = known.filter(bloom_might_contain("_known_md5", bloom, m, k))
     known = known.distinct()
-    kept = fresh.join(known, on=digest == F.col("_known_md5"), how="left_anti")
+    kept = fresh.join(
+        known, on=F.col("_digest") == F.col("_known_md5"), how="left_anti"
+    ).drop("_digest")
     return kept.unionByName(nulls)

@@ -537,3 +537,40 @@ def test_threshold_sweep_single_pass_no_explode(spark, sf001):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="direction"):
         threshold_sweep(docs, "n_chars", [1.0], direction="<")
+
+
+def test_digest_index_bucketed_dedup_no_corpus_exchange(spark, corpus_path, tmp_path):
+    """write_digest_index materializes the committed digests bucketed by
+    payload_md5: the cross-run anti-join (distinct included) then consumes
+    the corpus side with ZERO Exchange, and with n_buckets equal to the
+    shuffle-partition count the batch side's within-batch window exchange is
+    REUSED for the join — ONE exchange in the whole plan. The exact,
+    storage-layout complement to the bloom prefilter."""
+    import shutil
+
+    from longqc_spark.lineage import run_qc_with_lineage, write_digest_index
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS digest_idx_t")
+    shutil.rmtree(f"{wh}/digest_idx_t", ignore_errors=True)
+
+    out = str(tmp_path / "run")
+    docs = spark.read.parquet(corpus_path)
+    run_qc_with_lineage(docs, out, n_buckets=2)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_digest_index(spark, out, table="digest_idx_t", n_buckets=n_parts)
+
+    committed = spark.table("digest_idx_t")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dedup = incremental_dedup(docs, committed, key_col="url", text_col="text")
+        plan = _plan(dedup)
+        assert "LeftAnti" in plan and "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1, plan  # batch window, reused by join
+        # the whole committed corpus is indexed → nothing admitted
+        assert dedup.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    spark.sql("DROP TABLE digest_idx_t")
