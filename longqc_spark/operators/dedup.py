@@ -704,7 +704,7 @@ def incremental_dedup(
     orders of magnitude below the shuffle it replaces. Opt-in because the
     crossover is NETWORK economics: measured single-node (BENCH_CORPUS
     `bloom_dedup_*`, 4M docs) the prefilter cuts shuffle rows 64× but still
-    loses wall-clock (9.0 s vs 5.9 s) — local shuffles are memcpy-cheap,
+    loses wall-clock (9.0 s vs 3.4 s) — local shuffles are memcpy-cheap,
     so the two extra bloom jobs only pay off once shuffle bytes cross
     racks.
 
