@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shard-bytes", type=int, default=None, metavar="N",
                    help="byte-balanced shard ids in the curated export "
                         "(two-pass prefix sum over xxhash64(key))")
+    p.add_argument("--digest-index", default=None, metavar="TABLE",
+                   help="after the run: save the committed payload digests "
+                        "as a catalog table bucketed on payload_md5 — later "
+                        "--exclude-labels-style dedup against it is "
+                        "exchange-free on the corpus side (pass the table "
+                        "to incremental_dedup via spark.table)")
     p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
     p.add_argument("--compact", action="store_true",
                    help="after the run: bin-packing compaction of the labels "
@@ -149,6 +155,14 @@ def main(argv: list[str] | None = None) -> int:
         curated.write.mode("overwrite").parquet(args.curate_out)
         n_curated = spark.read.parquet(args.curate_out).count()
         print(f"curated {n_curated} rows → {args.curate_out}", file=sys.stderr)
+
+    if args.digest_index:
+        from .lineage import write_digest_index
+
+        t = write_digest_index(
+            spark, args.out, table=args.digest_index, n_buckets=args.buckets
+        )
+        print(f"digest index bucketed into table {t}", file=sys.stderr)
 
     if args.compact:
         from .lineage import compact_labels

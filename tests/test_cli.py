@@ -157,3 +157,24 @@ def test_cli_curate_export(spark, corpus_path, tmp_path):
     assert {r["split"] for r in curated.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+
+
+def test_cli_digest_index(spark, corpus_path, tmp_path):
+    """--digest-index materializes the committed digests as a bucketed
+    catalog table; deduping the same corpus against it admits nothing."""
+    import shutil
+
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS cli_digest_idx")
+    shutil.rmtree(f"{wh}/cli_digest_idx", ignore_errors=True)
+
+    out = str(tmp_path / "run")
+    assert main(["--input", corpus_path, "--out", out, "--buckets", "2",
+                 "--digest-index", "cli_digest_idx", "--local-cores", "8"]) == 0
+    idx = spark.table("cli_digest_idx")
+    assert idx.columns == ["payload_md5"]
+    docs = spark.read.parquet(corpus_path)
+    assert incremental_dedup(docs, idx, key_col="url", text_col="text").count() == 0
+    spark.sql("DROP TABLE cli_digest_idx")
