@@ -2066,10 +2066,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "fingerprint", "running_sum", "pivot_counts", "token_quality",
     "tumbling_counts", "interval_occupancy", "active_regions", "merge_upsert",
     "salted_agg", "set_ops", "cube_counts", "approx_quantiles",
-    "mean_stddev", "collect_set", "moving_avg", "sessionize",
-    # (asof_join/range_join/attribution_join rotated out to make room for
-    # the three crawl-snapshot queries — all three were driver-green in r2)
+    "mean_stddev",
+    # (asof_join/range_join/attribution_join rotated out for the three
+    # crawl-snapshot queries, and collect_set/moving_avg/sessionize for
+    # bloom_dedup/threshold_sweep/f1_curve — all six were driver-green in
+    # r2; the list is kept at EXACTLY 50 = the driver's window size so
+    # every name here is actually checked)
 )
+assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 
 
 def _window_order(d: dict) -> dict:

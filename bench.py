@@ -69,18 +69,12 @@ def host_probe(cores: int, iters: int = 20_000_000) -> tuple[float, float]:
     VM epoch. Runs before the JVM starts so Spark itself can't skew it."""
     import multiprocessing as mp
 
-    def spin(n: int) -> int:
-        acc = 0
-        for i in range(n):
-            acc ^= i * 2654435761 & 0xFFFFFFFF
-        return acc
-
     def one(procs: int) -> float:
         best = 0.0
         for _ in range(2):
             t0 = time.time()
             if procs == 1:
-                spin(iters)
+                _probe_spin(iters)
             else:
                 with mp.Pool(procs) as pool:
                     pool.map(_probe_spin, [iters] * procs)

@@ -109,9 +109,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.fuzzy_scrub:
         cfg = cfg.with_overrides(scrub_fuzzy=True)
     docs = spark.read.parquet(args.input)
-    if (args.collapse_snapshots or args.dedup_urls
-            or args.domain_cap is not None
-            or args.line_dedup_min_docs is not None):
+    # hygiene flags reshape the input rows before lineage sees them, so they
+    # are part of the checkpoint identity: a resume with different flags
+    # must be rejected, not silently mix capped/uncapped buckets.
+    hygiene_config = {
+        "collapse_snapshots": args.collapse_snapshots,
+        "dedup_urls": args.dedup_urls,
+        "domain_cap": args.domain_cap,
+        "line_dedup_min_docs": args.line_dedup_min_docs,
+    }
+    if any(v is not None and v is not False for v in hygiene_config.values()):
         from .curation import web_hygiene
 
         docs = web_hygiene(
@@ -136,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup=args.dedup,
         wave_buckets=args.wave_buckets,
         exclude_labels_dir=args.exclude_labels,
+        extra_config={"hygiene": hygiene_config},
     )
     n_committed = len(manifest["committed"])
     print(f"committed {n_committed}/{args.buckets} buckets → {args.out}/data", file=sys.stderr)

@@ -28,29 +28,25 @@ from .operators.text import dataset_split_expr
 from .pipeline import qc_pipeline
 
 # One-slot registry for the contaminated-key cache (same pattern as
-# operators.simsearch): the decontamination shingle explode is the most
-# expensive leg of the funnel, and downstream sharding adds two driver
-# actions that would otherwise re-execute it. Caching the HIT-KEY table
-# (small: eval-overlap keys only, never corpus-sized) makes the shingle
-# pass run exactly once per curate call; each call releases the previous
-# call's cache so long-lived sessions stay bounded.
-_CONTAM_CACHE: list = []
+# operators.simsearch, shared via longqc_spark.cache): the decontamination
+# shingle explode is the most expensive leg of the funnel, and downstream
+# sharding adds two driver actions that would otherwise re-execute it.
+# Caching the HIT-KEY table (small: eval-overlap keys only, never
+# corpus-sized) makes the shingle pass run exactly once per curate call;
+# each call releases the previous call's cache so long-lived sessions stay
+# bounded.
+from .cache import OneSlotCache
+
+_CONTAM_CACHE = OneSlotCache(lambda df: df.unpersist(False))
 
 
 def release_contam_cache() -> None:
     """Unpersist any contaminated-key table cached by a prior curate call."""
-    while _CONTAM_CACHE:
-        try:
-            _CONTAM_CACHE.pop().unpersist(False)
-        except Exception:
-            pass
+    _CONTAM_CACHE.release()
 
 
 def _cached_contaminated(df):
-    release_contam_cache()
-    c = df.cache()
-    _CONTAM_CACHE.append(c)
-    return c
+    return _CONTAM_CACHE.put(df.cache())
 
 
 def web_hygiene(

@@ -122,6 +122,7 @@ def run_qc_with_lineage(
     dedup: bool = False,
     wave_buckets: int | None = None,
     exclude_labels_dir: str | None = None,
+    extra_config: dict | None = None,
 ) -> dict:
     """Run the QC pipeline bucket-by-bucket with committed checkpoints.
 
@@ -173,6 +174,11 @@ def run_qc_with_lineage(
         # resume the same way a cfg change does.
         "label_schema": LABEL_SCHEMA_VERSION,
         **({"exclude_labels_dir": exclude_labels_dir} if exclude_labels_dir else {}),
+        # caller-side input reshaping (e.g. the CLI's web-hygiene stage 0)
+        # happens BEFORE this function sees the rows, so it must be part of
+        # the checkpoint identity too — resuming with different hygiene
+        # flags would commit buckets from a differently-filtered row set.
+        **(extra_config or {}),
     }
     manifest = load_manifest(out_dir)
     if manifest["run_id"] is None:

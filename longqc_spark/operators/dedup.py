@@ -25,7 +25,22 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F, types as T
 
+from ..cache import OneSlotCache
 from ..models import hash_tokens, ngram_keys
+
+# One-slot registry for the Bloom-filter broadcast (same policy as the
+# bucket/contaminated-key DataFrame caches): each bloom_might_contain call
+# destroys the PREVIOUS call's broadcast, so a long-lived session running
+# repeated re-crawl dedups holds at most one filter (up to ~1 GiB) in
+# block-manager memory instead of one per call. The latest returned
+# predicate stays usable; a predicate from an EARLIER call must be consumed
+# before the next bloom_might_contain call (or re-derived from its bytes).
+_BLOOM_BC_CACHE = OneSlotCache(lambda bc: bc.destroy())
+
+
+def release_bloom_broadcast() -> None:
+    """Destroy the broadcast held by the last bloom_might_contain call."""
+    _BLOOM_BC_CACHE.release()
 
 # deterministic odd multipliers/offsets for the minhash family (seeded PCG)
 _MH_RNG = np.random.default_rng(20240101)
@@ -640,7 +655,7 @@ def bloom_might_contain(col: Column | str, bloom: bytes, m: int, k: int) -> Colu
     join, no shuffle, and no per-row Python.
     """
     spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(bloom)
+    bc = _BLOOM_BC_CACHE.put(spark.sparkContext.broadcast(bloom))
     n_hashes, n_bits = k, m
 
     @F.pandas_udf("boolean")

@@ -448,7 +448,11 @@ def threshold_sweep(
         .select(
             "threshold",
             "n_keep",
-            (F.col("n_keep") / F.col("_n")).alias("keep_rate"),
+            # guarded like classification_curve: an empty input / all-NULL
+            # column yields keep_rate NULL, not an ANSI DIVIDE_BY_ZERO
+            F.when(
+                F.col("_n") > 0, F.col("n_keep") / F.col("_n")
+            ).alias("keep_rate"),
         )
         .orderBy("threshold")
     )

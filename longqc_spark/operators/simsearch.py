@@ -17,18 +17,15 @@ from pyspark.sql import DataFrame, functions as F
 # DataFrame must outlive the returned (lazy) plan, so it cannot be
 # unpersisted inside the call — instead each embed_neardup call releases the
 # PREVIOUS call's cache, bounding storage accumulation in a long-lived
-# session to one bucket table. Callers who want eager cleanup after
-# consuming the result can call release_bucket_cache() themselves.
-_BUCKET_CACHE: list = []
+# session to one bucket table (policy shared via longqc_spark.cache).
+from ..cache import OneSlotCache
+
+_BUCKET_CACHE = OneSlotCache(lambda df: df.unpersist(False))
 
 
 def release_bucket_cache() -> None:
     """Unpersist any bucket DataFrame cached by a prior embed_neardup call."""
-    while _BUCKET_CACHE:
-        try:
-            _BUCKET_CACHE.pop().unpersist(False)
-        except Exception:
-            pass
+    _BUCKET_CACHE.release()
 
 
 def _dot(a, b):
@@ -256,13 +253,11 @@ def embed_neardup(
         # without the cache it is recomputed in every join branch. The
         # previous call's cache is released here (one-slot registry) so
         # repeated calls in a long session don't accumulate storage.
-        release_bucket_cache()
-        ba = (
+        ba = _BUCKET_CACHE.put(
             hyperplane_buckets(emb, n_bits=n_bits, dim=None, id_col=id_col, vec_col=vec_col)
             .select(F.col(id_col).alias("key_a"), F.col("bucket").alias("bucket_a"))
             .cache()
         )
-        _BUCKET_CACHE.append(ba)
         bb = ba.select(F.col("key_a").alias("key_b"), F.col("bucket_a").alias("bucket_b"))
         a = a.join(ba, "key_a")
         b = b.join(bb, "key_b")

@@ -252,7 +252,16 @@ def snapshot_novelty(
     Scale: one window shuffle keyed by canonical url (rank of each fetch
     within its url's history), then an ordinary partial-agg rollup by
     day. → ``(crawl_day:string, n_fetches, n_novel, novelty_frac)``."""
-    out = df.withColumn("canonical_url", canonical_url_expr(url_col))
+    # NULL urls have no page identity (module NULL-passthrough policy): a
+    # NULL-identity fetch can never be a "re-crawl of a known page", so each
+    # one ranks in its OWN partition via a per-row key surrogate and counts
+    # as novel — instead of all NULL fetches collapsing into one partition
+    # where only the first would count.
+    ident = F.coalesce(
+        canonical_url_expr(url_col),
+        F.concat(F.lit("\x00null\x00"), F.col(key_col).cast("string")),
+    )
+    out = df.withColumn("canonical_url", ident)
     w = Window.partitionBy("canonical_url").orderBy(
         F.col(ts_col).asc(), F.col(key_col).asc()
     )

@@ -313,16 +313,16 @@ def test_embed_neardup_cache_bounded(spark):
     emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
 
     embed_neardup(emb, threshold=0.9, n_bits=2).count()
-    first = simsearch._BUCKET_CACHE[0]
+    first = simsearch._BUCKET_CACHE.peek()
     assert first.storageLevel.useMemory  # materialized
     # different n_bits → different logical plan (an identical plan would be
     # re-registered by Spark's CacheManager and mask the unpersist)
     embed_neardup(emb, threshold=0.9, n_bits=3).count()
     assert len(simsearch._BUCKET_CACHE) == 1  # one-slot: old entry released
-    assert simsearch._BUCKET_CACHE[0] is not first
+    assert simsearch._BUCKET_CACHE.peek() is not first
     assert not first.storageLevel.useMemory  # previous cache unpersisted
     release_bucket_cache()
-    assert simsearch._BUCKET_CACHE == []
+    assert len(simsearch._BUCKET_CACHE) == 0
 
 
 def test_contamination_hashed_matches_string_path(spark, sf001):

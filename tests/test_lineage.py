@@ -274,6 +274,27 @@ def test_resume_with_different_config_rejected(spark, docs, tmp_path):
     assert len(m["committed"]) == 4
 
 
+def test_resume_with_different_hygiene_config_rejected(spark, docs, tmp_path):
+    """Caller-side input reshaping (the CLI's web-hygiene stage 0) happens
+    before lineage sees the rows, so it must be checkpoint identity too:
+    resuming a --domain-cap run without the cap would commit the remaining
+    buckets from a differently-filtered row set."""
+    out = str(tmp_path / "hygguard")
+    capped = {"hygiene": {"domain_cap": 100}}
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_qc_with_lineage(
+            docs, out, n_buckets=4, fail_after_bucket=0, extra_config=capped
+        )
+    with pytest.raises(ValueError, match="run config differs"):
+        run_qc_with_lineage(
+            docs, out, n_buckets=4, extra_config={"hygiene": {"domain_cap": None}}
+        )
+    with pytest.raises(ValueError, match="run config differs"):
+        run_qc_with_lineage(docs, out, n_buckets=4)  # no hygiene marker at all
+    m = run_qc_with_lineage(docs, out, n_buckets=4, extra_config=capped)
+    assert len(m["committed"]) == 4
+
+
 def test_time_travel_schema_matches_current(spark, docs, tmp_path):
     """as_of reads carry the same schema as current reads (bucket partition
     column included via basePath)."""

@@ -533,6 +533,29 @@ def test_digest_bloom_membership_and_fp_rate(spark):
     assert fp > 0  # and it IS probabilistic, not a degenerate always-false
 
 
+def test_bloom_broadcast_one_slot(spark):
+    """Each bloom_might_contain call destroys the PREVIOUS call's filter
+    broadcast (one-slot registry): a session running repeated re-crawl
+    dedups holds at most one filter (up to ~1 GiB) in block-manager memory,
+    not one per call."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.operators import dedup as dd
+
+    members = spark.range(100).select(
+        F.md5(F.col("id").cast("string").cast("binary")).alias("d")
+    )
+    bloom, m, k = dd.digest_bloom(members, "d", fpp=0.01)
+    assert members.filter(dd.bloom_might_contain("d", bloom, m, k)).count() == 100
+    first = dd._BLOOM_BC_CACHE.peek()
+    assert first is not None
+    assert members.filter(dd.bloom_might_contain("d", bloom, m, k)).count() == 100
+    assert len(dd._BLOOM_BC_CACHE) == 1  # one-slot: previous released
+    assert dd._BLOOM_BC_CACHE.peek() is not first
+    dd.release_bloom_broadcast()
+    assert len(dd._BLOOM_BC_CACHE) == 0
+
+
 def test_incremental_dedup_bloom_path_bit_identical(spark):
     """bloom_fpp engages the corpus-side prefilter; the admitted set must be
     BIT-identical to the exact path — dup collapse, committed exclusion, and

@@ -181,6 +181,7 @@ def test_null_keys_pass_through_not_collapsed(spark):
         corpus_line_dedup,
         domain_cap,
         latest_crawl,
+        snapshot_novelty,
         url_dedup,
     )
 
@@ -205,3 +206,34 @@ def test_null_keys_pass_through_not_collapsed(spark):
     out = {r["doc_id"]: r["text"] for r in corpus_line_dedup(df, min_docs=2).collect()}
     assert out[2] is None and out[3] is None
     assert out[1] == "x" and out[4] == "y"
+
+
+def test_snapshot_novelty_null_urls_each_count_novel(spark):
+    """A NULL-url fetch has no page identity, so it can never be a
+    're-crawl of a known page': every NULL-url fetch counts as novel on
+    its own day, rather than all NULL fetches collapsing into one window
+    partition where only the first would count."""
+    from longqc_spark.operators.web import snapshot_novelty
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "url": [None, None, None, "https://a.com/p", "https://a.com/p"],
+                "warc_ts": [
+                    "2025-01-01", "2025-01-02", "2025-01-03",
+                    "2025-01-01", "2025-01-02",
+                ],
+            }
+        )
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = {r["crawl_day"]: r for r in snapshot_novelty(df).collect()}
+    # day 1: NULL fetch novel + first real fetch novel
+    assert out["2025-01-01"]["n_novel"] == 2
+    # day 2: NULL fetch is STILL novel (no identity); the re-crawl of
+    # a.com/p is not
+    assert out["2025-01-02"]["n_novel"] == 1
+    assert out["2025-01-02"]["n_fetches"] == 2
+    # day 3: third NULL fetch again novel
+    assert out["2025-01-03"]["n_novel"] == 1
+    assert out["2025-01-03"]["novelty_frac"] == 1.0
