@@ -372,6 +372,43 @@ def q_latest_crawl(spark: SparkSession, sf: str) -> DataFrame:  # web: snapshot 
     )
 
 
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:  # web: UT1 blocklist
+    """UT1-style domain blocklist with SUFFIX semantics (subdomains of an
+    entry are blocked, label-aligned — never substring): per-source rollup
+    of the KEPT pages with a sum-of-doc_id checksum so exactly WHICH pages
+    survived is oracle-verified."""
+    from longqc_spark.operators.web import blocklist_filter
+
+    docs = _synth_crawl(_read(spark, sf, "documents"))
+    bl = spark.createDataFrame(
+        [("site2.example.com",), ("site5.example.com",), ("example.org",)],
+        "entry string",
+    )
+    return (
+        blocklist_filter(docs, bl, url_col="url", key_col="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_score_drift(spark: SparkSession, sf: str) -> DataFrame:  # web: PSI crawl monitor
+    """Population-stability-index drift between two synthetic 'snapshots'
+    (even vs odd doc_ids) of the text-length distribution: per-bin shares
+    and PSI terms, equal-width bins over the reference snapshot's range."""
+    from longqc_spark.operators.web import score_drift
+
+    docs = _read(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("s")
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return score_drift(ref, cur, "s", n_bins=10)
+
+
 def q_snapshot_novelty(spark: SparkSession, sf: str) -> DataFrame:  # web: crawl health
     """Per-crawl-day novelty series: share of each day's fetches that were
     the first-ever capture of their canonical URL."""
@@ -2118,6 +2155,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl": q_latest_crawl,
         "snapshot_novelty": q_snapshot_novelty,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "blocklist_filter": q_blocklist_filter,
+        "score_drift": q_score_drift,
         "token_counts": q_token_counts,
         "alpha_frac": q_alpha_frac,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2575,6 +2614,60 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(count(*) FILTER (WHERE rk = 1) AS DOUBLE) / count(*), 6)
                        AS novelty_frac
             FROM r GROUP BY crawl_day ORDER BY crawl_day
+        """,
+        "blocklist_filter": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       'www.site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com' AS host
+                FROM documents
+            )
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+            FROM h
+            WHERE NOT (host = 'site2.example.com'
+                       OR host LIKE '%.site2.example.com'
+                       OR host = 'site5.example.com'
+                       OR host LIKE '%.site5.example.com'
+                       OR host = 'example.org'
+                       OR host LIKE '%.example.org')
+            GROUP BY source ORDER BY source
+        """,
+        "score_drift": """
+            WITH s AS (
+                SELECT doc_id, CAST(length(text) AS DOUBLE) AS s
+                FROM documents WHERE text IS NOT NULL
+            ), e AS (
+                SELECT min(s) AS lo0, max(s) AS hi0 FROM s WHERE doc_id % 2 = 0
+            ), binned AS (
+                SELECT doc_id % 2 AS side,
+                       CAST(least(9, greatest(0,
+                           CASE WHEN hi0 = lo0 THEN 0
+                                ELSE CAST(floor((s - lo0) / ((hi0 - lo0) / 10.0))
+                                     AS BIGINT) END)) AS INT) AS bin
+                FROM s, e
+            ), cnt AS (
+                SELECT CAST(range AS INT) AS bin,
+                       (SELECT count(*) FROM binned b
+                        WHERE b.bin = CAST(range AS INT) AND side = 0) AS n_ref,
+                       (SELECT count(*) FROM binned b
+                        WHERE b.bin = CAST(range AS INT) AND side = 1) AS n_cur
+                FROM range(10)
+            ), t AS (
+                SELECT *, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+                FROM cnt
+            )
+            SELECT bin,
+                   round(lo0 + bin * (hi0 - lo0) / 10.0, 6) AS lo,
+                   round(lo0 + (bin + 1) * (hi0 - lo0) / 10.0, 6) AS hi,
+                   round(n_ref / tr, 6) AS share_ref,
+                   round(n_cur / tc, 6) AS share_cur,
+                   round((round(greatest(n_cur / tc, 1e-6), 6)
+                          - round(greatest(n_ref / tr, 1e-6), 6))
+                         * ln(round(greatest(n_cur / tc, 1e-6), 6)
+                              / round(greatest(n_ref / tr, 1e-6), 6)),
+                         6) AS psi_term
+            FROM t, e ORDER BY bin
         """,
         "corpus_line_dedup": """
             WITH l AS (

@@ -236,6 +236,153 @@ def latest_crawl(
     )
 
 
+def host_expr(col: str = "url") -> Column:
+    """The URL's host, lowercased, ``www.`` kept (suffix matching handles
+    it); NULL for NULL/non-URL strings (empty extract → NULL)."""
+    h = F.regexp_extract(F.lower(F.col(col)), r"^[a-z]+://([^/?#:]+)", 1)
+    return F.when(h == "", None).otherwise(h)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    entry_col: str = "entry",
+    max_labels: int = 10,
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """UT1-style domain-blocklist filter with SUFFIX semantics: a page is
+    blocked when its host equals a blocklist entry or is a subdomain of one
+    (``a.b.spam.com`` matches entry ``spam.com``; ``notspam.com`` does NOT —
+    matching is per dot-separated label, never substring). The standard
+    adult/malware/spam domain-exclusion stage of web-corpus construction
+    (the reference's exclude-list skip F9, ``lq_utils.py``-style read-name
+    sets, lifted to the domain hierarchy).
+
+    Spark-first scale shape: suffix match is not an equi-join, so each host
+    is EXPLODED into its dot-suffixes (``a.b.c.com`` → ``a.b.c.com``,
+    ``b.c.com``, ``c.com`` — bounded fan-out ≤ ``max_labels``), which turns
+    the match into a plain equi-join on the suffix string. The blocklist
+    side is aggregated to distinct entries and broadcast (UT1-scale lists —
+    millions of domains — broadcast comfortably; beyond that the same
+    explode keys a shuffle equi-join, no semantics change). The corpus side
+    is one projection + generate + one hash-join probe: no corpus shuffle,
+    no per-row Python.
+
+    NULL/non-URL rows have no host identity and pass through as KEPT
+    (module NULL-passthrough policy). ``keep_blocked=True`` inverts the
+    selection (audit: which docs WERE blocked).
+    → original columns (the match itself is the semi/anti join predicate).
+    """
+    labels = F.split(host_expr(url_col), r"\.")
+    n = F.size(labels)
+    # suffixes: join(labels[i:], '.') for i in 0..min(n,max_labels)-1
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    entries = blocklist.select(
+        F.lower(F.col(entry_col)).alias("_bl_suffix")
+    ).distinct()
+    hosted = df.withColumn("_suffixes", sufs)
+    probe = (
+        hosted.filter(F.col("_suffixes").isNotNull())
+        .select(F.col(key_col).alias("_bl_key"), F.explode("_suffixes").alias("_bl_suffix"))
+        .join(F.broadcast(entries), "_bl_suffix")
+        .select(F.col("_bl_key").alias(key_col))
+        .distinct()
+    )
+    how = "left_semi" if keep_blocked else "left_anti"
+    return hosted.drop("_suffixes").join(probe, key_col, how)
+
+
+def score_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift between two crawl snapshots'
+    score distributions — the quality-score monitoring a production filter
+    pipeline runs per crawl to catch upstream shifts (scraper change, spam
+    wave) before they move the keep/drop rate. Web analog of the
+    reference's per-batch QC summary histograms compared release-over-
+    release (``lq_nanopore.py:294-314`` time-bin series).
+
+    Bins are ``n_bins`` equal-width buckets over the REFERENCE snapshot's
+    [min, max] (current-snapshot values clamp into the edge bins, so new
+    out-of-range mass is visible in bins 0/n-1); shares are smoothed at
+    1e-6 before the log so empty bins stay finite. Deterministic and
+    oracle-exact: bin edges derive from two aggregates, no quantile sketch.
+
+    Scale: one min/max aggregate on the reference (2 values, broadcast
+    back via a 1-row cross-join — stays a lazy plan, no driver collect),
+    then one groupBy(bin) per side — partial-agg shuffles of ≤ ``n_bins``
+    rows each. NULL scores carry no signal and are filtered from both
+    sides.
+
+    → ``(bin, lo, hi, share_ref, share_cur, psi_term)`` ordered by bin;
+    ``sum(psi_term)`` is the PSI (rule of thumb: <0.1 stable, >0.25 major
+    shift). All floats rounded to 6 dp for cross-engine hash parity.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col)
+    edges = ref.filter(s.isNotNull()).agg(
+        F.min(s.cast("double")).alias("_lo"), F.max(s.cast("double")).alias("_hi")
+    )
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        x = F.col(score_col).cast("double")
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+        raw = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.floor((x - F.col("_lo")) / width)
+        )
+        b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+        return (
+            df.filter(F.col(score_col).isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"_n_{side}"))
+        )
+
+    a, b = binned(ref, "ref"), binned(cur, "cur")
+    allbins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        allbins.join(a, "bin", "left").join(b, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("_n_ref", F.lit(0)).alias("_n_ref"),
+            F.coalesce("_n_cur", F.lit(0)).alias("_n_cur"),
+        )
+    )
+    # unpartitioned window is safe here: `counts` is exactly n_bins rows.
+    # Guarded division: an empty/all-NULL side yields NULL shares, not an
+    # ANSI DIVIDE_BY_ZERO (the threshold_sweep/classification_curve rule).
+    tot = Window.partitionBy()
+    tot_r, tot_c = F.sum("_n_ref").over(tot), F.sum("_n_cur").over(tot)
+    share_r = F.when(tot_r > 0, F.col("_n_ref") / tot_r)
+    share_c = F.when(tot_c > 0, F.col("_n_cur") / tot_c)
+    # smooth, round BEFORE the log so both engines take ln of the identical
+    # 6-dp value (cross-engine hash parity)
+    sm_r = F.round(F.greatest(share_r, F.lit(1e-6)), 6)
+    sm_c = F.round(F.greatest(share_c, F.lit(1e-6)), 6)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    return (
+        counts.crossJoin(F.broadcast(edges))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * width, 6).alias("hi"),
+            F.round(share_r, 6).alias("share_ref"),
+            F.round(share_c, 6).alias("share_cur"),
+            F.round((sm_c - sm_r) * F.log(sm_c / sm_r), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
 def snapshot_novelty(
     df: DataFrame,
     url_col: str = "url",
