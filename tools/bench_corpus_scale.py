@@ -82,8 +82,8 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "latest_crawl skew) and MERGE their keys into an existing --out "
-        "record instead of overwriting it",
+        "latest_crawl blocklist skew) and MERGE their keys into an existing "
+        "--out record instead of overwriting it",
     )
     args = ap.parse_args()
     only = set(args.only or [])
@@ -310,6 +310,37 @@ def main() -> None:
         out["latest_crawl"] = {
             "sec": round(best, 1),
             "docs_per_sec": round(args.docs / best),
+            "n_kept": n_kept,
+        }
+
+    # -- UT1-style domain blocklist at corpus scale: 500k synthetic entries
+    # (plus 3 live hosts so the probe drops real rows) against the full
+    # corpus. The suffix explode is a bounded map (fan-out = host label
+    # count, 2 here); the blocklist side aggregates to distinct entries and
+    # broadcasts, so the corpus side is scan → generate → one broadcast
+    # hash-join probe with NO corpus shuffle. --
+    if want("blocklist"):
+        from longqc_spark.operators.web import blocklist_filter
+
+        bl = spark.range(500_000).select(
+            F.concat(
+                F.lit("dom"), F.col("id").cast("string"), F.lit(".blocked.example")
+            ).alias("entry")
+        ).unionByName(
+            spark.createDataFrame(
+                [("host3.example",), ("host17.example",), ("host111.example",)],
+                "entry string",
+            )
+        )
+        best = float("inf")
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_kept = blocklist_filter(docs, bl, url_col="url", key_col="url").count()
+            best = min(best, time.time() - t0)
+        out["blocklist_filter"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_entries": 500_003,
             "n_kept": n_kept,
         }
 
