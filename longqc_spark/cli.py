@@ -20,7 +20,7 @@ import argparse
 import os
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from .config import DEFAULT_CONFIG, DRIVER_DOCS_CONFIG
 from .lineage import audit_table, read_labels, run_qc_with_lineage
@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="web-hygiene stage 0: C4-style global line dedup — "
                         "drop lines occurring in >= K distinct docs "
                         "corpus-wide (needs --text-col, not --html-col)")
+    p.add_argument("--blocklist", default=None, metavar="FILE",
+                   help="web-hygiene stage 0 (runs FIRST): UT1-style domain "
+                        "blocklist — text file, one domain per line (blank "
+                        "lines and # comments skipped); a page is dropped "
+                        "when its host equals an entry or is a subdomain of "
+                        "one (suffix match per dot-label)")
     p.add_argument("--fuzzy-scrub", action="store_true",
                    help="tolerance scrub pass: tokens within 1 edit of a "
                         "lexicon term at identity >= 0.75 are scrubbed too "
@@ -117,10 +123,19 @@ def main(argv: list[str] | None = None) -> int:
         "dedup_urls": args.dedup_urls,
         "domain_cap": args.domain_cap,
         "line_dedup_min_docs": args.line_dedup_min_docs,
+        "blocklist": args.blocklist,
     }
     if any(v is not None and v is not False for v in hygiene_config.values()):
         from .curation import web_hygiene
 
+        bl = None
+        if args.blocklist:
+            # one domain per line; '#' comments and blank lines skipped
+            bl = (
+                spark.read.text(args.blocklist)
+                .select(F.trim("value").alias("entry"))
+                .filter((F.col("entry") != "") & ~F.col("entry").startswith("#"))
+            )
         docs = web_hygiene(
             docs,
             key_col=args.key_col,
@@ -131,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
             dedup_urls=args.dedup_urls,
             domain_cap_n=args.domain_cap,
             line_dedup_min_docs=args.line_dedup_min_docs,
+            blocklist=bl,
         )
     manifest = run_qc_with_lineage(
         docs,

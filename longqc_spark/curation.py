@@ -59,12 +59,16 @@ def web_hygiene(
     dedup_urls: bool = False,
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 0 of the funnel — crawl-level hygiene before any QC work, in
-    order: snapshot collapse (``collapse_snapshots`` — newest ``ts_col``
-    fetch per canonical URL wins) or URL dedup (``dedup_urls`` — min-key
-    winner, for single-snapshot inputs), then per-domain representation cap
-    (``domain_cap_n``), then C4-style GLOBAL line dedup
+    order: domain blocklist (``blocklist`` — a 1-column ``entry`` table,
+    UT1-style suffix semantics; FIRST because it is the cheapest predicate,
+    a broadcast probe with no shuffle, so blocked rows never enter the
+    window stages), then snapshot collapse (``collapse_snapshots`` — newest
+    ``ts_col`` fetch per canonical URL wins) or URL dedup (``dedup_urls`` —
+    min-key winner, for single-snapshot inputs), then per-domain
+    representation cap (``domain_cap_n``), then C4-style GLOBAL line dedup
     (``line_dedup_min_docs`` — drop lines occurring in that many distinct
     docs corpus-wide; needs a real ``text_col``, so it is incompatible with
     extraction-deferred ``html_col`` inputs).
@@ -72,9 +76,17 @@ def web_hygiene(
     Shared by ``curate()`` and the CLI (``--collapse-snapshots`` etc.) so
     the gating/order semantics cannot drift between the two entry points.
     """
-    from .operators.web import corpus_line_dedup, domain_cap, latest_crawl, url_dedup
+    from .operators.web import (
+        blocklist_filter,
+        corpus_line_dedup,
+        domain_cap,
+        latest_crawl,
+        url_dedup,
+    )
 
     src = docs
+    if blocklist is not None:
+        src = blocklist_filter(src, blocklist, url_col=key_col, key_col=key_col)
     if collapse_snapshots:
         src = latest_crawl(src, url_col=key_col, ts_col=ts_col, key_col=key_col)
     elif dedup_urls:
@@ -110,11 +122,14 @@ def curate(
     dedup_urls: bool = False,
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """documents → curated training rows.
 
     Stages (each optional input gates its stage):
-    0. web hygiene (``operators.web``), in order: snapshot collapse
+    0. web hygiene (``operators.web``), in order: domain blocklist
+       (``blocklist`` — UT1-style suffix match, broadcast probe), then
+       snapshot collapse
        (``collapse_snapshots`` — newest ``ts_col`` fetch per canonical URL
        wins) or URL dedup (``dedup_urls`` — min-key winner, for
        single-snapshot inputs), then per-domain representation cap
@@ -148,6 +163,7 @@ def curate(
         dedup_urls=dedup_urls,
         domain_cap_n=domain_cap_n,
         line_dedup_min_docs=line_dedup_min_docs,
+        blocklist=blocklist,
     )
     if exclude_labels is not None:
         src = incremental_dedup(

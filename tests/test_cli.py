@@ -119,6 +119,43 @@ def test_cli_web_hygiene_stage0(spark, corpus_path, tmp_path):
     assert not pdf.scrubbed_text.str.contains("SHARED NAV BAR").any()
 
 
+def test_cli_blocklist(spark, corpus_path, tmp_path):
+    """--blocklist runs FIRST in hygiene stage 0 (suffix semantics, comments
+    skipped) and is part of the checkpoint identity: a resume with different
+    blocklist flags is rejected."""
+    docs = spark.read.parquet(corpus_path)
+    crawl = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://sub.host"),
+            F.pmod(F.xxhash64("url"), F.lit(4)).cast("string"),
+            F.lit(".com/p"),
+            F.row_number().over(Window.orderBy("url")).cast("string"),
+        ),
+    )
+    crawl_path = str(tmp_path / "crawl")
+    crawl.write.parquet(crawl_path)
+    bl_path = str(tmp_path / "bl.txt")
+    with open(bl_path, "w") as f:
+        f.write("# adult/malware list\n\nhost1.com\nhost3.com\n")
+
+    out = str(tmp_path / "bl_out")
+    assert main(
+        ["--input", crawl_path, "--out", out, "--buckets", "2",
+         "--blocklist", bl_path, "--local-cores", "8"]
+    ) == 0
+    labels = spark.read.parquet(os.path.join(out, "data"))
+    hosts = labels.select(
+        F.regexp_extract("url", r"https://sub\.(host\d)\.com", 1).alias("h")
+    ).distinct()
+    got = sorted(r["h"] for r in hosts.collect())
+    assert got == ["host0", "host2"]  # subdomains of blocked hosts dropped
+    # different blocklist on resume → rejected (checkpoint identity)
+    with pytest.raises(ValueError, match="run config differs"):
+        main(["--input", crawl_path, "--out", out, "--buckets", "2",
+              "--local-cores", "8"])
+
+
 def test_cli_curate_export(spark, corpus_path, tmp_path):
     """--curate-out exports the user-facing funnel from the committed labels
     store: keep rows only, decontaminated against the eval set, split +

@@ -145,6 +145,7 @@ def test_curate_web_hygiene_stage0(spark, docs):
         .withColumn("text", F.concat(F.lit("COOKIE BANNER\n"), F.col("text")))
     )
 
+    bl = spark.createDataFrame([("site2.com",)], "entry string")
     out = curate(
         crawl,
         cfg=DRIVER_DOCS_CONFIG,
@@ -153,8 +154,11 @@ def test_curate_web_hygiene_stage0(spark, docs):
         collapse_snapshots=True,
         domain_cap_n=20,
         line_dedup_min_docs=3,
+        blocklist=bl,
     )
     pdf = out.toPandas()
+    # blocklist runs FIRST: no site2.com page survives anywhere downstream
+    assert not pdf.url.str.contains("site2.com").any()
     # snapshot collapse: at most one row per canonical page (4*30=120 pages,
     # 3 aliases each → <= 120/3 + cap effects survivors)
     assert len(pdf) <= 120
