@@ -92,6 +92,10 @@ def main(argv: list[str] | None = None) -> int:
                         "--exclude-labels-style dedup against it is "
                         "exchange-free on the corpus side (pass the table "
                         "to incremental_dedup via spark.table)")
+    p.add_argument("--drift-against", default=None, metavar="DIR",
+                   help="after the run: PSI drift report of this run's label "
+                        "distributions vs a previous run's committed store "
+                        "(crawl-monitoring alert: <0.1 stable, >0.25 major)")
     p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
     p.add_argument("--compact", action="store_true",
                    help="after the run: bin-packing compaction of the labels "
@@ -203,6 +207,25 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = expire_snapshots(args.out, keep_last=args.expire_keep)
         print(f"expired snapshots, reclaimed roots: {removed}", file=sys.stderr)
+
+    if args.drift_against:
+        from .report import drift_report
+
+        drift = drift_report(
+            read_labels(spark, args.drift_against), read_labels(spark, args.out)
+        ).collect()
+        for r in drift:
+            print(
+                f"drift {r['metric']}: psi={r['psi']} ({r['verdict']})",
+                file=sys.stderr,
+            )
+        worst = drift[0] if drift else None
+        if worst and worst["verdict"] == "major":
+            print(
+                f"DRIFT ALERT: {worst['metric']} psi={worst['psi']} — the "
+                "input distribution shifted vs the reference run",
+                file=sys.stderr,
+            )
 
     if args.report:
         labels = read_labels(spark, args.out)

@@ -149,6 +149,72 @@ def summarize(labels: DataFrame, cfg: QCConfig = DEFAULT_CONFIG, sample_n: int =
     }
 
 
+# stat-vector columns a run-over-run drift check watches by default: the
+# continuous quality signals whose distribution shifting means the UPSTREAM
+# corpus changed (scraper regression, spam wave), plus keep itself (a 0/1
+# column PSI-bins cleanly) so decision drift is visible even when every
+# individual signal moves sub-threshold.
+DRIFT_METRICS: tuple[str, ...] = (
+    "n_chars",
+    "n_words",
+    "mean_word_len",
+    "symbol_char_frac",
+    "alpha_char_frac",
+    "stopword_count",
+    "dup_line_frac",
+    "perplexity",
+    "keep",
+)
+
+
+def drift_report(
+    prev_labels: DataFrame,
+    new_labels: DataFrame,
+    metrics: tuple[str, ...] = DRIFT_METRICS,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Run-over-run distribution drift: PSI of each stat-vector column
+    between a PREVIOUS run's committed labels (the reference) and the
+    current run's — the release-over-release QC-summary comparison a
+    production filter pipeline alerts on (reference analog: eyeballing two
+    batches' HTML report histograms, ``lq_nanopore.py:294-314``,
+    mechanized). → ``(metric, psi, verdict)`` ordered by psi descending;
+    verdicts use the standard PSI bands (<0.1 stable, <0.25 moderate,
+    else major).
+
+    Scale: one ``score_drift`` plan per metric — each is two partial-agg
+    groupBys of ≤ ``n_bins`` rows; the k metric plans share the two label
+    scans via Spark's scan reuse, and everything stays lazy until the
+    caller collects."""
+    from .operators.web import score_drift
+
+    per_metric = []
+    for m in metrics:
+        if m not in prev_labels.columns or m not in new_labels.columns:
+            continue
+        a = prev_labels.select(F.col(m).cast("double").alias("_s"))
+        b = new_labels.select(F.col(m).cast("double").alias("_s"))
+        per_metric.append(
+            score_drift(a, b, "_s", n_bins=n_bins).agg(
+                F.lit(m).alias("metric"),
+                F.round(F.sum("psi_term"), 6).alias("psi"),
+            )
+        )
+    if not per_metric:
+        raise ValueError(f"none of {metrics} present in both label tables")
+    out = per_metric[0]
+    for p in per_metric[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "metric",
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("major")
+        .alias("verdict"),
+    ).orderBy(F.col("psi").desc(), "metric")
+
+
 def write_json_report(summary: dict, path: str) -> None:
     with open(path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True, default=float)

@@ -156,6 +156,32 @@ def test_cli_blocklist(spark, corpus_path, tmp_path):
               "--local-cores", "8"])
 
 
+def test_cli_drift_against(spark, corpus_path, tmp_path, capsys):
+    """--drift-against compares this run's label distributions to a previous
+    committed store: identical input is stable everywhere; a truncated
+    re-crawl trips the major-drift alert."""
+    run1 = str(tmp_path / "drift_run1")
+    assert main(["--input", corpus_path, "--out", run1, "--buckets", "2",
+                 "--local-cores", "8"]) == 0
+
+    run2 = str(tmp_path / "drift_run2")
+    assert main(["--input", corpus_path, "--out", run2, "--buckets", "2",
+                 "--drift-against", run1, "--local-cores", "8"]) == 0
+    err = capsys.readouterr().err
+    assert "drift n_chars: psi=" in err
+    assert "(stable)" in err and "DRIFT ALERT" not in err
+
+    trunc = str(tmp_path / "trunc")
+    spark.read.parquet(corpus_path).withColumn(
+        "text", F.substring("text", 1, 60)
+    ).write.parquet(trunc)
+    run3 = str(tmp_path / "drift_run3")
+    assert main(["--input", trunc, "--out", run3, "--buckets", "2",
+                 "--drift-against", run1, "--local-cores", "8"]) == 0
+    err = capsys.readouterr().err
+    assert "(major)" in err and "DRIFT ALERT" in err
+
+
 def test_cli_curate_export(spark, corpus_path, tmp_path):
     """--curate-out exports the user-facing funnel from the committed labels
     store: keep rows only, decontaminated against the eval set, split +

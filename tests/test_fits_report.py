@@ -97,3 +97,30 @@ def test_summarize_report(spark, corpus_path, tmp_path):
 
     assert json.load(open(jp))["totals"]["n_docs"] == 1000
     assert "<h1>" in open(hp).read()
+
+
+def test_drift_report_stable_vs_shifted(spark, corpus_path):
+    """Run-over-run PSI drift: identical label tables are stable on every
+    metric; a truncated-text re-crawl shifts the length metrics into the
+    'major' band while the orderable output puts the worst metric first."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.pipeline import qc_pipeline
+    from longqc_spark.report import drift_report
+
+    docs = spark.read.parquet(corpus_path)
+    base = qc_pipeline(docs)
+    same = drift_report(base, base).toPandas()
+    assert (same.verdict == "stable").all()
+    assert (same.psi.abs() < 1e-6).all()
+
+    shifted = qc_pipeline(docs.withColumn("text", F.substring("text", 1, 80)))
+    out = drift_report(base, shifted).toPandas()
+    assert out.set_index("metric").loc["n_chars", "verdict"] == "major"
+    # ordered by psi descending: the first row is the worst drift
+    assert out.psi.iloc[0] == out.psi.max()
+    # unknown metrics are skipped, not fatal; all-unknown raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="none of"):
+        drift_report(base, shifted, metrics=("no_such_col",))
