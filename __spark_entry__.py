@@ -164,6 +164,40 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cr
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cross-run fuzzy)
+    """Cross-run NEAR-dup: the committed run is doc_id % 3 == 0; the re-crawl
+    batch is those same pages with one token prepended (new digests — exact
+    dedup admits them all) plus the doc_id % 3 == 1 pages unchanged. The
+    LSH band index built from the committed run must drop the edited
+    re-crawls and admit the rest. Rows-only (minhash/xxhash64 signatures are
+    engine-specific); exactness is pinned by the within-run candidate-parity
+    pytest (test_dedup_simsearch) and a golden fixture
+    (test_driver_fixtures)."""
+    from longqc_spark.operators.dedup import incremental_neardup, minhash_band_table
+
+    docs = _read(spark, sf, "documents")
+    committed = docs.filter(F.col("doc_id") % 3 == 0)
+    bands_tbl = minhash_band_table(committed, key_col="doc_id", text_col="text")
+    recrawl = committed.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("recrawl2025 "), F.col("text")).alias("text"),
+        "source",
+    )
+    fresh = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text", "source")
+    admitted = incremental_neardup(
+        recrawl.unionByName(fresh), bands_tbl, key_col="doc_id", text_col="text"
+    )
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.count_if(F.col("doc_id") >= 1_000_000).alias("n_recrawl_missed"),
+            F.sum("doc_id").cast("bigint").alias("admitted_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (bloom prefilter)
     """Same cross-run dedup as ``incremental_dedup`` but with the Bloom
     prefilter on: a filter built over the BATCH digests is applied map-side
@@ -2140,6 +2174,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_neardup": q_incremental_neardup,
         "bloom_dedup": q_bloom_dedup,
         "threshold_sweep": q_threshold_sweep,
         "f1_curve": q_f1_curve,

@@ -562,3 +562,55 @@ def write_digest_index(
         .saveAsTable(table)
     )
     return table
+
+
+def write_band_index(
+    spark: SparkSession,
+    out_dir: str,
+    table: str = "longqc_band_index",
+    n_buckets: int = 32,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> str:
+    """Materialize the committed labels store's minhash BAND buckets as a
+    ``bhash``-bucketed catalog table — the fuzzy twin of
+    ``write_digest_index``: where the digest index answers "was this exact
+    payload committed before?", the band index answers "was something NEAR
+    this committed before?" (``operators.dedup.incremental_neardup``).
+
+    Built over the stored ``scrubbed_text`` (the raw payload is not
+    retained in the labels store, only its digest); a probe against raw
+    re-crawl text loses a little recall on docs the scrubber actually
+    edited — for most of a corpus the two are identical. The
+    n_hashes/bands/shingle used here MUST be repeated at probe time (the
+    band hashing is parameter-dependent); they default to the
+    ``lsh_candidate_pairs`` defaults.
+
+    One corpus-scale signature pass at commit time; every later re-crawl
+    probes the bucketed table with zero corpus-side exchange on the
+    ``bhash`` join key and pays only its own (small) shuffle.
+
+    Returns the table name (read back with ``spark.table(name)``)."""
+    from .operators.dedup import minhash_band_table
+
+    labels = read_labels(spark, out_dir)
+    key = "url" if "url" in labels.columns else labels.columns[0]
+    (
+        minhash_band_table(
+            labels,
+            key_col=key,
+            text_col="scrubbed_text",
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle=shingle,
+        )
+        # bucketed on BOTH join keys: the probe's (band, bhash) semi-join
+        # consumes the scan directly (ClusteredDistribution satisfied), so
+        # the committed side has ZERO Exchange — only the batch shuffles
+        # (plan-pinned in test_plans)
+        .write.bucketBy(n_buckets, "band", "bhash")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table

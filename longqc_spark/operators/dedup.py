@@ -193,8 +193,22 @@ def lsh_candidate_pairs(
     over-cap bucket are the one thing given up — use ``max_bucket=None``
     (the default, exact pair semantics) when those are required.
     """
+    banded = _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes)
+    return _star_guarded_pairs(banded, ("band", "bhash"), key_col, max_bucket)
+
+
+# a minhash signature of a doc with ZERO shingles (NULL/too-short text) is
+# all-_SIG_EMPTY by construction (kernels set it where n_sh == 0); real
+# mins are right-shifted once so they can never reach it
+_SIG_EMPTY = int(np.iinfo(np.int64).max)
+
+
+def _band_rows(sigs: DataFrame, key_col: str, bands: int, n_hashes: int) -> DataFrame:
+    """→ (key, band:int, bhash:long): the banded-LSH bucket rows. ONE
+    definition shared by the within-run candidate join and the cross-run
+    band index, so the band hashing can never drift between them."""
     r = n_hashes // bands
-    banded = sigs.select(
+    return sigs.select(
         F.col(key_col),
         F.posexplode(
             F.array(
@@ -206,7 +220,84 @@ def lsh_candidate_pairs(
         ).alias("band", "bhash"),
     )
 
-    return _star_guarded_pairs(banded, ("band", "bhash"), key_col, max_bucket)
+
+def minhash_band_table(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """→ distinct ``(band:int, bhash:long)`` of every non-empty document —
+    the committed-corpus side of cross-run NEAR-dup (what ``payload_md5``
+    is to exact cross-run dedup, the band bucket set is to fuzzy). Docs
+    with no shingles (NULL or shorter than the shingle width) contribute
+    no rows: their all-``_SIG_EMPTY`` signatures would otherwise make every
+    empty doc "near" every other empty doc.
+
+    Size: ≤ ``bands`` rows per doc before the distinct; boilerplate-heavy
+    corpora collapse hard (duplicate docs share all their buckets).
+    Persist it bucketed on ``bhash`` (``lineage.write_band_index``) and
+    later probes shuffle only the batch side."""
+    sigs = minhash_signatures(
+        df.filter(F.col(text_col).isNotNull()),
+        key_col=key_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle=shingle,
+    ).filter(F.col("sig")[0] != _SIG_EMPTY)
+    return _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes).select(
+        "band", "bhash"
+    ).distinct()
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    committed_bands: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """Cross-run NEAR-duplicate exclusion: drop batch docs that share ANY
+    LSH band bucket with a previously committed corpus — the fuzzy twin of
+    ``incremental_dedup`` (which needs byte-identical payloads). A re-crawl
+    whose pages differ from run 1 only by timestamps/boilerplate noise
+    passes exact digest dedup but is caught here. Reference analog: the
+    all-vs-sample minimizer join (``lqmap.c:140-205``) with the "sample"
+    being a prior run's sketch instead of a subsample.
+
+    Semantics are CANDIDATE-level, by construction identical to the
+    within-run pipeline: a batch doc is dropped iff ``lsh_candidate_pairs``
+    (same n_hashes/bands/shingle — MUST match the values the index was
+    built with) would emit it as a candidate against some committed doc.
+    False-positive rate is the LSH candidate rate at r = n_hashes/bands
+    rows per band; raise r (fewer bands) for precision, more bands for
+    recall — exactly the within-run tuning. NULL-text and no-shingle docs
+    pass through (no identity; the empty-signature bucket is excluded on
+    BOTH sides).
+
+    Scale: batch side is signatures (flat-stream numpy) + one equi-join on
+    (band, bhash); the committed side is a pre-distinct band table — read
+    from a ``bhash``-bucketed index, the corpus side arrives pre-
+    partitioned and only the (small) batch shuffles. No corpus rescan, no
+    all-pairs anything."""
+    eligible = batch.filter(F.col(text_col).isNotNull())
+    nulls = batch.filter(F.col(text_col).isNull())
+    sigs = minhash_signatures(
+        eligible, key_col=key_col, text_col=text_col, n_hashes=n_hashes, shingle=shingle
+    ).filter(F.col("sig")[0] != _SIG_EMPTY)
+    hit_keys = (
+        _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes)
+        .join(
+            committed_bands.select("band", "bhash"), ["band", "bhash"], "left_semi"
+        )
+        .select(key_col)
+        .distinct()
+    )
+    return eligible.join(hit_keys, key_col, "left_anti").unionByName(nulls)
 
 
 def minhash_jaccard_estimate(

@@ -342,3 +342,76 @@ def test_contamination_hashed_matches_string_path(spark, sf001):
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
     assert len(a) > 0
+
+
+def _neardup_fixture(spark):
+    """Committed run = 40 template docs; batch = 20 near-copies (one word
+    edited), 20 fresh docs, 1 NULL and 1 too-short-for-shingles row."""
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def doc(seed_row):
+        return " ".join(rng.choice(vocab, 30))
+
+    committed_rows = [(i, doc(i)) for i in range(40)]
+    near = [
+        (100 + i, committed_rows[i][1].replace(f"w", "v", 1)) for i in range(20)
+    ]
+    fresh = [(200 + i, doc(i)) for i in range(20)]
+    edge = [(300, None), (301, "two words")]
+    committed = spark.createDataFrame(committed_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(near + fresh + edge, "doc_id long, text string")
+    return committed, batch
+
+
+def test_incremental_neardup_matches_within_run_candidates(spark):
+    """The cross-run exclusion must be candidate-IDENTICAL to the within-run
+    pipeline: a batch doc is dropped iff lsh_candidate_pairs on the pooled
+    corpus (same params) pairs it with some committed doc. NULL-text and
+    no-shingle docs pass through on both sides."""
+    from longqc_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_candidate_pairs,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    committed, batch = _neardup_fixture(spark)
+    bands_tbl = minhash_band_table(committed, key_col="doc_id", text_col="text")
+    admitted = sorted(
+        r["doc_id"]
+        for r in incremental_neardup(
+            batch, bands_tbl, key_col="doc_id", text_col="text"
+        ).collect()
+    )
+
+    pooled = committed.unionByName(batch).filter(F.col("text").isNotNull())
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(pooled, key_col="doc_id", text_col="text"),
+        key_col="doc_id",
+    ).collect()
+    dropped_expected = {
+        (r["key_b"] if r["key_a"] < 100 else r["key_a"])
+        for r in pairs
+        if (r["key_a"] < 100) != (r["key_b"] < 100)  # exactly one side committed
+    }
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    assert admitted == sorted(batch_ids - dropped_expected)
+    # the planted near-copies were actually caught, fresh docs survived,
+    # NULL/short rows passed through
+    assert all(100 <= d < 120 for d in dropped_expected)
+    assert len(dropped_expected) >= 18  # ≥90% recall on 1-word edits
+    assert 300 in admitted and 301 in admitted
+
+
+def test_incremental_neardup_empty_docs_not_near_each_other(spark):
+    """Empty/too-short docs share the all-max signature; they must NOT be
+    treated as near-duplicates of each other across runs."""
+    from longqc_spark.operators.dedup import incremental_neardup, minhash_band_table
+
+    committed = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, ""), (11, "x y")], "doc_id long, text string")
+    bands_tbl = minhash_band_table(committed, key_col="doc_id", text_col="text")
+    assert bands_tbl.count() == 0  # no shingles → no band rows at all
+    out = incremental_neardup(batch, bands_tbl, key_col="doc_id", text_col="text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 11]

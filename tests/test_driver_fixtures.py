@@ -277,3 +277,14 @@ def test_rows_only_query_golden_hash(spark, sf001, name):
     n, h = _GOLDEN_SF001[name]
     assert len(pdf) == n, f"{name}: rows {len(pdf)} != pinned {n}"
     assert _canon_hash(pdf) == h, f"{name}: value hash drifted from pin"
+
+
+def test_incremental_neardup_expected_values(spark, sf01):
+    """Golden pin for the rows-only cross-run near-dup query: every edited
+    re-crawl is caught by the band index (0 missed), and the admitted set is
+    bit-stable (deterministic minhash params + xxhash64 bands)."""
+    df = entry.queries()["incremental_neardup"](spark, sf01).toPandas()
+    assert len(df) == 20
+    assert int(df.n_recrawl_missed.sum()) == 0  # 100% recall on 1-token edits
+    assert int(df.n_admitted.sum()) == 165
+    assert int(df.admitted_id_sum.sum()) == 41379

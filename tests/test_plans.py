@@ -574,3 +574,93 @@ def test_digest_index_bucketed_dedup_no_corpus_exchange(spark, corpus_path, tmp_
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     spark.sql("DROP TABLE digest_idx_t")
+
+
+def test_band_index_neardup_catches_recrawl_edits(spark, corpus_path, tmp_path):
+    """write_band_index + incremental_neardup: a re-crawl whose pages differ
+    from the committed run only by small edits (timestamps, one word) passes
+    EXACT digest dedup but is caught by the band index; genuinely new pages
+    survive. The committed side arrives from the bhash-bucketed table —
+    no corpus-side Exchange in the probe plan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from longqc_spark.lineage import run_qc_with_lineage, write_band_index
+    from longqc_spark.operators.dedup import incremental_dedup, incremental_neardup
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS band_idx_t")
+    shutil.rmtree(f"{wh}/band_idx_t", ignore_errors=True)
+
+    out = str(tmp_path / "run")
+    docs = spark.read.parquet(corpus_path)
+    run_qc_with_lineage(docs, out, n_buckets=2)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_band_index(spark, out, table="band_idx_t", n_buckets=n_parts)
+    bands_tbl = spark.table("band_idx_t")
+
+    # re-crawl: the same pages with one token prepended (digest changes,
+    # shingle sets barely move) + 40 genuinely new docs
+    recrawl = docs.limit(200).withColumn(
+        "text", F.concat(F.lit("updated2025 "), F.col("text"))
+    )
+    fresh = (
+        spark.range(40)
+        .select(
+            F.concat(F.lit("https://new.site/p"), F.col("id").cast("string")).alias("url"),
+            F.concat(
+                F.lit("completely fresh page body "),
+                F.sha2(F.col("id").cast("string"), 256), F.lit(" "),
+                F.sha2((F.col("id") + 1).cast("string"), 256), F.lit(" "),
+                F.sha2((F.col("id") + 2).cast("string"), 256),
+            ).alias("text"),
+        )
+    )
+    batch = recrawl.select("url", "text").unionByName(fresh)
+
+    # exact digest dedup admits EVERYTHING (all payloads changed) …
+    digests = spark.read.parquet(f"{out}/data").select("payload_md5")
+    assert (
+        incremental_dedup(batch, digests, key_col="url", text_col="text").count()
+        == batch.count()
+    )
+    # … the band index catches the near-copies and keeps the fresh pages
+    admitted = incremental_neardup(batch, bands_tbl, key_col="url", text_col="text")
+    got = [r["url"] for r in admitted.collect()]
+    assert all(u.startswith("https://new.site/") for u in got)
+    assert len(got) == 40
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            incremental_neardup(batch, bands_tbl, key_col="url", text_col="text")
+        )
+        # committed side: the (band, bhash)-bucketed scan feeds the semi-join
+        # directly — Bucketed: true and NO Exchange above the index scan
+        assert "Bucketed: true" in plan, plan
+        # differential pin: probing the same rows UNBUCKETED costs exactly
+        # one more Exchange (the committed-side shuffle the index removes)
+        flat = str(tmp_path / "bands_flat")
+        bands_tbl.write.parquet(flat)
+        unbucketed = _plan(
+            incremental_neardup(
+                batch, spark.read.parquet(flat), key_col="url", text_col="text"
+            )
+        )
+        band_shuffles = lambda p: len(  # noqa: E731
+            re.findall(r"Exchange hashpartitioning\(band", p)
+        )
+        # the optimizer pushes the anti-join through the batch Union,
+        # duplicating the semi-join per branch — so pin PER SEMI-JOIN: the
+        # bucketed probe shuffles only its batch side (1 band exchange per
+        # join); the unbucketed control shuffles BOTH sides (2 per join)
+        n_joins = plan.count("LeftSemi")
+        assert n_joins >= 1
+        assert band_shuffles(plan) == n_joins, plan
+        assert band_shuffles(unbucketed) == 2 * unbucketed.count("LeftSemi"), unbucketed
+        assert unbucketed.count("Exchange") > plan.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    spark.sql("DROP TABLE band_idx_t")
