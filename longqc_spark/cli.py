@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
                         "--exclude-labels-style dedup against it is "
                         "exchange-free on the corpus side (pass the table "
                         "to incremental_dedup via spark.table)")
+    p.add_argument("--band-index", default=None, metavar="TABLE",
+                   help="after the run: save the committed corpus's minhash "
+                        "LSH band buckets as a (band,bhash)-bucketed catalog "
+                        "table — later incremental_neardup probes against it "
+                        "drop NEAR-duplicate re-crawls (edited pages exact "
+                        "digest dedup misses) with zero corpus-side exchange")
     p.add_argument("--drift-against", default=None, metavar="DIR",
                    help="after the run: PSI drift report of this run's label "
                         "distributions vs a previous run's committed store "
@@ -191,6 +197,12 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.out, table=args.digest_index, n_buckets=args.buckets
         )
         print(f"digest index bucketed into table {t}", file=sys.stderr)
+
+    if args.band_index:
+        from .lineage import write_band_index
+
+        t = write_band_index(spark, args.out, table=args.band_index)
+        print(f"band index bucketed into table {t}", file=sys.stderr)
 
     if args.compact:
         from .lineage import compact_labels

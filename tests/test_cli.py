@@ -241,3 +241,31 @@ def test_cli_digest_index(spark, corpus_path, tmp_path):
     docs = spark.read.parquet(corpus_path)
     assert incremental_dedup(docs, idx, key_col="url", text_col="text").count() == 0
     spark.sql("DROP TABLE cli_digest_idx")
+
+
+def test_cli_band_index(spark, corpus_path, tmp_path):
+    """--band-index materializes the committed corpus's LSH band buckets;
+    a re-crawl of the same pages with one token prepended (exact dedup
+    would admit everything) is dropped by the near-dup probe."""
+    import shutil
+
+    from longqc_spark.operators.dedup import incremental_neardup
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS cli_band_idx")
+    shutil.rmtree(f"{wh}/cli_band_idx", ignore_errors=True)
+
+    out = str(tmp_path / "run")
+    assert main(["--input", corpus_path, "--out", out, "--buckets", "2",
+                 "--band-index", "cli_band_idx", "--local-cores", "8"]) == 0
+    idx = spark.table("cli_band_idx")
+    assert idx.columns == ["band", "bhash"]
+    recrawl = spark.read.parquet(corpus_path).limit(100).select(
+        "url", F.concat(F.lit("edited2025 "), F.col("text")).alias("text")
+    )
+    admitted = incremental_neardup(recrawl, idx, key_col="url", text_col="text")
+    # every re-crawled page is near its committed original (the index is
+    # built over stored scrubbed_text, so pages the scrubber edited may
+    # slip — allow a small remainder, but the bulk must be caught)
+    assert admitted.count() <= 20
+    spark.sql("DROP TABLE cli_band_idx")
