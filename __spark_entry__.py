@@ -2124,10 +2124,12 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # the 6 never-driver-checked round-3 queries (local-oracle-green)
     "weighted_sample", "oov_rate", "shard_assign", "normalized_dedup",
     "split_assign", "source_mix",
-    # new round-4 web-hygiene + crawl-snapshot queries — need driver rows too
+    # new round-4 web-hygiene + crawl-snapshot + monitoring queries — need
+    # driver rows too
     "url_canonical", "domain_cap", "line_dedup",
     "latest_crawl", "snapshot_novelty", "corpus_line_dedup", "bloom_dedup",
     "threshold_sweep", "f1_curve",
+    "blocklist_filter", "score_drift", "incremental_neardup",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -2136,13 +2138,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
     "fingerprint", "running_sum", "pivot_counts", "token_quality",
     "tumbling_counts", "interval_occupancy", "active_regions", "merge_upsert",
-    "salted_agg", "set_ops", "cube_counts", "approx_quantiles",
-    "mean_stddev",
+    "salted_agg", "set_ops",
     # (asof_join/range_join/attribution_join rotated out for the three
-    # crawl-snapshot queries, and collect_set/moving_avg/sessionize for
-    # bloom_dedup/threshold_sweep/f1_curve — all six were driver-green in
-    # r2; the list is kept at EXACTLY 50 = the driver's window size so
-    # every name here is actually checked)
+    # crawl-snapshot queries; collect_set/moving_avg/sessionize for
+    # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
+    # mean_stddev for blocklist_filter/score_drift/incremental_neardup —
+    # all nine were driver-green in r1/r2; the list is kept at EXACTLY 50 =
+    # the driver's window size so every name here is actually checked)
 )
 assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 
