@@ -598,6 +598,122 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:  # data mixing
     )
 
 
+def _with_recrawl(docs: DataFrame) -> DataFrame:
+    """documents ∪ a deterministic 're-crawl' of every doc_id % 3 == 0 page
+    under a NEW id (+100000, same payload) — the testdata has (almost) no
+    exact-duplicate texts at sf≤0.01, so queries whose point is duplicate
+    handling synthesize the duplicates both engines can reproduce."""
+    recrawl = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return docs.unionByName(recrawl)
+
+
+_RECRAWL_SQL = """
+                SELECT * FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_keep_best_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (quality-aware)
+    """Quality-aware exact dedup: per payload digest keep the HIGHEST-score
+    doc (tie → min doc_id) instead of the arbitrary min-key winner — the
+    keep policy a production corpus wants (survive as the clean mirror, not
+    the ad-injected copy). Runs over documents ∪ a synthetic re-crawl (the
+    testdata has no duplicate texts at sf≤0.01) with a deterministic
+    pseudo-quality (doc_id % 7) so the copies of one text carry DIFFERENT
+    scores and the argmax is genuinely exercised (exact duplicates share
+    alpha_frac/n_chars, which would degenerate to min-key). Verified by
+    per-source kept-id and kept-score sums, which pin the exact winner
+    set."""
+    from longqc_spark.operators.dedup import keep_best_dedup
+
+    docs = _with_recrawl(_read(spark, sf, "documents")).withColumn(
+        "q_score", (F.col("doc_id") % 7).cast("double")
+    )
+    kept = keep_best_dedup(docs, "q_score", key_col="doc_id", text_col="text")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+            F.sum("q_score").alias("sum_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:  # data mixing (volume)
+    """Mixture construction by VOLUME budget ("4k chars of src0, 2k of src1,
+    800 of src2") — md5-priority greedy prefix per source, admitted while
+    the running total BEFORE the doc is under budget. The unit real
+    mixtures are specified in (tokens), with n_chars as the deterministic
+    stand-in."""
+    from longqc_spark.operators.text import mix_sources_token_budget
+
+    docs = _read(spark, sf, "documents")
+    mixed = mix_sources_token_budget(
+        docs, budgets={"src0": 4000, "src1": 2000, "src2": 800},
+        count_col="n_chars",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:  # eval integrity
+    """Cross-split contamination audit: normalized-digest texts straddling
+    >1 dataset split (train/val/test from the md5-percent rule). The split
+    rule is leakage-proof per doc_id; duplicate PAYLOADS under distinct ids
+    still straddle — the reason dedup precedes splitting. Runs over
+    documents ∪ a synthetic re-crawl (new ids, same payloads) so leaks
+    exist at every sf. One digest-keyed exchange feeding both rollups."""
+    from longqc_spark.operators.text import dataset_split_expr, split_leakage_report
+
+    docs = _with_recrawl(_read(spark, sf, "documents")).withColumn(
+        "split", dataset_split_expr("doc_id")
+    )
+    return split_leakage_report(docs, "split", normalize=True)
+
+
+def q_domain_quality(spark: SparkSession, sf: str) -> DataFrame:  # crawl feedback loop
+    """Per-domain quality rollup + blocklist candidates: keep-rate and mean
+    perplexity per registrable host, flagging domains whose docs
+    overwhelmingly fail (the crawl-side feedback loop; reference per-platform
+    rollup ``longQC.py:390-396``). Deterministic keep rule (alpha_frac ≥
+    0.55 ∧ n_chars ≥ 50) and an integer-valued perplexity stand-in
+    (n_chars) so the avg is bit-exact cross-engine."""
+    from longqc_spark.operators.text import domain_stats
+
+    docs = _synth_urls(_read(spark, sf, "documents"))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    labels = docs.withColumn(
+        "keep",
+        (alpha.cast("double") / F.length("text") >= 0.55) & (F.col("n_chars") >= 50),
+    ).withColumn("perplexity", F.col("n_chars").cast("double"))
+    return domain_stats(labels, min_docs=5, max_drop_rate=0.8)
+
+
+def q_dup_inflation(spark: SparkSession, sf: str) -> DataFrame:  # corpus health
+    """Duplicate-inflation histogram: exact-duplicate cluster-size
+    distribution plus the doc/char volume a keep-one dedup would reclaim —
+    the number a dedup pass is judged by ("X% of chars are copies"). Runs
+    over documents ∪ a synthetic re-crawl so clusters of size 2 exist at
+    every sf."""
+    from longqc_spark.operators.dedup import dup_cluster_sizes
+
+    docs = _with_recrawl(_read(spark, sf, "documents"))
+    return dup_cluster_sizes(docs, text_col="text", size_col="n_chars")
+
+
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:  # text: token counting
     docs = _read(spark, sf, "documents")
     return (
@@ -2130,6 +2246,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "latest_crawl", "snapshot_novelty", "corpus_line_dedup", "bloom_dedup",
     "threshold_sweep", "f1_curve",
     "blocklist_filter", "score_drift", "incremental_neardup",
+    # round-4b corpus-health + mixture queries — never driver-checked
+    "keep_best_dedup", "token_budget_mix", "split_leakage",
+    "domain_quality", "dup_inflation",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -2137,14 +2256,15 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
     "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
     "fingerprint", "running_sum", "pivot_counts", "token_quality",
-    "tumbling_counts", "interval_occupancy", "active_regions", "merge_upsert",
-    "salted_agg", "set_ops",
+    "tumbling_counts",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
-    # mean_stddev for blocklist_filter/score_drift/incremental_neardup —
-    # all nine were driver-green in r1/r2; the list is kept at EXACTLY 50 =
-    # the driver's window size so every name here is actually checked)
+    # mean_stddev for blocklist_filter/score_drift/incremental_neardup;
+    # interval_occupancy/active_regions/merge_upsert/salted_agg/set_ops for
+    # the five round-4b corpus-health queries — all rotated-out names were
+    # driver-green in r1/r2; the list is kept at EXACTLY 50 = the driver's
+    # window size so every name here is actually checked)
 )
 assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 
@@ -2186,6 +2306,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "split_assign": q_split_assign,
         "source_mix": q_source_mix,
+        "keep_best_dedup": q_keep_best_dedup,
+        "token_budget_mix": q_token_budget_mix,
+        "split_leakage": q_split_leakage,
+        "domain_quality": q_domain_quality,
+        "dup_inflation": q_dup_inflation,
         "url_canonical": q_url_canonical,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
@@ -2774,6 +2899,111 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 )
             ) GROUP BY split ORDER BY split
+        """,
+        "keep_best_dedup": """
+            WITH corpus AS (
+                SELECT * FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 3 = 0
+            ), ranked AS (
+                SELECT doc_id, source, CAST(doc_id % 7 AS DOUBLE) AS q,
+                       row_number() OVER (PARTITION BY md5(text)
+                           ORDER BY (doc_id % 7) DESC, doc_id) AS rn
+                FROM corpus WHERE text IS NOT NULL
+            )
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+                   CAST(sum(q) AS DOUBLE) AS sum_score
+            FROM ranked WHERE rn = 1 GROUP BY source ORDER BY source
+        """,
+        "token_budget_mix": """
+            WITH ranked AS (
+                SELECT source, n_chars, doc_id,
+                       sum(n_chars) OVER (PARTITION BY source
+                           ORDER BY md5(doc_id || '#23'), doc_id) - n_chars AS cum_before
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM ranked
+            WHERE cum_before < CASE source WHEN 'src0' THEN 4000
+                                           WHEN 'src1' THEN 2000
+                                           ELSE 800 END
+            GROUP BY source ORDER BY source
+        """,
+        "split_leakage": """
+            WITH corpus AS (
+                SELECT * FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 3 = 0
+            ), d AS (
+                SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9 \\n]', ' ', 'g'), '\\s+', ' ', 'g'))) AS dg,
+                       CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT text,
+                           CAST(('0x' || substr(md5(doc_id || '#split'), 1, 8)) AS BIGINT) % 100 AS u
+                    FROM corpus WHERE text IS NOT NULL
+                )
+            ), pds AS (
+                SELECT dg, split, count(*) AS n FROM d GROUP BY 1, 2
+            ), pd AS (
+                SELECT dg, count(*) AS ns, sum(n) AS nd, max(n) AS nm
+                FROM pds GROUP BY dg
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_leaky_texts,
+                   CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs_in_leaky,
+                   CAST(coalesce(sum(nd - nm), 0) AS BIGINT) AS n_cross_split_excess
+            FROM pd WHERE ns > 1
+        """,
+        "domain_quality": """
+            WITH urls AS (
+                SELECT *,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+                       || 'site' || CAST(doc_id % 17 AS VARCHAR) || '.Example.COM/Page'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || (CASE doc_id % 4
+                               WHEN 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed'
+                               WHEN 1 THEN '?utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+                               WHEN 2 THEN '/'
+                               ELSE '#Section2' END) AS url
+                FROM documents
+            ), labels AS (
+                SELECT regexp_extract(url, '(?i)^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)', 1) AS domain,
+                       (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                            / length(text) >= 0.55) AND n_chars >= 50 AS keep,
+                       CAST(n_chars AS DOUBLE) AS perplexity
+                FROM urls
+            )
+            SELECT domain, count(*) AS n_docs,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS n_keep,
+                   avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END) AS keep_rate,
+                   avg(perplexity) AS avg_perplexity,
+                   (1.0 - avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END)) > 0.8
+                       AS blocklist_candidate
+            FROM labels WHERE domain <> ''
+            GROUP BY domain HAVING count(*) >= 5 ORDER BY domain
+        """,
+        "dup_inflation": """
+            WITH corpus AS (
+                SELECT * FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 3 = 0
+            ), c AS (
+                SELECT md5(text) AS dg, count(*) AS cs,
+                       sum(n_chars) AS ch, max(n_chars) AS ch1
+                FROM corpus WHERE text IS NOT NULL GROUP BY 1
+            )
+            SELECT cs AS cluster_size, count(*) AS n_clusters,
+                   CAST(count(*) * cs AS BIGINT) AS n_docs,
+                   CAST(count(*) * (cs - 1) AS BIGINT) AS n_excess_docs,
+                   CAST(sum(ch) - sum(ch1) AS BIGINT) AS excess_chars
+            FROM c GROUP BY cs ORDER BY cs
         """,
         "token_counts": """
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens

@@ -853,3 +853,98 @@ def incremental_dedup(
         known, on=F.col("_digest") == F.col("_known_md5"), how="left_anti"
     ).drop("_digest")
     return kept.unionByName(nulls)
+
+
+def keep_best_dedup(
+    df: DataFrame,
+    score_col: str,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Quality-aware exact dedup: keep the HIGHEST-``score_col`` doc per
+    payload digest (tie → min ``key_col``), instead of the arbitrary-but-
+    deterministic min-key winner the plain dedup window picks.
+
+    This is the keep policy production corpora actually want: a page crawled
+    from both a clean mirror and an ad-injected aggregator should survive as
+    the clean copy, not whichever URL sorts first. The reference's analog is
+    M13's per-key best-record reconstruction (``lq_sequel.py:76-137``: among
+    subreads of one hole, the longest/highest-quality one represents the
+    ZMW).
+
+    Plan shape: identical to the min-key dedup — ONE hash exchange on the
+    digest; ``row_number`` + ``_rn = 1`` filter lets Catalyst derive a
+    WindowGroupLimit (per-partition top-1 precedes the shuffle, so only one
+    candidate row per digest per input partition moves). ``normalize=True``
+    digests whitespace/case/punct-normalized text, catching trivial-variant
+    duplicates at the same cost.
+
+    Returns the surviving rows (original columns). NULL payloads carry no
+    digest and pass through untouched (not duplicates of anything); NULL
+    scores lose every tie (sorted last) but a digest group that is ALL-NULL
+    score still keeps its min-key row.
+    """
+    from .text import normalize_text_expr
+
+    payload = F.col(html_col or text_col)
+    nulls = df.filter(payload.isNull())
+    digest = (
+        F.md5(normalize_text_expr(html_col or text_col).cast("binary"))
+        if normalize
+        else F.md5(payload.cast("binary"))
+    )
+    w = Window.partitionBy("_digest").orderBy(
+        F.col(score_col).desc_nulls_last(), key_col
+    )
+    kept = (
+        df.filter(payload.isNotNull())
+        .withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_digest")
+    )
+    return kept.unionByName(nulls)
+
+
+def dup_cluster_sizes(
+    df: DataFrame,
+    text_col: str = "text",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Duplicate-inflation histogram: distribution of exact-duplicate
+    cluster sizes plus the volume they inflate — the corpus-health number a
+    dedup pass is judged by ("X% of tokens are copies"). Reference analog:
+    A14's per-bin count histogram over a derived stat (``longQC.py:418-427``)
+    with the stat being the duplicate-cluster size.
+
+    Two partial-agg groupBys (digest → cluster size, size → histogram row);
+    the first is the exact-dedup exchange, the second's cardinality is the
+    number of DISTINCT cluster sizes (tiny). No sorts beyond the final
+    presentation orderBy.
+
+    → (cluster_size, n_clusters, n_docs, n_excess_docs, excess_chars) where
+    excess = everything a keep-one dedup would drop.
+    """
+    clusters = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col).cast("binary")).alias("_digest"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(size_col).alias("_chars"),
+            F.max(size_col).alias("_chars_one"),
+        )
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+            (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
+            .cast("bigint")
+            .alias("n_excess_docs"),
+            (F.sum("_chars") - F.sum("_chars_one")).cast("bigint").alias("excess_chars"),
+        )
+        .orderBy("cluster_size")
+    )

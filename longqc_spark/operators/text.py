@@ -349,3 +349,105 @@ def mix_sources(
         .filter((F.col("_rn") <= F.lit(max_q)) & (F.col("_rn") <= quota_col))
         .drop("_prio", "_rn")
     )
+
+
+def mix_sources_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    count_col: str = "n_chars",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Training-mixture construction by VOLUME budget, not doc count: per
+    source, admit md5-priority winners while the running ``count_col`` total
+    stays under that source's budget ("2B web tokens, 1B code tokens" — the
+    unit every real mixture is specified in, since doc length varies by
+    orders of magnitude across sources). A doc is admitted iff the budget
+    was not yet exhausted BEFORE it (its own count may overshoot — the
+    standard greedy-prefix rule, so the budget is met to within one doc and
+    the selection is a deterministic prefix, stable under re-runs and
+    repartitioning, composing with split/shard downstream like
+    ``mix_sources``).
+
+    One hash-partition shuffle (running-sum window per source, ordered by
+    the md5 priority). Unlike the quota rank in ``mix_sources`` the bound is
+    data-dependent, so no WindowGroupLimit pre-shuffle cut exists — the
+    whole selected-source row set shuffles once and each source partition is
+    sorted. At 10^12 docs over a handful of sources that per-source sort is
+    the cost; the two-pass range-prefix-sum trick in ``assign_shards``
+    (``relational.py``) applies verbatim if a source outgrows a partition —
+    kept single-pass here because mixtures are built per-snapshot, where
+    sources are the natural partition.
+    """
+    from pyspark.sql import Window
+
+    budget_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv]),
+        F.col(source_col),
+    )
+    prio = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")).cast("binary")
+    )
+    w = Window.partitionBy(source_col).orderBy("_prio", key_col)
+    running = F.sum(F.col(count_col).cast("bigint")).over(w)
+    return (
+        df.filter(F.col(source_col).isin(list(budgets)))
+        .withColumn("_prio", prio)
+        .withColumn("_before", running - F.col(count_col).cast("bigint"))
+        .filter(F.col("_before") < budget_col)
+        .drop("_prio", "_before")
+    )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    split_col: str,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Cross-split contamination audit: texts whose (normalized) digest
+    appears in MORE THAN ONE dataset split — the eval-integrity check run
+    after any split assignment (a val/test doc with a train-side twin leaks
+    the answer). The md5-percent split rule is leakage-proof only per KEY;
+    distinct keys carrying duplicate payloads still straddle splits, which
+    is exactly what this surfaces (and why dedup must precede splitting).
+
+    Two partial-agg groupBys, both keyed on the digest (one exchange — the
+    second groupBy is over ≤ |distinct digests| rows, and the final global
+    rollup is a 1-row agg). → one row:
+    (n_leaky_texts, n_docs_in_leaky, n_cross_split_excess) where excess =
+    docs outside each leaky digest's majority split (the minimum deletions
+    that would confine every text to one split; computed max-first so a
+    50/50 straddle counts half).
+    """
+    digest = (
+        F.md5(normalize_text_expr(text_col).cast("binary"))
+        if normalize
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(digest.alias("_digest"), F.col(split_col).alias("_split"))
+        # HashPartitioning(_digest) satisfies ClusteredDistribution for BOTH
+        # downstream groupBys ((digest,split) then (digest)) — one exchange
+        .repartition(F.col("_digest"))
+    )
+    per_digest_split = base.groupBy("_digest", "_split").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # rows of per_digest_split are already distinct (digest,split) pairs, so
+    # a plain count IS the distinct-split count (no countDistinct expand)
+    per_digest = per_digest_split.groupBy("_digest").agg(
+        F.count(F.lit(1)).alias("_n_splits"),
+        F.sum("_n").alias("_n_docs"),
+        F.max("_n").alias("_n_major"),
+    )
+    leaky = per_digest.filter(F.col("_n_splits") > 1)
+    return leaky.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaky_texts"),
+        F.coalesce(F.sum("_n_docs"), F.lit(0)).cast("bigint").alias("n_docs_in_leaky"),
+        F.coalesce(F.sum(F.col("_n_docs") - F.col("_n_major")), F.lit(0))
+        .cast("bigint")
+        .alias("n_cross_split_excess"),
+    )

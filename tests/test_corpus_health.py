@@ -1,0 +1,196 @@
+"""Round-4b corpus-health operators: quality-aware dedup, token-budget
+mixtures, split-leakage audit, duplicate-inflation histogram.
+
+Semantics pinned on hand fixtures; scale posture pinned by plan audits
+(WindowGroupLimit pre-shuffle cut for the dedup window, bounded exchanges).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from longqc_spark.operators.dedup import dup_cluster_sizes, keep_best_dedup
+from longqc_spark.operators.text import (
+    mix_sources_token_budget,
+    split_leakage_report,
+)
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture()
+def dup_docs(spark):
+    # three copies of "aaa" (scores 1.0 / 5.0 / 5.0), two of "bbb" (NULL and
+    # 2.0 scores), one unique "ccc", one NULL payload, one all-NULL-score pair
+    rows = [
+        (1, "aaa", 1.0),
+        (2, "aaa", 5.0),
+        (3, "aaa", 5.0),
+        (4, "bbb", None),
+        (5, "bbb", 2.0),
+        (6, "ccc", 7.0),
+        (7, None, 9.0),
+        (8, "ddd", None),
+        (9, "ddd", None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, score double")
+
+
+def test_keep_best_picks_argmax_with_min_key_tiebreak(dup_docs):
+    kept = keep_best_dedup(dup_docs, "score", key_col="doc_id", text_col="text")
+    got = sorted(r.doc_id for r in kept.collect())
+    # aaa → doc 2 (max score 5.0, tie with 3 → min key); bbb → doc 5 (NULL
+    # score loses); ccc → doc 6; NULL payload doc 7 passes through untouched;
+    # all-NULL-score ddd group still keeps its min-key row (doc 8)
+    assert got == [2, 5, 6, 7, 8]
+
+
+def test_keep_best_normalize_collapses_trivial_variants(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello,  World!", 1.0), (2, "hello world", 3.0), (3, "other", 0.0)],
+        "doc_id long, text string, score double",
+    )
+    kept = keep_best_dedup(
+        docs, "score", key_col="doc_id", text_col="text", normalize=True
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+
+
+def test_keep_best_window_has_pre_shuffle_group_limit(dup_docs):
+    """row_number + _rn = 1 must compile to a WindowGroupLimit (per-partition
+    top-1 BEFORE the digest exchange) — the property that keeps the dedup
+    shuffle at one candidate row per digest per input partition at 10^12
+    docs, identical to the min-key dedup plan."""
+    kept = keep_best_dedup(dup_docs, "score", key_col="doc_id", text_col="text")
+    plan = _formatted(kept)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_dup_cluster_sizes_histogram(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", 3),
+            (2, "aaa", 3),
+            (3, "aaa", 3),
+            (4, "bbb", 5),
+            (5, "bbb", 5),
+            (6, "ccc", 7),
+            (7, None, 9),
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    got = {
+        r.cluster_size: r
+        for r in dup_cluster_sizes(docs, "text", "n_chars").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_clusters, got[1].n_docs, got[1].n_excess_docs) == (1, 1, 0)
+    assert (got[2].n_clusters, got[2].n_docs, got[2].n_excess_docs) == (1, 2, 1)
+    assert got[2].excess_chars == 5  # one dropped "bbb" copy
+    assert (got[3].n_clusters, got[3].n_docs, got[3].n_excess_docs) == (1, 3, 2)
+    assert got[3].excess_chars == 6  # two dropped "aaa" copies
+
+
+def test_token_budget_mix_greedy_prefix(spark):
+    """Per-source md5-priority order; a doc is admitted iff the running
+    total BEFORE it is under budget (one-doc overshoot allowed) — verify
+    against a pandas reimplementation of the same rule."""
+    import hashlib
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "source": ["a", "b"] * 20,
+            "n_chars": [(i * 37) % 90 + 10 for i in range(40)],
+        }
+    )
+    budgets = {"a": 150, "b": 60}
+    docs = spark.createDataFrame(pdf)
+    got = sorted(
+        r.doc_id
+        for r in mix_sources_token_budget(
+            docs, budgets, count_col="n_chars", seed=23
+        ).collect()
+    )
+
+    def prio(i):
+        return hashlib.md5(f"{i}#23".encode()).hexdigest()
+
+    want = []
+    for src, grp in pdf.groupby("source"):
+        run = 0
+        for _, row in grp.assign(p=grp.doc_id.map(prio)).sort_values(
+            ["p", "doc_id"]
+        ).iterrows():
+            if run < budgets[src]:
+                want.append(int(row.doc_id))
+            run += int(row.n_chars)
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_token_budget_mix_stable_under_repartition(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    budgets = {"src0": 2000, "src1": 1000}
+    a = mix_sources_token_budget(docs, budgets).select("doc_id")
+    b = mix_sources_token_budget(docs.repartition(13), budgets).select("doc_id")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_split_leakage_report_counts(spark):
+    # digest X straddles train(2)/val(1) → leaky, excess = 1 (majority=train)
+    # digest Y is train-only → clean; NULL text ignored
+    docs = spark.createDataFrame(
+        [
+            (1, "xxx", "train"),
+            (2, "xxx", "train"),
+            (3, "XXX!", "val"),  # normalized twin of xxx
+            (4, "yyy", "train"),
+            (5, "yyy", "train"),
+            (6, None, "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    row = split_leakage_report(docs, "split", normalize=True).collect()[0]
+    assert (row.n_leaky_texts, row.n_docs_in_leaky, row.n_cross_split_excess) == (
+        1,
+        3,
+        1,
+    )
+
+
+def test_split_leakage_zero_when_clean(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "train"), (2, "b", "val")], "doc_id long, text string, split string"
+    )
+    row = split_leakage_report(docs, "split").collect()[0]
+    assert (row.n_leaky_texts, row.n_docs_in_leaky, row.n_cross_split_excess) == (
+        0,
+        0,
+        0,
+    )
+
+
+def test_split_leakage_single_corpus_exchange(spark, sf001):
+    """The digest repartition must be the ONLY corpus-side exchange: both
+    groupBys (digest,split → digest) run on HashPartitioning(_digest); the
+    final 1-row rollup adds its own SinglePartition exchange over ≤|leaky
+    digests| rows, which is not corpus-sized."""
+    from longqc_spark.operators.text import dataset_split_expr
+
+    docs = (
+        spark.read.parquet(f"{sf001}/documents.parquet")
+        .withColumn("split", dataset_split_expr("doc_id"))
+    )
+    plan = _formatted(split_leakage_report(docs, "split"))
+    # exactly two Exchanges total: the explicit digest repartition + the
+    # SinglePartition gather for the global rollup ("Exchange (n)" is the
+    # tree-line form; the "(n) Exchange" detail headers would double-count)
+    assert plan.count("Exchange (") == 2
+    assert plan.count("REPARTITION_BY_COL") == 1
+    assert plan.count("SinglePartition") == 1
