@@ -71,6 +71,18 @@ def main(argv: list[str] | None = None) -> int:
                         "lines and # comments skipped); a page is dropped "
                         "when its host equals an entry or is a subdomain of "
                         "one (suffix match per dot-label)")
+    p.add_argument("--payload-dedup", action="store_true",
+                   help="within-corpus exact payload dedup before QC (one "
+                        "winner per payload digest; min-key unless "
+                        "--payload-score-col)")
+    p.add_argument("--payload-score-col", default=None, metavar="COL",
+                   help="quality-argmax winner policy for --payload-dedup: "
+                        "keep the max-COL row per digest (tie -> min key); "
+                        "COL must be a pre-QC prior present on the input")
+    p.add_argument("--payload-dedup-normalize", action="store_true",
+                   help="digest whitespace/case/punct-NORMALIZED text for "
+                        "--payload-dedup (catches trivial-variant dups; "
+                        "text inputs only)")
     p.add_argument("--fuzzy-scrub", action="store_true",
                    help="tolerance scrub pass: tokens within 1 edit of a "
                         "lexicon term at identity >= 0.75 are scrubbed too "
@@ -134,6 +146,9 @@ def main(argv: list[str] | None = None) -> int:
         "domain_cap": args.domain_cap,
         "line_dedup_min_docs": args.line_dedup_min_docs,
         "blocklist": args.blocklist,
+        "payload_dedup": args.payload_dedup,
+        "payload_score_col": args.payload_score_col,
+        "payload_dedup_normalize": args.payload_dedup_normalize,
     }
     if any(v is not None and v is not False for v in hygiene_config.values()):
         from .curation import web_hygiene
@@ -157,6 +172,17 @@ def main(argv: list[str] | None = None) -> int:
             domain_cap_n=args.domain_cap,
             line_dedup_min_docs=args.line_dedup_min_docs,
             blocklist=bl,
+        )
+    if args.payload_dedup:
+        from .operators.dedup import keep_best_dedup
+
+        docs = keep_best_dedup(
+            docs,
+            args.payload_score_col,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            html_col=args.html_col,
+            normalize=args.payload_dedup_normalize,
         )
     manifest = run_qc_with_lineage(
         docs,

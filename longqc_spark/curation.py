@@ -123,6 +123,9 @@ def curate(
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
+    payload_dedup: bool = False,
+    payload_score_col: str | None = None,
+    payload_dedup_normalize: bool = False,
 ) -> DataFrame:
     """documents → curated training rows.
 
@@ -137,6 +140,13 @@ def curate(
        (``line_dedup_min_docs`` — drop lines occurring in that many
        distinct docs corpus-wide; needs a real ``text_col``, so it is
        incompatible with extraction-deferred ``html_col`` inputs);
+    0.5 ``payload_dedup``: within-corpus exact payload dedup — ONE winner
+       per (optionally normalized: ``payload_dedup_normalize``) payload
+       digest. Winner policy: min ``key_col`` by default, or quality-argmax
+       when ``payload_score_col`` names a pre-QC prior (crawl rank,
+       fetch-quality score — the QC score itself doesn't exist yet at this
+       stage). Same single digest exchange either way
+       (``dedup.keep_best_dedup``);
     1. ``exclude_labels``: incremental cross-run dedup against a committed
        label store (anti-join on its stored ``payload_md5``);
     2. QC: full stat vector + rules + scrub; only ``keep`` rows survive;
@@ -165,6 +175,23 @@ def curate(
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,
     )
+    if payload_dedup:
+        from .operators.dedup import keep_best_dedup
+
+        if payload_dedup_normalize and html_col is not None:
+            raise ValueError(
+                "payload_dedup_normalize normalizes TEXT; with an "
+                "extraction-deferred html_col run extraction first or drop "
+                "the normalize flag"
+            )
+        src = keep_best_dedup(
+            src,
+            payload_score_col,
+            key_col=key_col,
+            text_col=text_col,
+            html_col=html_col,
+            normalize=payload_dedup_normalize,
+        )
     if exclude_labels is not None:
         src = incremental_dedup(
             src, exclude_labels, key_col=key_col, text_col=text_col, html_col=html_col

@@ -857,7 +857,7 @@ def incremental_dedup(
 
 def keep_best_dedup(
     df: DataFrame,
-    score_col: str,
+    score_col: str | None,
     key_col: str = "url",
     text_col: str = "text",
     html_col: str | None = None,
@@ -884,7 +884,9 @@ def keep_best_dedup(
     Returns the surviving rows (original columns). NULL payloads carry no
     digest and pass through untouched (not duplicates of anything); NULL
     scores lose every tie (sorted last) but a digest group that is ALL-NULL
-    score still keeps its min-key row.
+    score still keeps its min-key row. ``score_col=None`` degrades to the
+    plain min-key winner (same plan, no score sort key) so callers can
+    expose one dedup stage with an optional quality policy.
     """
     from .text import normalize_text_expr
 
@@ -895,9 +897,8 @@ def keep_best_dedup(
         if normalize
         else F.md5(payload.cast("binary"))
     )
-    w = Window.partitionBy("_digest").orderBy(
-        F.col(score_col).desc_nulls_last(), key_col
-    )
+    order = [F.col(score_col).desc_nulls_last(), key_col] if score_col else [key_col]
+    w = Window.partitionBy("_digest").orderBy(*order)
     kept = (
         df.filter(payload.isNotNull())
         .withColumn("_digest", digest)

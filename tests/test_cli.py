@@ -269,3 +269,51 @@ def test_cli_band_index(spark, corpus_path, tmp_path):
     # slip — allow a small remainder, but the bulk must be caught)
     assert admitted.count() <= 20
     spark.sql("DROP TABLE cli_band_idx")
+
+
+def test_cli_payload_dedup(spark, corpus_path, tmp_path):
+    """--payload-dedup with --payload-score-col keeps the max-prior copy per
+    payload digest before the lineage run, and the flag trio is checkpoint
+    identity (a resume without it must refuse)."""
+    docs = spark.read.parquet(corpus_path)
+    dup = (
+        docs.limit(40)
+        .withColumn("url", F.concat(F.lit("https://mirror.example/"), F.col("url")))
+    )
+    corpus = (
+        docs.unionByName(dup)
+        .withColumn(
+            "crawl_prior",
+            F.col("url").startswith("https://mirror.example/").cast("double"),
+        )
+    )
+    crawl_path = str(tmp_path / "dup_crawl")
+    corpus.write.parquet(crawl_path)
+
+    out = str(tmp_path / "pd_out")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--payload-dedup",
+            "--payload-score-col", "crawl_prior",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    labels = spark.read.parquet(os.path.join(out, "data")).toPandas()
+    # one row per payload digest, and for duplicated pages the mirror
+    # (higher prior) is the survivor
+    assert labels.payload_md5.is_unique
+    mirrored = labels.url.str.startswith("https://mirror.example/")
+    assert mirrored.sum() > 0
+    orig_urls = set(labels.loc[~mirrored, "url"])
+    assert not orig_urls & {
+        u.removeprefix("https://mirror.example/")
+        for u in labels.loc[mirrored, "url"]
+    }
+    # checkpoint identity: dropping the payload-dedup flags must refuse
+    with pytest.raises(ValueError, match="run config differs"):
+        main(["--input", crawl_path, "--out", out, "--buckets", "2",
+              "--local-cores", "8"])

@@ -194,3 +194,54 @@ def test_split_leakage_single_corpus_exchange(spark, sf001):
     assert plan.count("Exchange (") == 2
     assert plan.count("REPARTITION_BY_COL") == 1
     assert plan.count("SinglePartition") == 1
+
+
+def test_curate_payload_dedup_best(spark, sf001):
+    """curate(payload_dedup=True, payload_score_col=...) keeps exactly one
+    winner per payload digest — the max-prior copy — before QC."""
+    from longqc_spark.config import DRIVER_DOCS_CONFIG
+    from longqc_spark.curation import curate
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    # plant exact duplicates: every doc_id%5==0 re-crawled under +10000 with
+    # a HIGHER crawl prior, so the re-crawl must win over the original
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    corpus = docs.unionByName(recrawl).withColumn(
+        "crawl_prior", (F.col("doc_id") >= 10000).cast("double")
+    )
+    out = curate(
+        corpus,
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="doc_id",
+        text_col="text",
+        payload_dedup=True,
+        payload_score_col="crawl_prior",
+    ).toPandas()
+    survivors = set(out.doc_id)
+    # for every planted pair, the high-prior +10000 copy is the only survivor
+    assert not survivors & set(range(0, 500, 5))
+    # and no un-duplicated doc was touched by the dedup stage
+    base = curate(
+        docs, cfg=DRIVER_DOCS_CONFIG, key_col="doc_id", text_col="text"
+    ).toPandas()
+    assert set(base.doc_id) - set(range(0, 500, 5)) <= survivors | set(
+        range(0, 500, 5)
+    )
+
+
+def test_curate_payload_dedup_normalize_html_rejected(spark, sf001):
+    from longqc_spark.curation import curate
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").withColumn(
+        "html", F.col("text").cast("binary")
+    )
+    with pytest.raises(ValueError, match="normalize"):
+        curate(
+            docs,
+            key_col="doc_id",
+            html_col="html",
+            payload_dedup=True,
+            payload_dedup_normalize=True,
+        )
