@@ -702,6 +702,20 @@ def q_domain_quality(spark: SparkSession, sf: str) -> DataFrame:  # crawl feedba
     return domain_stats(labels, min_docs=5, max_drop_rate=0.8)
 
 
+def q_pack_seqs(spark: SparkSession, sf: str) -> DataFrame:  # training layout
+    """GPT-style sequence packing: concatenate the corpus token stream in
+    doc_id order and cut every 1000 tokens (n_chars as the deterministic
+    token stand-in) — per doc, the (sequence id, in-sequence offset) of its
+    first token. Two-pass global prefix sum (NO global sort / single-task
+    window — plan posture shared with shard_assign); outputs are exact
+    BIGINT div/mod."""
+    from longqc_spark.operators.relational import pack_sequences
+
+    docs = _read(spark, sf, "documents")
+    packed = pack_sequences(docs, seq_len=1000, tokens_col="n_chars", key_col="doc_id")
+    return packed.select("doc_id", "seq_id", "seq_offset").orderBy("doc_id")
+
+
 def q_dup_inflation(spark: SparkSession, sf: str) -> DataFrame:  # corpus health
     """Duplicate-inflation histogram: exact-duplicate cluster-size
     distribution plus the doc/char volume a keep-one dedup would reclaim —
@@ -2248,7 +2262,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "blocklist_filter", "score_drift", "incremental_neardup",
     # round-4b corpus-health + mixture queries — never driver-checked
     "keep_best_dedup", "token_budget_mix", "split_leakage",
-    "domain_quality", "dup_inflation",
+    "domain_quality", "dup_inflation", "pack_seqs",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
@@ -2256,7 +2270,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
     "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
     "fingerprint", "running_sum", "pivot_counts", "token_quality",
-    "tumbling_counts",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2311,6 +2324,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "domain_quality": q_domain_quality,
         "dup_inflation": q_dup_inflation,
+        "pack_seqs": q_pack_seqs,
         "url_canonical": q_url_canonical,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
@@ -2987,6 +3001,16 @@ def oracle_sql() -> dict[str, str]:
                        AS blocklist_candidate
             FROM labels WHERE domain <> ''
             GROUP BY domain HAVING count(*) >= 5 ORDER BY domain
+        """,
+        "pack_seqs": """
+            SELECT doc_id,
+                   CAST((cum - n_chars) // 1000 AS BIGINT) AS seq_id,
+                   CAST((cum - n_chars) % 1000 AS BIGINT) AS seq_offset
+            FROM (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY doc_id) AS cum
+                FROM documents
+            ) ORDER BY doc_id
         """,
         "dup_inflation": """
             WITH corpus AS (

@@ -367,6 +367,31 @@ def assign_shards(
             "derive one first (e.g. xxhash64(url) or a monotonically "
             "increasing id) and shard on that"
         )
+    cum_before, finish = _global_prefix_before(
+        df, bytes_col, key_col, range_width, target_ranges, caller="assign_shards"
+    )
+    return finish(
+        lambda d: d.withColumn(
+            "shard",
+            F.floor(cum_before.cast("double") / F.lit(float(shard_bytes))).cast("long"),
+        )
+    )
+
+
+def _global_prefix_before(
+    df: DataFrame,
+    bytes_col: str,
+    key_col: str,
+    range_width: int | None,
+    target_ranges: int,
+    caller: str,
+):
+    """Shared two-pass global running-sum-BEFORE-this-row machinery (see
+    ``assign_shards`` for the full scale rationale): per-range partial sums
+    → bounded driver prefix → broadcast join + range-partitioned window.
+    Returns ``(cum_before_column, finish)`` where ``finish(f)`` applies
+    ``f`` to the offset-joined frame and drops the helper columns — the
+    column is only valid inside ``finish``."""
     if range_width is None:
         lo, hi = df.agg(
             F.min(key_col).cast("double"), F.max(key_col).cast("double")
@@ -380,10 +405,10 @@ def assign_shards(
     )
     if len(totals) > 4 * target_ranges:
         warnings.warn(
-            f"assign_shards collected {len(totals)} key ranges to the driver "
+            f"{caller} collected {len(totals)} key ranges to the driver "
             f"(range_width={range_width}); pass range_width=None to "
             "auto-scale from the key span, or raise range_width",
-            stacklevel=2,
+            stacklevel=3,
         )
     rows, acc = [], 0
     for row in totals:
@@ -394,14 +419,59 @@ def assign_shards(
     w = Window.partitionBy(rng).orderBy(key_col)
     cum_within = F.sum(bytes_col).over(w) - F.col(bytes_col)
     cum_before = (F.col("_off") + cum_within).cast("long")
-    return (
-        df.withColumn("_r", rng)
-        .join(F.broadcast(offsets), "_r")
-        .withColumn(
-            "shard",
-            F.floor(cum_before.cast("double") / F.lit(float(shard_bytes))).cast("long"),
+
+    def finish(apply):
+        return apply(
+            df.withColumn("_r", rng).join(F.broadcast(offsets), "_r")
+        ).drop("_r", "_off")
+
+    return cum_before, finish
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_chars",
+    key_col: str = "doc_id",
+    range_width: int | None = None,
+    target_ranges: int = 1 << 16,
+) -> DataFrame:
+    """GPT-style sequence packing layout: concatenate the corpus's token
+    streams in ``key_col`` order and cut every ``seq_len`` tokens; each doc
+    gets the (sequence id, offset within that sequence) where its FIRST
+    token lands — ``seq_id = offset_before div seq_len``, ``seq_offset =
+    offset_before % seq_len``. Docs may straddle cuts (standard packed
+    pretraining: the stream is cut, not the documents); a writer groupBys
+    ``seq_id`` to emit fixed-length training rows, and the layout is fully
+    deterministic, so two runs (or a resume) pack identically.
+
+    The reference's analog is the size-targeted chunk layout
+    (``longQC.py:298-359``); vs ``assign_shards`` the only new math is the
+    intra-shard remainder. Same two-pass global prefix sum, NO global sort
+    or single-task window; both outputs are exact BIGINT ops (``div``/``%``,
+    no double rounding) so they are stable at any corpus size.
+
+    → original columns + ``seq_id long`` + ``seq_offset long``.
+    """
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[key_col].dataType, T.NumericType):
+        raise TypeError(
+            f"pack_sequences needs a NUMERIC key column for range bucketing; "
+            f"{key_col!r} is {df.schema[key_col].dataType.simpleString()} — "
+            "derive one first (e.g. xxhash64(url) or a monotonically "
+            "increasing id) and pack on that"
         )
-        .drop("_r", "_off")
+    cum_before, finish = _global_prefix_before(
+        df, tokens_col, key_col, range_width, target_ranges, caller="pack_sequences"
+    )
+    return finish(
+        lambda d: d.withColumn("_cum", cum_before)
+        .withColumn(
+            "seq_id", F.expr(f"_cum div {int(seq_len)}")
+        )
+        .withColumn("seq_offset", (F.col("_cum") % F.lit(int(seq_len))).cast("long"))
+        .drop("_cum")
     )
 
 

@@ -245,3 +245,56 @@ def test_curate_payload_dedup_normalize_html_rejected(spark, sf001):
             payload_dedup=True,
             payload_dedup_normalize=True,
         )
+
+
+def test_pack_sequences_layout(spark):
+    """seq_id/seq_offset must equal the naive concatenate-and-cut layout."""
+    from longqc_spark.operators.relational import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": range(30), "n_chars": [(i * 13) % 40 + 1 for i in range(30)]})
+    got = (
+        pack_sequences(spark.createDataFrame(pdf), seq_len=50, key_col="doc_id",
+                       tokens_col="n_chars")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    cum = pdf.n_chars.cumsum() - pdf.n_chars
+    assert (got.seq_id == cum // 50).all()
+    assert (got.seq_offset == cum % 50).all()
+    assert (got.seq_offset < 50).all()
+    # packing is dense: consecutive docs are contiguous in the stream
+    stream_pos = got.seq_id * 50 + got.seq_offset
+    assert (stream_pos.diff().dropna() == pdf.n_chars[:-1].values).all()
+
+
+def test_pack_sequences_range_width_invariant(spark, sf001):
+    from longqc_spark.operators.relational import pack_sequences
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    a = pack_sequences(docs, 1000).select("doc_id", "seq_id", "seq_offset")
+    b = pack_sequences(docs, 1000, range_width=7).select(
+        "doc_id", "seq_id", "seq_offset"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_no_global_window(spark, sf001):
+    """Same posture as assign_shards: the only window is PARTITIONED by the
+    key range — no single-task global window in the plan."""
+    import re as _re
+
+    from longqc_spark.operators.relational import pack_sequences
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = pack_sequences(docs, 1000)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\](, \[[^\]]*\])?", plan):
+        assert m.group(2) is not None, f"global (unpartitioned) window: {m.group(0)}"
+
+
+def test_pack_sequences_string_key_rejected(spark):
+    from longqc_spark.operators.relational import pack_sequences
+
+    docs = spark.createDataFrame([("a", 3)], "url string, n_chars int")
+    with pytest.raises(TypeError, match="NUMERIC"):
+        pack_sequences(docs, 10, key_col="url")
