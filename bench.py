@@ -57,6 +57,8 @@ BENCH_QUERIES = (
     # round-3 operators
     "incremental_dedup",
     "shard_assign",
+    "keep_best_dedup",
+    "pack_seqs",
 )
 
 

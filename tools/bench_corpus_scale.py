@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "latest_crawl blocklist neardup skew) and MERGE their keys into an "
+        "latest_crawl blocklist neardup keep_best pack_seqs skew) and MERGE their keys into an "
         "existing --out record instead of overwriting it",
     )
     args = ap.parse_args()
@@ -418,6 +418,66 @@ def main() -> None:
         u = out[f"lsh_uniform_{n // 1_000_000}m"]["sec"]
         s = out[f"lsh_skew30_{n // 1_000_000}m"]["sec"]
         out["skew_over_uniform_ratio"] = round(s / u, 2)
+
+    # -- quality-aware exact dedup at corpus scale: half the corpus is
+    # re-crawled under mirror URLs with a higher crawl prior, so the argmax
+    # window does real winner selection over a 1.5x corpus. Same single
+    # digest exchange as min-key dedup (WindowGroupLimit pre-cut); the
+    # record tracks whether the quality policy costs anything over the
+    # arbitrary-winner policy (expected: no). --
+    if want("keep_best"):
+        from longqc_spark.operators.dedup import keep_best_dedup
+
+        mirror = docs.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).withColumn(
+            "url", F.concat(F.lit("https://mirror.example/"), F.col("url"))
+        )
+        dup_corpus = docs.unionByName(mirror).withColumn(
+            "crawl_prior",
+            F.col("url").startswith("https://mirror.example/").cast("double"),
+        )
+        n_in = args.docs + args.docs // 2
+        for tag, score in (("minkey", None), ("best", "crawl_prior")):
+            best = float("inf")
+            for i in range(2):  # pass 0 = warm-up
+                t0 = time.time()
+                n_kept = keep_best_dedup(
+                    dup_corpus, score, key_col="url", text_col="text"
+                ).count()
+                best = min(best, time.time() - t0)
+            out[f"keep_best_dedup_{tag}"] = {
+                "sec": round(best, 1),
+                "docs_per_sec": round(n_in / best),
+                "n_in": n_in,
+                "n_kept": n_kept,
+            }
+
+    # -- sequence packing at corpus scale: global token-offset assignment
+    # over xxhash64-derived keys (full int64 span — the auto-scaled range
+    # table case) with seq_len=2048. Two passes over the corpus, no global
+    # window; the output action is a 1-row max aggregate so the timing is
+    # the packing cost, not a write. --
+    if want("pack_seqs"):
+        from longqc_spark.operators.relational import pack_sequences
+
+        keyed = docs.withColumn("k", F.xxhash64("url")).withColumn(
+            "n_tok", F.length("text").cast("long")
+        )
+        best = float("inf")
+        n_seqs = 0
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_seqs = (
+                pack_sequences(keyed, 2048, tokens_col="n_tok", key_col="k")
+                .agg(F.max("seq_id"))
+                .collect()[0][0]
+                + 1
+            )
+            best = min(best, time.time() - t0)
+        out["pack_seqs_2048"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_sequences": int(n_seqs),
+        }
 
     if only and os.path.exists(args.out):
         # partial run: merge the fresh sections into the standing record
