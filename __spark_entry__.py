@@ -702,6 +702,22 @@ def q_domain_quality(spark: SparkSession, sf: str) -> DataFrame:  # crawl feedba
     return domain_stats(labels, min_docs=5, max_drop_rate=0.8)
 
 
+def q_cluster_keep_best(spark: SparkSession, sf: str) -> DataFrame:  # near-dup keep-best
+    """Quality-aware NEAR-dup dedup: n-gram-Jaccard candidate pairs →
+    connected components → ONE survivor per cluster, the max-score doc
+    (deterministic pseudo-quality doc_id % 7, tie → min key); singletons
+    survive untouched. Oracle = recursive-CTE transitive closure + per-
+    component argmax. The production near-dedup keep policy (best cluster
+    representative, not an arbitrary witness)."""
+    from longqc_spark.operators.dedup import cluster_keep_best, ngram_jaccard_pairs
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    scored = docs.withColumn("q_score", (F.col("doc_id") % 7).cast("double"))
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.5, max_occ=200)
+    kept = cluster_keep_best(scored, pairs, "q_score", key_col="doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_pack_seqs(spark: SparkSession, sf: str) -> DataFrame:  # training layout
     """GPT-style sequence packing: concatenate the corpus token stream in
     doc_id order and cut every 1000 tokens (n_chars as the deterministic
@@ -2262,14 +2278,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "blocklist_filter", "score_drift", "incremental_neardup",
     # round-4b corpus-health + mixture queries — never driver-checked
     "keep_best_dedup", "token_budget_mix", "split_leakage",
-    "domain_quality", "dup_inflation", "pack_seqs",
+    "domain_quality", "dup_inflation", "pack_seqs", "cluster_keep_best",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
     "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
-    "fingerprint", "running_sum", "pivot_counts", "token_quality",
+    "fingerprint", "running_sum", "pivot_counts",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2325,6 +2341,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "dup_inflation": q_dup_inflation,
         "pack_seqs": q_pack_seqs,
+        "cluster_keep_best": q_cluster_keep_best,
         "url_canonical": q_url_canonical,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
@@ -3001,6 +3018,49 @@ def oracle_sql() -> dict[str, str]:
                        AS blocklist_candidate
             FROM labels WHERE domain <> ''
             GROUP BY domain HAVING count(*) >= 5 ORDER BY domain
+        """,
+        "cluster_keep_best": """
+            WITH RECURSIVE raw AS (
+                SELECT doc_id AS k,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents WHERE doc_id < 1000
+            ), toks0 AS (SELECT DISTINCT k, tok FROM raw WHERE tok <> ''),
+            rare AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 200),
+            toks AS (SELECT k, t.tok FROM toks0 t JOIN rare USING (tok)),
+            sizes AS (SELECT k, count(*) AS sz FROM toks GROUP BY k),
+            inter AS (
+                SELECT l.k AS key_a, r.k AS key_b, count(*) AS i
+                FROM toks l JOIN toks r ON l.tok = r.tok AND l.k < r.k
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT key_a, key_b
+                FROM inter
+                JOIN sizes sa ON sa.k = key_a
+                JOIN sizes sb ON sb.k = key_b
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+            ), edges AS (
+                SELECT key_a AS a, key_b AS b FROM pairs
+                UNION SELECT key_b, key_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), lbl AS (
+                SELECT a AS node, least(a, min(b)) AS component
+                FROM reach GROUP BY a
+            ), winners AS (
+                SELECT node FROM (
+                    SELECT node,
+                           row_number() OVER (PARTITION BY component
+                               ORDER BY (node % 7) DESC, node) AS rn
+                    FROM lbl
+                ) WHERE rn = 1
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id < 1000
+              AND (doc_id IN (SELECT node FROM winners)
+                   OR doc_id NOT IN (SELECT node FROM lbl))
+            ORDER BY doc_id
         """,
         "pack_seqs": """
             SELECT doc_id,

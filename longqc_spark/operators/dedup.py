@@ -949,3 +949,44 @@ def dup_cluster_sizes(
         )
         .orderBy("cluster_size")
     )
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str | None,
+    key_col: str = "doc_id",
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+) -> DataFrame:
+    """Quality-aware NEAR-dup dedup: connected components over candidate
+    ``pairs`` (LSH / SimHash / n-gram Jaccard — any pair source), then ONE
+    survivor per cluster — the max-``score_col`` doc (tie → min key), or the
+    min-key witness when ``score_col`` is None (matching the exact-dedup
+    winner rule). Docs in no pair are singleton clusters and survive
+    untouched.
+
+    The near-dup twin of ``keep_best_dedup``: production near-dedup keeps
+    the best-quality cluster representative, not an arbitrary witness
+    (reference analog: ``lq_sequel.py:76-137`` — the best subread represents
+    the ZMW's cluster).
+
+    Scale: components over LSH pairs are shallow (see
+    ``connected_components``); the label join is an equi-join on the key
+    (cluster table ≤ |docs in any pair|, usually ≪ corpus — AQE turns it
+    broadcast when small), and the winner window shuffles on the component
+    label with the same WindowGroupLimit top-1 pre-cut as the exact path.
+
+    Returns the surviving rows of ``df`` (original columns).
+    """
+    cc = connected_components(pairs, key_a=key_a, key_b=key_b)
+    labeled = df.join(
+        cc.withColumnRenamed("node", key_col), key_col, "left"
+    ).withColumn("_comp", F.coalesce(F.col("component"), F.col(key_col)))
+    order = [F.col(score_col).desc_nulls_last(), key_col] if score_col else [key_col]
+    w = Window.partitionBy("_comp").orderBy(*order)
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_comp", "component")
+    )

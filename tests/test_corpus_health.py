@@ -298,3 +298,23 @@ def test_pack_sequences_string_key_rejected(spark):
     docs = spark.createDataFrame([("a", 3)], "url string, n_chars int")
     with pytest.raises(TypeError, match="NUMERIC"):
         pack_sequences(docs, 10, key_col="url")
+
+
+def test_cluster_keep_best_semantics(spark):
+    """Transitive cluster {1,2,3} (chain pairs) keeps only its max-score
+    member; pair cluster {10,11} keeps max score with min-key tie-break;
+    singleton 20 survives untouched."""
+    from longqc_spark.operators.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 4.0), (11, 4.0), (20, 0.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "key_a long, key_b long"
+    )
+    kept = cluster_keep_best(docs, pairs, "score", key_col="doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 10, 20]
+    # score_col=None degrades to the min-key witness rule
+    kept_min = cluster_keep_best(docs, pairs, None, key_col="doc_id")
+    assert sorted(r.doc_id for r in kept_min.collect()) == [1, 10, 20]
