@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="digest whitespace/case/punct-NORMALIZED text for "
                         "--payload-dedup (catches trivial-variant dups; "
                         "text inputs only)")
+    p.add_argument("--neardup-threshold", type=float, default=None, metavar="T",
+                   help="within-corpus NEAR-dup dedup before QC: MinHash-LSH "
+                        "pairs at estimated Jaccard >= T -> connected "
+                        "components -> one survivor per cluster (max "
+                        "--payload-score-col if given, else min key)")
+    p.add_argument("--neardup-max-bucket", type=int, default=500, metavar="K",
+                   help="boilerplate star guard for --neardup-threshold "
+                        "(bucket fan-out bound; 0 disables)")
     p.add_argument("--fuzzy-scrub", action="store_true",
                    help="tolerance scrub pass: tokens within 1 edit of a "
                         "lexicon term at identity >= 0.75 are scrubbed too "
@@ -149,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
         "payload_dedup": args.payload_dedup,
         "payload_score_col": args.payload_score_col,
         "payload_dedup_normalize": args.payload_dedup_normalize,
+        "neardup_threshold": args.neardup_threshold,
     }
     if any(v is not None and v is not False for v in hygiene_config.values()):
         from .curation import web_hygiene
@@ -183,6 +192,19 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             html_col=args.html_col,
             normalize=args.payload_dedup_normalize,
+        )
+    if args.neardup_threshold is not None:
+        from .operators.dedup import cluster_keep_best, minhash_jaccard_estimate
+
+        pairs = minhash_jaccard_estimate(
+            docs,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            threshold=args.neardup_threshold,
+            max_bucket=args.neardup_max_bucket or None,
+        )
+        docs = cluster_keep_best(
+            docs, pairs, args.payload_score_col, key_col=args.key_col
         )
     manifest = run_qc_with_lineage(
         docs,

@@ -126,6 +126,8 @@ def curate(
     payload_dedup: bool = False,
     payload_score_col: str | None = None,
     payload_dedup_normalize: bool = False,
+    neardup_threshold: float | None = None,
+    neardup_max_bucket: int | None = 500,
 ) -> DataFrame:
     """documents → curated training rows.
 
@@ -147,6 +149,12 @@ def curate(
        fetch-quality score — the QC score itself doesn't exist yet at this
        stage). Same single digest exchange either way
        (``dedup.keep_best_dedup``);
+    0.6 ``neardup_threshold``: within-corpus NEAR-dup dedup — MinHash-LSH
+       candidate pairs at that estimated-Jaccard threshold → connected
+       components → one survivor per cluster (``payload_score_col``-argmax
+       if set, else min key — the same keep policy knobs as stage 0.5,
+       applied to fuzzy clusters). ``neardup_max_bucket`` is the
+       boilerplate star guard (see ``lsh_candidate_pairs``; None disables);
     1. ``exclude_labels``: incremental cross-run dedup against a committed
        label store (anti-join on its stored ``payload_md5``);
     2. QC: full stat vector + rules + scrub; only ``keep`` rows survive;
@@ -192,6 +200,22 @@ def curate(
             html_col=html_col,
             normalize=payload_dedup_normalize,
         )
+    if neardup_threshold is not None:
+        from .operators.dedup import cluster_keep_best, minhash_jaccard_estimate
+
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "near-dup dedup shingles TEXT; with an extraction-deferred "
+                "html_col run extraction first or drop neardup_threshold"
+            )
+        pairs = minhash_jaccard_estimate(
+            src,
+            key_col=key_col,
+            text_col=text_col,
+            threshold=neardup_threshold,
+            max_bucket=neardup_max_bucket,
+        )
+        src = cluster_keep_best(src, pairs, payload_score_col, key_col=key_col)
     if exclude_labels is not None:
         src = incremental_dedup(
             src, exclude_labels, key_col=key_col, text_col=text_col, html_col=html_col

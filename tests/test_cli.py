@@ -317,3 +317,39 @@ def test_cli_payload_dedup(spark, corpus_path, tmp_path):
     with pytest.raises(ValueError, match="run config differs"):
         main(["--input", crawl_path, "--out", out, "--buckets", "2",
               "--local-cores", "8"])
+
+
+def test_cli_neardup_threshold(spark, corpus_path, tmp_path):
+    """--neardup-threshold drops fuzzy re-crawls (exact digests differ)
+    before the lineage run, and is checkpoint identity."""
+    docs = spark.read.parquet(corpus_path)
+    recrawl = docs.limit(30).withColumn(
+        "url", F.concat(F.lit("https://mirror.example/"), F.col("url"))
+    ).withColumn("text", F.concat(F.lit("recrawl2025 "), F.col("text")))
+    crawl_path = str(tmp_path / "nd_crawl")
+    docs.unionByName(recrawl).write.parquet(crawl_path)
+
+    out = str(tmp_path / "nd_out")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--neardup-threshold", "0.8",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    labels = spark.read.parquet(os.path.join(out, "data")).toPandas()
+    # min-key winner: the original URLs sort before the mirror aliases is
+    # NOT guaranteed (string order), but exactly one member per planted
+    # pair must survive
+    mirrored = set(
+        labels.url[labels.url.str.startswith("https://mirror.example/")]
+        .str.removeprefix("https://mirror.example/")
+    )
+    plain = set(labels.url[~labels.url.str.startswith("https://mirror.example/")])
+    assert not mirrored & plain
+    with pytest.raises(ValueError, match="run config differs"):
+        main(["--input", crawl_path, "--out", out, "--buckets", "2",
+              "--local-cores", "8"])

@@ -318,3 +318,71 @@ def test_cluster_keep_best_semantics(spark):
     # score_col=None degrades to the min-key witness rule
     kept_min = cluster_keep_best(docs, pairs, None, key_col="doc_id")
     assert sorted(r.doc_id for r in kept_min.collect()) == [1, 10, 20]
+
+
+def test_curate_neardup_stage(spark, sf001):
+    """curate(neardup_threshold=...) drops near-duplicate re-crawls (one
+    token prepended — exact digests differ, so stage 0.5 would admit them)
+    keeping one survivor per fuzzy cluster."""
+    from longqc_spark.config import DRIVER_DOCS_CONFIG
+    from longqc_spark.curation import curate
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    recrawl = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    ).withColumn("text", F.concat(F.lit("recrawl2025 "), F.col("text")))
+    corpus = docs.unionByName(recrawl)
+
+    out = curate(
+        corpus,
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="doc_id",
+        text_col="text",
+        neardup_threshold=0.8,
+    ).toPandas()
+    survivors = set(out.doc_id)
+    # every planted near-dup cluster lost its +10000 copy (min-key winner)
+    assert not {d for d in survivors if d >= 10000}
+    # and the result equals the SAME near-dup run without the re-crawls:
+    # the synthetic corpus has natural near-dup pairs too, and min-key
+    # winners among originals are unaffected by adding higher-key re-crawls
+    base = set(
+        curate(
+            docs,
+            cfg=DRIVER_DOCS_CONFIG,
+            key_col="doc_id",
+            text_col="text",
+            neardup_threshold=0.8,
+        ).toPandas().doc_id
+    )
+    assert survivors == base
+
+
+def test_curate_neardup_keep_best_prior(spark, sf001):
+    """With payload_score_col the near-dup cluster keeps the max-prior copy
+    (here the re-crawl) instead of the min key."""
+    from longqc_spark.config import DRIVER_DOCS_CONFIG
+    from longqc_spark.curation import curate
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 10000).withColumn(
+        "text", F.concat(F.lit("recrawl2025 "), F.col("text"))
+    )
+    corpus = docs.unionByName(recrawl).withColumn(
+        "crawl_prior", (F.col("doc_id") >= 10000).cast("double")
+    )
+    out = curate(
+        corpus,
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="doc_id",
+        text_col="text",
+        neardup_threshold=0.8,
+        payload_score_col="crawl_prior",
+    ).toPandas()
+    # clusters resolved toward the re-crawls
+    assert (out.doc_id >= 10000).all()
+    assert len(out) > 0
