@@ -122,6 +122,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="after the run: PSI drift report of this run's label "
                         "distributions vs a previous run's committed store "
                         "(crawl-monitoring alert: <0.1 stable, >0.25 major)")
+    p.add_argument("--emit-blocklist", default=None, metavar="FILE",
+                   help="after the run: write domains whose committed labels "
+                        "overwhelmingly fail QC (domain_stats blocklist "
+                        "candidates, >=5 docs, drop-rate >0.8) as a one-"
+                        "domain-per-line file consumable by --blocklist on "
+                        "the NEXT crawl — the closed feedback loop")
     p.add_argument("--report", action="store_true", help="write JSON+HTML summary")
     p.add_argument("--compact", action="store_true",
                    help="after the run: bin-packing compaction of the labels "
@@ -286,6 +292,28 @@ def main(argv: list[str] | None = None) -> int:
                 "input distribution shifted vs the reference run",
                 file=sys.stderr,
             )
+
+    if args.emit_blocklist:
+        from .operators.text import domain_stats
+
+        # candidate domains only (>=5 docs AND >80% drop rate) — a bounded
+        # driver collect: candidates are a small tail of the domain table,
+        # which is itself ≪ doc cardinality
+        cands = (
+            domain_stats(read_labels(spark, args.out), url_col=args.key_col)
+            .filter(F.col("blocklist_candidate"))
+            .select("domain")
+            .orderBy("domain")
+            .collect()
+        )
+        with open(args.emit_blocklist, "w") as f:
+            f.write("# auto-generated by longqc-spark --emit-blocklist\n")
+            for r in cands:
+                f.write(r.domain + "\n")
+        print(
+            f"blocklist: {len(cands)} candidate domains → {args.emit_blocklist}",
+            file=sys.stderr,
+        )
 
     if args.report:
         labels = read_labels(spark, args.out)

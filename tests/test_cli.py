@@ -353,3 +353,52 @@ def test_cli_neardup_threshold(spark, corpus_path, tmp_path):
     with pytest.raises(ValueError, match="run config differs"):
         main(["--input", crawl_path, "--out", out, "--buckets", "2",
               "--local-cores", "8"])
+
+
+def test_cli_emit_blocklist_feedback_loop(spark, corpus_path, tmp_path):
+    """--emit-blocklist writes the failing domains of THIS run as a file
+    --blocklist can consume on the NEXT crawl: the closed feedback loop."""
+    docs = spark.read.parquet(corpus_path)
+    n = F.row_number().over(Window.orderBy("url"))
+    crawl = (
+        docs.withColumn("rn", n)
+        # rn%5==0 docs live on junk.example and get garbage payloads that
+        # fail the QC rules; everything else on clean.example keeps its text
+        .withColumn(
+            "url",
+            F.when(F.col("rn") % 5 == 0,
+                   F.concat(F.lit("https://junk.example/p"), F.col("rn").cast("string")))
+            .otherwise(F.concat(F.lit("https://clean.example/p"), F.col("rn").cast("string"))),
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("rn") % 5 == 0, F.lit("@@ ## $$ %% !! ?? ;; ::"))
+            .otherwise(F.col("text")),
+        )
+        .drop("rn")
+    )
+    crawl_path = str(tmp_path / "fb_crawl")
+    crawl.write.parquet(crawl_path)
+
+    out1 = str(tmp_path / "fb_run1")
+    bl_path = str(tmp_path / "auto_bl.txt")
+    assert main(
+        ["--input", crawl_path, "--out", out1, "--buckets", "2",
+         "--emit-blocklist", bl_path, "--local-cores", "8"]
+    ) == 0
+    entries = [
+        l.strip() for l in open(bl_path) if l.strip() and not l.startswith("#")
+    ]
+    assert "junk.example" in entries
+    assert "clean.example" not in entries
+
+    # feed it back: run 2 consumes the emitted file, junk domain never
+    # enters the pipeline
+    out2 = str(tmp_path / "fb_run2")
+    assert main(
+        ["--input", crawl_path, "--out", out2, "--buckets", "2",
+         "--blocklist", bl_path, "--local-cores", "8"]
+    ) == 0
+    labels = spark.read.parquet(os.path.join(out2, "data")).toPandas()
+    assert not labels.url.str.contains("junk.example").any()
+    assert labels.url.str.contains("clean.example").any()

@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "latest_crawl blocklist neardup keep_best pack_seqs skew) and MERGE their keys into an "
+        "latest_crawl blocklist neardup keep_best pack_seqs neardup_keep_best skew) and MERGE their keys into an "
         "existing --out record instead of overwriting it",
     )
     args = ap.parse_args()
@@ -477,6 +477,35 @@ def main() -> None:
             "sec": round(best, 1),
             "docs_per_sec": round(args.docs / best),
             "n_sequences": int(n_seqs),
+        }
+
+    # -- the FULL within-corpus near-dup dedup stage at 1M docs on the
+    # skew-adversarial corpus (30% one-template flood): LSH pairs (star
+    # guard on) → connected components (min-label propagation, early-stop)
+    # → one survivor per cluster. The flood forms ONE ~300k-member cluster
+    # whose guard pairs are a star (diameter 2), so CC converges in a few
+    # supersteps — the number that matters is the whole stage's wall-clock,
+    # the same path curate(neardup_threshold=) runs. --
+    if want("neardup_keep_best"):
+        from longqc_spark.operators.dedup import cluster_keep_best
+
+        n = args.skew_docs or 1_000_000
+        df = boilerplate_docs(spark, n, flood_frac=0.3).cache()
+        df.count()
+        best = float("inf")
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            prs = minhash_jaccard_estimate(
+                df, key_col="url", threshold=0.8, max_bucket=200
+            )
+            n_kept = cluster_keep_best(df, prs, None, key_col="url").count()
+            best = min(best, time.time() - t0)
+        df.unpersist()
+        out["neardup_keep_best_1m_skew30"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(n / best),
+            "n_in": n,
+            "n_kept": n_kept,
         }
 
     if only and os.path.exists(args.out):
