@@ -202,3 +202,132 @@ def stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    key_col: str = "url",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    seed_bands: DataFrame | None = None,
+    within_batch: bool = True,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+):
+    """Streaming cross-batch NEAR-duplicate exclusion — the fuzzy twin of
+    ``stream_dedup``: each micro-batch is probed against a GROWING LSH band
+    index (optionally seeded from a committed run's
+    ``lineage.write_band_index`` table), admitted docs commit to an epoch
+    dir, and the admitted docs' own band rows extend the index — so a
+    near-duplicate arriving in a LATER micro-batch is dropped even though
+    its exact digest is new. ``within_batch=True`` additionally resolves
+    near-dup pairs INSIDE a micro-batch to their min-key witness (same
+    winner rule as the batch path).
+
+    Exactly-once: the epoch dir is the atomic commit point (tmp + rename,
+    the ``stream_qc`` pattern); a retried epoch whose dir exists is a no-op,
+    and its index extension is keyed by epoch id, so replays never
+    double-extend. LSH params MUST match the seed index's (same contract as
+    ``incremental_neardup``).
+
+    Scale: per micro-batch the corpus-side work is ONE semi-join against the
+    band index (bucketed storage at 10^12 docs, see SCALE.md); batch-side
+    signatures are flat-stream numpy; the index grows by ≤ bands rows per
+    ADMITTED doc. Reference analog: chunked processing with a cross-chunk
+    exclude list (``longQC.py:299-389``), lifted to fuzzy identity.
+    """
+    from ..operators.dedup import (
+        cluster_keep_best,
+        incremental_neardup,
+        lsh_candidate_pairs,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    index_dir = os.path.join(out_dir, "_band_index")
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def commit_index(epoch_id: int, final: str) -> None:
+        # derive the extension from the COMMITTED parquet (not the lazy
+        # plan — one signature pass total, and the extension exactly matches
+        # what was admitted even under speculative re-execution). Idempotent
+        # so a replay can backfill it after a crash between the two commits.
+        ext_final = os.path.join(index_dir, f"epoch={epoch_id}")
+        if os.path.exists(ext_final):
+            return
+        ext_tmp = os.path.join(index_dir, f".tmp-epoch-{epoch_id}")
+        minhash_band_table(
+            spark.read.parquet(final),
+            key_col=key_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle=shingle,
+        ).write.mode("overwrite").parquet(ext_tmp)
+        os.replace(ext_tmp, ext_final)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        final = os.path.join(out_dir, f"epoch={epoch_id}")
+        if os.path.exists(final):
+            # replayed epoch: data already committed; backfill the index
+            # extension if the crash hit between the two commit points.
+            # DATA commits first — were the index extended before the data
+            # dir existed, this replay would probe the batch against its
+            # OWN band rows and commit an empty epoch.
+            commit_index(epoch_id, final)
+            return
+        admitted = batch_df
+        if within_batch:
+            sigs = minhash_signatures(
+                batch_df.filter(F.col(text_col).isNotNull()),
+                key_col=key_col,
+                text_col=text_col,
+                n_hashes=n_hashes,
+                shingle=shingle,
+            )
+            pairs = lsh_candidate_pairs(
+                sigs, key_col=key_col, bands=bands, n_hashes=n_hashes
+            )
+            admitted = cluster_keep_best(admitted, pairs, None, key_col=key_col)
+        ext = (
+            [
+                os.path.join(index_dir, n)
+                for n in sorted(os.listdir(index_dir))
+                if n.startswith("epoch=")
+            ]
+            if os.path.exists(index_dir)
+            else []
+        )
+        idx = seed_bands
+        if ext:
+            grown = spark.read.parquet(*ext)
+            idx = grown if idx is None else idx.unionByName(grown)
+        if idx is not None:
+            admitted = incremental_neardup(
+                admitted,
+                idx,
+                key_col=key_col,
+                text_col=text_col,
+                n_hashes=n_hashes,
+                bands=bands,
+                shingle=shingle,
+            )
+        tmp = os.path.join(out_dir, f".tmp-epoch-{epoch_id}")
+        admitted.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, final)  # atomic data commit FIRST (see replay note)
+        commit_index(epoch_id, final)
+
+    return (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

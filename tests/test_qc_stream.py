@@ -186,3 +186,124 @@ def test_stream_static_incremental_dedup(spark, corpus_path, tmp_path):
     )
     assert set(got.payload_hash) == want_hashes
     assert got.payload_hash.is_unique
+
+
+def test_stream_neardup_across_batches(spark, tmp_path):
+    """Fuzzy twin of the cross-batch dedup: a later micro-batch's token-
+    prepended re-crawl (new exact digest!) is dropped against the growing
+    band index; fresh docs pass; within-batch near-dup pairs resolve to the
+    min-key witness."""
+    import os
+
+    from longqc_spark.streaming.qc_stream import stream_neardup
+
+    base = [
+        " ".join(f"tok{i}w{j}" for j in range(40)) for i in range(6)
+    ]
+    # file order = micro-batch order (maxFilesPerTrigger=1, sorted paths)
+    d = str(tmp_path / "nd_in")
+    os.makedirs(d)
+    b0 = spark.createDataFrame(
+        [("u00", base[0]), ("u01", base[1]),
+         # within-batch near-dup pair: u02 wins over u03 (min key)
+         ("u02", base[2]), ("u03", "recrawl2025 " + base[2])],
+        "url string, text string",
+    )
+    b1 = spark.createDataFrame(
+        [("u10", "recrawl2025 " + base[0]),  # near-dup of epoch-0 doc
+         ("u11", base[3])],
+        "url string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("u20", "recrawl2025 " + base[3]),  # near-dup of epoch-1 doc
+         ("u21", base[4])],
+        "url string, text string",
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(os.path.join(d, f"batch{i}"))
+
+    out = str(tmp_path / "nd_out")
+    q = stream_neardup(spark, os.path.join(d, "*"), b0.schema, out, key_col="url")
+    assert q.awaitTermination(540)
+
+    epochs = sorted(n for n in os.listdir(out) if n.startswith("epoch="))
+    assert len(epochs) == 3
+    got = {
+        r.url
+        for r in spark.read.parquet(*(os.path.join(out, e) for e in epochs)).collect()
+    }
+    assert got == {"u00", "u01", "u02", "u11", "u21"}
+    # the index grew per epoch
+    ext = [n for n in os.listdir(os.path.join(out, "_band_index")) if n.startswith("epoch=")]
+    assert len(ext) == 3
+
+
+def test_stream_neardup_seeded_from_committed_run(spark, tmp_path):
+    """seed_bands from a committed run excludes that run's near-dups in the
+    very first micro-batch (the streaming twin of incremental_neardup)."""
+    import os
+
+    from longqc_spark.operators.dedup import minhash_band_table
+    from longqc_spark.streaming.qc_stream import stream_neardup
+
+    base = [" ".join(f"seed{i}w{j}" for j in range(40)) for i in range(3)]
+    committed = spark.createDataFrame(
+        [("c0", base[0]), ("c1", base[1])], "url string, text string"
+    )
+    seed = minhash_band_table(committed, key_col="url", text_col="text")
+
+    d = str(tmp_path / "seed_in")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [("u0", "recrawl2025 " + base[0]), ("u1", base[2])],
+        "url string, text string",
+    ).coalesce(1).write.parquet(os.path.join(d, "b0"))
+
+    out = str(tmp_path / "seed_out")
+    q = stream_neardup(
+        spark, os.path.join(d, "*"), committed.schema, out,
+        key_col="url", seed_bands=seed,
+    )
+    assert q.awaitTermination(540)
+    got = {r.url for r in spark.read.parquet(os.path.join(out, "epoch=0")).collect()}
+    assert got == {"u1"}
+
+
+def test_stream_neardup_replay_backfills_index(spark, tmp_path):
+    """Crash window between the two commit points: the data epoch exists but
+    its index extension is missing — the replay must backfill the extension
+    WITHOUT reprocessing (an index-first order would near-dup the batch
+    against its own bands and commit an empty epoch)."""
+    import os
+    import shutil
+
+    from longqc_spark.streaming.qc_stream import stream_neardup
+
+    base = [" ".join(f"rep{i}w{j}" for j in range(40)) for i in range(3)]
+    d = str(tmp_path / "rp_in")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [("u0", base[0]), ("u1", base[1])], "url string, text string"
+    ).coalesce(1).write.parquet(os.path.join(d, "b0"))
+    spark.createDataFrame(
+        [("u2", "recrawl2025 " + base[0]), ("u3", base[2])],
+        "url string, text string",
+    ).coalesce(1).write.parquet(os.path.join(d, "b1"))
+
+    out = str(tmp_path / "rp_out")
+    schema = "url string, text string"
+    q = stream_neardup(spark, os.path.join(d, "*"), schema, out, key_col="url")
+    assert q.awaitTermination(540)
+
+    # simulate the crash: epoch-0 data committed, its index extension lost,
+    # and the stream restarts from a wiped checkpoint (epoch replays)
+    shutil.rmtree(os.path.join(out, "_band_index", "epoch=0"))
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    q2 = stream_neardup(spark, os.path.join(d, "*"), schema, out, key_col="url")
+    assert q2.awaitTermination(540)
+
+    ep0 = {r.url for r in spark.read.parquet(os.path.join(out, "epoch=0")).collect()}
+    assert ep0 == {"u0", "u1"}  # NOT emptied by the replay
+    assert os.path.exists(os.path.join(out, "_band_index", "epoch=0"))  # backfilled
+    ep1 = {r.url for r in spark.read.parquet(os.path.join(out, "epoch=1")).collect()}
+    assert ep1 == {"u3"}  # cross-batch near-dup still excluded post-replay
