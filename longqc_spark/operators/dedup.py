@@ -314,7 +314,16 @@ def minhash_jaccard_estimate(
     signature-agreement Jaccard estimate, filtered at ``threshold``.
     → (key_a, key_b, est_jaccard). ``max_bucket``: boilerplate bucket guard,
     see ``lsh_candidate_pairs``."""
-    sigs = minhash_signatures(df, key_col, text_col, n_hashes, shingle).cache()
+    # exclude zero-shingle (NULL/too-short) docs: their all-_SIG_EMPTY
+    # signatures agree on every position (est_jaccard 1.0), so without the
+    # filter EVERY tiny doc is "near" every other tiny doc and a keep-one
+    # policy would collapse them all to a single survivor — the same guard
+    # minhash_band_table / incremental_neardup apply on the cross-run path
+    sigs = (
+        minhash_signatures(df, key_col, text_col, n_hashes, shingle)
+        .filter(F.col("sig")[0] != _SIG_EMPTY)
+        .cache()
+    )
     pairs = lsh_candidate_pairs(sigs, key_col, bands, n_hashes, max_bucket)
     a = sigs.select(F.col(key_col).alias("key_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(key_col).alias("key_b"), F.col("sig").alias("sig_b"))

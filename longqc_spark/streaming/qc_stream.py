@@ -286,13 +286,18 @@ def stream_neardup(
             return
         admitted = batch_df
         if within_batch:
+            from ..operators.dedup import _SIG_EMPTY
+
+            # zero-shingle docs carry the all-_SIG_EMPTY signature and would
+            # otherwise all pair with each other (same guard as the index
+            # builders); they stay singletons in cluster_keep_best
             sigs = minhash_signatures(
                 batch_df.filter(F.col(text_col).isNotNull()),
                 key_col=key_col,
                 text_col=text_col,
                 n_hashes=n_hashes,
                 shingle=shingle,
-            )
+            ).filter(F.col("sig")[0] != _SIG_EMPTY)
             pairs = lsh_candidate_pairs(
                 sigs, key_col=key_col, bands=bands, n_hashes=n_hashes
             )

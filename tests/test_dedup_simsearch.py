@@ -415,3 +415,20 @@ def test_incremental_neardup_empty_docs_not_near_each_other(spark):
     assert bands_tbl.count() == 0  # no shingles → no band rows at all
     out = incremental_neardup(batch, bands_tbl, key_col="doc_id", text_col="text")
     assert sorted(r["doc_id"] for r in out.collect()) == [10, 11]
+
+
+def test_minhash_estimate_excludes_zero_shingle_docs(spark):
+    """Docs shorter than the shingle width share the all-empty signature
+    (est_jaccard 1.0 on every position) — they must NOT pair with each
+    other, mirroring the band-index builders' guard."""
+    from longqc_spark.operators.dedup import minhash_jaccard_estimate
+
+    long_text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, ""), (4, long_text),
+         (5, "recrawl " + long_text)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_jaccard_estimate(docs, threshold=0.5).collect()
+    got = {(r.key_a, r.key_b) for r in pairs}
+    assert got == {(4, 5)}  # the real near-dup pair; no tiny-doc pairs
