@@ -910,10 +910,16 @@ def keep_best_dedup(
     """
     from .text import normalize_text_expr
 
+    if normalize and html_col is not None:
+        raise ValueError(
+            "normalize digests TEXT (lowercase/whitespace folding is "
+            "meaningless on raw html bytes); run extraction first or drop "
+            "the normalize flag"
+        )
     payload = F.col(html_col or text_col)
     nulls = df.filter(payload.isNull())
     digest = (
-        F.md5(normalize_text_expr(html_col or text_col).cast("binary"))
+        F.md5(normalize_text_expr(text_col).cast("binary"))
         if normalize
         else F.md5(payload.cast("binary"))
     )

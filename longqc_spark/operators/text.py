@@ -379,6 +379,10 @@ def mix_sources_token_budget(
     (``relational.py``) applies verbatim if a source outgrows a partition —
     kept single-pass here because mixtures are built per-snapshot, where
     sources are the natural partition.
+
+    Rows with a NULL ``count_col`` are excluded (their volume is undefined,
+    so they can neither consume budget nor be admitted against it) — the
+    running sum skips them and the NULL ``_before`` comparison drops them.
     """
     from pyspark.sql import Window
 
