@@ -732,6 +732,18 @@ def q_pack_seqs(spark: SparkSession, sf: str) -> DataFrame:  # training layout
     return packed.select("doc_id", "seq_id", "seq_offset").orderBy("doc_id")
 
 
+def q_pack_rows(spark: SparkSession, sf: str) -> DataFrame:  # training writer
+    """Materialized packed training rows: the corpus char stream in doc_id
+    order cut into exact 1000-char sequences (docs straddle cuts) —
+    (seq_id, seq_text), every row but the last exactly 1000 chars. The
+    writer stage on top of pack_seqs' layout; byte-identical at any
+    parallelism (exact BIGINT slice arithmetic, offset-ordered reassembly)."""
+    from longqc_spark.operators.relational import pack_sequence_rows
+
+    docs = _read(spark, sf, "documents")
+    return pack_sequence_rows(docs, 1000, text_col="text", key_col="doc_id")
+
+
 def q_dup_inflation(spark: SparkSession, sf: str) -> DataFrame:  # corpus health
     """Duplicate-inflation histogram: exact-duplicate cluster-size
     distribution plus the doc/char volume a keep-one dedup would reclaim —
@@ -2278,14 +2290,15 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "blocklist_filter", "score_drift", "incremental_neardup",
     # round-4b corpus-health + mixture queries — never driver-checked
     "keep_best_dedup", "token_budget_mix", "split_leakage",
-    "domain_quality", "dup_inflation", "pack_seqs", "cluster_keep_best",
+    "domain_quality", "dup_inflation", "pack_seqs", "pack_rows",
+    "cluster_keep_best",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
     "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
-    "fingerprint", "running_sum", "pivot_counts",
+    "fingerprint", "running_sum",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2341,6 +2354,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "dup_inflation": q_dup_inflation,
         "pack_seqs": q_pack_seqs,
+        "pack_rows": q_pack_rows,
         "cluster_keep_best": q_cluster_keep_best,
         "url_canonical": q_url_canonical,
         "domain_cap": q_domain_cap,
@@ -3061,6 +3075,28 @@ def oracle_sql() -> dict[str, str]:
               AND (doc_id IN (SELECT node FROM winners)
                    OR doc_id NOT IN (SELECT node FROM lbl))
             ORDER BY doc_id
+        """,
+        "pack_rows": """
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS len,
+                       CAST(sum(length(text)) OVER (ORDER BY doc_id)
+                            - length(text) AS BIGINT) AS off
+                FROM documents
+            ), pieces AS (
+                SELECT unnest(range(off // 1000, (off + len - 1) // 1000 + 1)) AS seq_id,
+                       off, text, len
+                FROM base WHERE len > 0
+            ), sliced AS (
+                SELECT seq_id, off,
+                       substr(text,
+                              CAST(greatest(seq_id * 1000 - off, 0) + 1 AS BIGINT),
+                              CAST(least((seq_id + 1) * 1000 - off, len)
+                                   - greatest(seq_id * 1000 - off, 0) AS BIGINT)
+                       ) AS piece
+                FROM pieces
+            )
+            SELECT seq_id, string_agg(piece, '' ORDER BY off) AS seq_text
+            FROM sliced GROUP BY seq_id ORDER BY seq_id
         """,
         "pack_seqs": """
             SELECT doc_id,

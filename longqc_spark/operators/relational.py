@@ -413,7 +413,7 @@ def _global_prefix_before(
     rows, acc = [], 0
     for row in totals:
         rows.append((row["r"], acc))
-        acc += row["s"]
+        acc += row["s"] or 0  # all-NULL byte range sums to NULL
     spark = df.sparkSession
     offsets = spark.createDataFrame(rows or [(0, 0)], "_r long, _off long")
     w = Window.partitionBy(rng).orderBy(key_col)
@@ -582,3 +582,81 @@ def classification_curve(
         )
         .orderBy("threshold")
     )
+
+
+def pack_sequence_rows(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    range_width: int | None = None,
+    target_ranges: int = 1 << 16,
+) -> DataFrame:
+    """Materialize the packed training rows themselves: concatenate every
+    doc's ``text_col`` in ``key_col`` order and emit one row per
+    ``seq_len``-char cut — ``(seq_id, seq_text)`` where every sequence is
+    EXACTLY ``seq_len`` chars except the last. The writer stage on top of
+    ``pack_sequences``'s layout: docs straddling a cut contribute a slice to
+    each spanned sequence (standard packed pretraining — the stream is cut,
+    not the documents).
+
+    Plan: the two-pass global prefix sum (no global window) gives each doc
+    its stream offset; each doc EXPLODES into the ≤ ceil(len/seq_len)+1
+    sequences it spans with a JVM ``substr`` slice; one groupBy(seq_id)
+    reassembles slices in offset order. The reassembly shuffle moves each
+    char exactly once, partitioned by sequence — at 10^12 docs the
+    sequences are the natural write partition, and a sequence is ``seq_len``
+    chars regardless of corpus size, so per-group state is constant.
+    Empty/NULL texts contribute nothing (no zero-width slices).
+
+    Determinism: offsets are exact BIGINTs, slice boundaries are integer
+    arithmetic, and the per-sequence sort key is the slice's stream offset —
+    byte-identical output at any parallelism.
+    """
+    # NULL text → length 0 (contributes nothing to the stream; a NULL would
+    # void its whole key-range's partial sum)
+    lens = df.withColumn(
+        "_len", F.coalesce(F.length(F.col(text_col)), F.lit(0)).cast("long")
+    )
+    cum_before, finish = _global_prefix_before(
+        lens, "_len", key_col, range_width, target_ranges, caller="pack_sequence_rows"
+    )
+    L = int(seq_len)
+
+    def assemble(d: DataFrame) -> DataFrame:
+        d = (
+            d.withColumn("_off", cum_before)
+            .filter(F.col("_len") > 0)
+            .withColumn(
+                "_s",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"_off div {L}"),
+                        F.expr(f"(_off + _len - 1) div {L}"),
+                    )
+                ),
+            )
+        )
+        start_in_doc = F.greatest(F.col("_s") * L - F.col("_off"), F.lit(0))
+        end_in_doc = F.least((F.col("_s") + 1) * L - F.col("_off"), F.col("_len"))
+        piece = F.col(text_col).substr(
+            (start_in_doc + 1).cast("int"), (end_in_doc - start_in_doc).cast("int")
+        )
+        return (
+            d.select(
+                F.col("_s").alias("seq_id"),
+                F.struct(F.col("_off"), piece.alias("piece")).alias("_sl"),
+            )
+            .groupBy("seq_id")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list("_sl")), lambda x: x["piece"]
+                    ),
+                ).alias("seq_text")
+            )
+            .orderBy("seq_id")
+        )
+
+    return finish(assemble)

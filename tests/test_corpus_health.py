@@ -386,3 +386,50 @@ def test_curate_neardup_keep_best_prior(spark, sf001):
     # clusters resolved toward the re-crawls
     assert (out.doc_id >= 10000).all()
     assert len(out) > 0
+
+
+def test_pack_sequence_rows_reconstructs_stream(spark):
+    """Concatenating the packed rows in seq_id order must reproduce the doc
+    stream byte-for-byte; every row but the last is exactly seq_len chars."""
+    from longqc_spark.operators.relational import pack_sequence_rows
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(25),
+            "text": ["".join(chr(97 + (i * 7 + j) % 26) for j in range((i * 13) % 40 + 1))
+                     for i in range(25)],
+        }
+    )
+    got = (
+        pack_sequence_rows(spark.createDataFrame(pdf), 32, key_col="doc_id")
+        .orderBy("seq_id")
+        .toPandas()
+    )
+    stream = "".join(pdf.sort_values("doc_id").text)
+    assert "".join(got.seq_text) == stream
+    assert (got.seq_text.str.len()[:-1] == 32).all()
+    assert list(got.seq_id) == list(range(len(got)))
+
+
+def test_pack_sequence_rows_skips_empty_and_null(spark):
+    from longqc_spark.operators.relational import pack_sequence_rows
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, None), (4, "defgh")], "doc_id long, text string"
+    )
+    got = pack_sequence_rows(docs, 4).orderBy("seq_id").toPandas()
+    assert "".join(got.seq_text) == "abcdefgh"
+    assert list(got.seq_text) == ["abcd", "efgh"]
+
+
+def test_pack_sequence_rows_no_global_window(spark, sf001):
+    import re as _re
+
+    from longqc_spark.operators.relational import pack_sequence_rows
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = (
+        pack_sequence_rows(docs, 1000)._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\](, \[[^\]]*\])?", plan):
+        assert m.group(2) is not None, f"global (unpartitioned) window: {m.group(0)}"
