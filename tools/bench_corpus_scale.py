@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "latest_crawl blocklist neardup keep_best pack_seqs neardup_keep_best skew) and MERGE their keys into an "
+        "latest_crawl blocklist neardup keep_best pack_seqs pack_rows neardup_keep_best skew) and MERGE their keys into an "
         "existing --out record instead of overwriting it",
     )
     args = ap.parse_args()
@@ -477,6 +477,35 @@ def main() -> None:
             "sec": round(best, 1),
             "docs_per_sec": round(args.docs / best),
             "n_sequences": int(n_seqs),
+        }
+
+    # -- the packed-row WRITER at corpus scale: every char of the corpus
+    # crosses exactly one seq_id-keyed shuffle and is reassembled into
+    # fixed-2048-char rows. Output action = count + total-length agg (the
+    # write itself would be the same shuffle + a sink). --
+    if want("pack_rows"):
+        from longqc_spark.operators.relational import pack_sequence_rows
+
+        keyed = docs.withColumn("k", F.xxhash64("url"))
+        best = float("inf")
+        n_rows = total_chars = 0
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            row = (
+                pack_sequence_rows(keyed, 2048, text_col="text", key_col="k")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("seq_text")).alias("c"),
+                )
+                .collect()[0]
+            )
+            n_rows, total_chars = row["n"], row["c"]
+            best = min(best, time.time() - t0)
+        out["pack_rows_2048"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "chars_per_sec": round(total_chars / best),
+            "n_rows": int(n_rows),
         }
 
     # -- the FULL within-corpus near-dup dedup stage at 1M docs on the
