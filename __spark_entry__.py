@@ -872,6 +872,33 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:  # train/eval hy
     return contamination_check(corpus, eval_df)
 
 
+def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:  # eval audit
+    """Per-BENCHMARK contamination rollup: two eval sets (docs 0-9 = benchA,
+    10-19 = benchB) vs the corpus — per set, how many of its docs leak into
+    the corpus, how many corpus docs are tainted, and the shared-shingle
+    volume. The multi-eval-set audit a lab runs before every pretraining
+    launch; built on the same 5-token shingle join as `decontaminate`."""
+    from longqc_spark.operators.dedup import contamination_hits
+
+    docs = _read(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    hits = contamination_hits(corpus, eval_df, hashed=False)
+    bench = F.when(F.col("eval_id") < 10, F.lit("benchA")).otherwise(F.lit("benchB"))
+    return (
+        hits.withColumn("bench", bench)
+        .groupBy("bench")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+            F.countDistinct("doc_id").alias("n_corpus_docs_hit"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+        .orderBy("bench")
+    )
+
+
 def q_fuzzy_scrub(spark: SparkSession, sf: str) -> DataFrame:  # M7/M8 fuzzy variant
     """Tolerance-based term matching (reference lq_adapt.py:45-78 identity-
     threshold semantics): a token matches a lexicon term when levenshtein ≤ 1
@@ -2291,14 +2318,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # round-4b corpus-health + mixture queries — never driver-checked
     "keep_best_dedup", "token_budget_mix", "split_leakage",
     "domain_quality", "dup_inflation", "pack_seqs", "pack_rows",
-    "cluster_keep_best",
+    "cluster_keep_best", "contamination_report",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
     "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
-    "fingerprint", "running_sum",
+    "fingerprint",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2370,6 +2397,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_scrub": q_fuzzy_scrub,
         "token_pmi": q_token_pmi,
         "decontaminate": q_decontaminate,
+        "contamination_report": q_contamination_report,
         "mad_outliers": q_mad_outliers,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -3202,6 +3230,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(DISTINCT sh) AS n_contaminated_shingles,
                    count(DISTINCT eval_id) AS n_eval_docs_hit
             FROM hits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "contamination_report": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(arr) - 4, 0)),
+                           i -> array_to_string(arr[i:i+4], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> x <> '') AS arr
+                      FROM documents)
+            ), eval_sh AS (
+                SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id < 20
+            ), doc_sh AS (
+                SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 20
+            ), hits AS (
+                SELECT d.doc_id, d.sh, e.eval_id
+                FROM doc_sh d JOIN eval_sh e USING (sh)
+            )
+            SELECT CASE WHEN eval_id < 10 THEN 'benchA' ELSE 'benchB' END AS bench,
+                   count(DISTINCT eval_id) AS n_eval_docs_hit,
+                   count(DISTINCT doc_id) AS n_corpus_docs_hit,
+                   count(DISTINCT sh) AS n_shared_shingles
+            FROM hits GROUP BY bench ORDER BY bench
         """,
         "mad_outliers": """
             WITH med AS (

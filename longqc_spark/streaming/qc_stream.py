@@ -302,15 +302,7 @@ def stream_neardup(
                 sigs, key_col=key_col, bands=bands, n_hashes=n_hashes
             )
             admitted = cluster_keep_best(admitted, pairs, None, key_col=key_col)
-        ext = (
-            [
-                os.path.join(index_dir, n)
-                for n in sorted(os.listdir(index_dir))
-                if n.startswith("epoch=")
-            ]
-            if os.path.exists(index_dir)
-            else []
-        )
+        ext = _index_parts(index_dir)
         idx = seed_bands
         if ext:
             grown = spark.read.parquet(*ext)
@@ -336,3 +328,53 @@ def stream_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _index_parts(index_dir: str) -> list[str]:
+    """Committed band-index pieces: per-epoch extensions plus any compacted
+    merge (``compact_band_index``)."""
+    if not os.path.exists(index_dir):
+        return []
+    return [
+        os.path.join(index_dir, n)
+        for n in sorted(os.listdir(index_dir))
+        if n.startswith("epoch=") or n.startswith("compact=")
+    ]
+
+
+def compact_band_index(spark: SparkSession, out_dir: str) -> dict:
+    """Merge a ``stream_neardup`` run's per-epoch band-index extensions into
+    ONE distinct table so per-batch index reads stop growing with epoch
+    count (the small-files problem of any log-structured index; the labels
+    store has ``lineage.compact_labels`` for the same reason).
+
+    Crash-safe without a lock: the merged table commits first (tmp +
+    rename to ``compact=<max_epoch>``), THEN the merged ``epoch=*`` dirs
+    are removed — a crash between the two leaves duplicate band rows,
+    which the probe's semi-join semantics make harmless, and a re-run
+    finishes the removal. Epoch extensions written AFTER the merge began
+    are never touched (only the listed inputs are removed).
+
+    Returns {"n_merged": ..., "n_rows": ..., "part": path}.
+    """
+    import shutil as _shutil
+
+    index_dir = os.path.join(out_dir, "_band_index")
+    parts = _index_parts(index_dir)
+    if len(parts) <= 1:
+        return {"n_merged": 0, "n_rows": 0, "part": parts[0] if parts else None}
+    merged = spark.read.parquet(*parts).distinct()
+    max_tag = max(
+        int(os.path.basename(p).split("=", 1)[1]) for p in parts
+    )
+    tmp = os.path.join(index_dir, ".tmp-compact")
+    merged.write.mode("overwrite").parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    final = os.path.join(index_dir, f"compact={max_tag}")
+    if os.path.exists(final):
+        _shutil.rmtree(final)
+    os.replace(tmp, final)  # commit point
+    for p in parts:
+        if p != final:
+            _shutil.rmtree(p, ignore_errors=True)
+    return {"n_merged": len(parts), "n_rows": int(n_rows), "part": final}

@@ -307,3 +307,47 @@ def test_stream_neardup_replay_backfills_index(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "_band_index", "epoch=0"))  # backfilled
     ep1 = {r.url for r in spark.read.parquet(os.path.join(out, "epoch=1")).collect()}
     assert ep1 == {"u3"}  # cross-batch near-dup still excluded post-replay
+
+
+def test_compact_band_index(spark, tmp_path):
+    """Per-epoch extensions merge into one distinct compact table; probes
+    after compaction behave identically (a re-crawl of epoch-0 content is
+    still excluded)."""
+    import os
+
+    from longqc_spark.streaming.qc_stream import compact_band_index, stream_neardup
+
+    base = [" ".join(f"cmp{i}w{j}" for j in range(40)) for i in range(4)]
+    d = str(tmp_path / "cp_in")
+    os.makedirs(d)
+    for i in range(3):
+        spark.createDataFrame(
+            [(f"u{i}", base[i])], "url string, text string"
+        ).coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+
+    out = str(tmp_path / "cp_out")
+    schema = "url string, text string"
+    q = stream_neardup(spark, os.path.join(d, "*"), schema, out, key_col="url")
+    assert q.awaitTermination(540)
+    idx = os.path.join(out, "_band_index")
+    assert len([n for n in os.listdir(idx) if n.startswith("epoch=")]) == 3
+
+    res = compact_band_index(spark, out)
+    assert res["n_merged"] == 3 and res["n_rows"] > 0
+    names = [n for n in os.listdir(idx) if not n.startswith(".")]
+    assert names == ["compact=2"]
+
+    # drain a fourth batch: near-dup of epoch-0 content must still be
+    # excluded via the compacted index, fresh doc admitted, and the new
+    # epoch extension lands NEXT TO the compact part
+    spark.createDataFrame(
+        [("u3", "recrawl2025 " + base[0]), ("u4", base[3])],
+        "url string, text string",
+    ).coalesce(1).write.parquet(os.path.join(d, "b3"))
+    q2 = stream_neardup(spark, os.path.join(d, "*"), schema, out, key_col="url")
+    assert q2.awaitTermination(540)
+    ep3 = {r.url for r in spark.read.parquet(os.path.join(out, "epoch=3")).collect()}
+    assert ep3 == {"u4"}
+    # compacting again folds the new extension in
+    res2 = compact_band_index(spark, out)
+    assert res2["n_merged"] == 2
