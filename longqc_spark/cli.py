@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="eval-set parquet (eval_id, text) to decontaminate "
                         "the curated export against (5-token shingle "
                         "broadcast semi-join on the scrubbed text)")
+    p.add_argument("--pack-out", default=None, metavar="DIR",
+                   help="after --curate-out: pack the curated rows' scrubbed "
+                        "text into fixed-length training sequences "
+                        "(seq_id, seq_text) at this parquet dir — the "
+                        "concatenate-and-cut-every-L layout, keyed by "
+                        "xxhash64(url) for a deterministic shuffle order")
+    p.add_argument("--seq-len", type=int, default=2048, metavar="L",
+                   help="sequence length (chars) for --pack-out")
     p.add_argument("--shard-bytes", type=int, default=None, metavar="N",
                    help="byte-balanced shard ids in the curated export "
                         "(two-pass prefix sum over xxhash64(key))")
@@ -243,6 +251,24 @@ def main(argv: list[str] | None = None) -> int:
         curated.write.mode("overwrite").parquet(args.curate_out)
         n_curated = spark.read.parquet(args.curate_out).count()
         print(f"curated {n_curated} rows → {args.curate_out}", file=sys.stderr)
+
+        if args.pack_out:
+            from .operators.relational import pack_sequence_rows
+
+            packed = pack_sequence_rows(
+                spark.read.parquet(args.curate_out).withColumn(
+                    "_pk", F.xxhash64(args.key_col)
+                ),
+                args.seq_len,
+                text_col="scrubbed_text",
+                key_col="_pk",
+            )
+            packed.write.mode("overwrite").parquet(args.pack_out)
+            n_seq = spark.read.parquet(args.pack_out).count()
+            print(
+                f"packed {n_seq} x {args.seq_len}-char sequences → {args.pack_out}",
+                file=sys.stderr,
+            )
 
     if args.digest_index:
         from .lineage import write_digest_index

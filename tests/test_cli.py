@@ -402,3 +402,31 @@ def test_cli_emit_blocklist_feedback_loop(spark, corpus_path, tmp_path):
     labels = spark.read.parquet(os.path.join(out2, "data")).toPandas()
     assert not labels.url.str.contains("junk.example").any()
     assert labels.url.str.contains("clean.example").any()
+
+
+def test_cli_pack_out(spark, corpus_path, tmp_path):
+    """--pack-out materializes the curated export as fixed-length training
+    sequences whose concatenation reproduces the curated char stream."""
+    out = str(tmp_path / "pk_run")
+    curated_dir = str(tmp_path / "pk_curated")
+    packed_dir = str(tmp_path / "pk_packed")
+    rc = main(
+        [
+            "--input", corpus_path,
+            "--out", out,
+            "--buckets", "2",
+            "--curate-out", curated_dir,
+            "--pack-out", packed_dir,
+            "--seq-len", "512",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    packed = spark.read.parquet(packed_dir).orderBy("seq_id").toPandas()
+    curated = spark.read.parquet(curated_dir)
+    total = curated.select(
+        F.sum(F.length("scrubbed_text")).alias("c")
+    ).collect()[0]["c"]
+    assert (packed.seq_text.str.len()[:-1] == 512).all()
+    assert packed.seq_text.str.len().sum() == total
+    assert list(packed.seq_id) == list(range(len(packed)))
