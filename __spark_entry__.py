@@ -2331,9 +2331,12 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
     # mean_stddev for blocklist_filter/score_drift/incremental_neardup;
     # interval_occupancy/active_regions/merge_upsert/salted_agg/set_ops for
-    # the five round-4b corpus-health queries — all rotated-out names were
-    # driver-green in r1/r2; the list is kept at EXACTLY 50 = the driver's
-    # window size so every name here is actually checked)
+    # keep_best_dedup/token_budget_mix/split_leakage/domain_quality/
+    # dup_inflation; tumbling_counts/token_quality/pivot_counts/running_sum
+    # for pack_seqs/cluster_keep_best/pack_rows/contamination_report — all
+    # rotated-out names were driver-green in r1/r2; the list is kept at
+    # EXACTLY 50 = the driver's window size so every name here is actually
+    # checked)
 )
 assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 
@@ -2973,13 +2976,8 @@ def oracle_sql() -> dict[str, str]:
                 )
             ) GROUP BY split ORDER BY split
         """,
-        "keep_best_dedup": """
-            WITH corpus AS (
-                SELECT * FROM documents
-                UNION ALL
-                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-                FROM documents WHERE doc_id % 3 = 0
-            ), ranked AS (
+        "keep_best_dedup": f"""
+            WITH corpus AS ({_RECRAWL_SQL}), ranked AS (
                 SELECT doc_id, source, CAST(doc_id % 7 AS DOUBLE) AS q,
                        row_number() OVER (PARTITION BY md5(text)
                            ORDER BY (doc_id % 7) DESC, doc_id) AS rn
@@ -2988,7 +2986,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_kept,
                    CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
                    CAST(sum(q) AS DOUBLE) AS sum_score
-            FROM ranked WHERE rn = 1 GROUP BY source ORDER BY source
+            FROM (
+                SELECT doc_id, source, q FROM ranked WHERE rn = 1
+                UNION ALL
+                -- NULL payloads pass through the operator untouched
+                SELECT doc_id, source, CAST(doc_id % 7 AS DOUBLE) AS q
+                FROM corpus WHERE text IS NULL
+            ) GROUP BY source ORDER BY source
         """,
         "token_budget_mix": """
             WITH ranked AS (
@@ -3006,13 +3010,8 @@ def oracle_sql() -> dict[str, str]:
                                            ELSE 800 END
             GROUP BY source ORDER BY source
         """,
-        "split_leakage": """
-            WITH corpus AS (
-                SELECT * FROM documents
-                UNION ALL
-                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-                FROM documents WHERE doc_id % 3 = 0
-            ), d AS (
+        "split_leakage": f"""
+            WITH corpus AS ({_RECRAWL_SQL}), d AS (
                 SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
                            '[^a-z0-9 \\n]', ' ', 'g'), '\\s+', ' ', 'g'))) AS dg,
                        CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val'
@@ -3046,7 +3045,7 @@ def oracle_sql() -> dict[str, str]:
                                ELSE '#Section2' END) AS url
                 FROM documents
             ), labels AS (
-                SELECT regexp_extract(url, '(?i)^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)', 1) AS domain,
+                SELECT lower(regexp_extract(url, '(?i)^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)', 1)) AS domain,
                        (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
                             / length(text) >= 0.55) AND n_chars >= 50 AS keep,
                        CAST(n_chars AS DOUBLE) AS perplexity
@@ -3136,13 +3135,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) ORDER BY doc_id
         """,
-        "dup_inflation": """
-            WITH corpus AS (
-                SELECT * FROM documents
-                UNION ALL
-                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-                FROM documents WHERE doc_id % 3 = 0
-            ), c AS (
+        "dup_inflation": f"""
+            WITH corpus AS ({_RECRAWL_SQL}), c AS (
                 SELECT md5(text) AS dg, count(*) AS cs,
                        sum(n_chars) AS ch, max(n_chars) AS ch1
                 FROM corpus WHERE text IS NOT NULL GROUP BY 1

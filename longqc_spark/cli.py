@@ -146,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--local-cores", type=int, default=None,
                    help="build a local[N] session (omit under spark-submit)")
     args = p.parse_args(argv)
+    if args.pack_out and not args.curate_out:
+        raise ValueError(
+            "--pack-out packs the curated export and requires --curate-out"
+        )
 
     if args.local_cores:
         from .session import get_spark
@@ -173,6 +177,20 @@ def main(argv: list[str] | None = None) -> int:
         "payload_dedup_normalize": args.payload_dedup_normalize,
         "neardup_threshold": args.neardup_threshold,
     }
+    # validate the resume identity BEFORE the dedup stages: the near-dup
+    # stage's connected components run eagerly (driver-side supersteps), so
+    # without this pre-check a refused resume would burn the full corpus
+    # LSH pass just to raise run_qc_with_lineage's identity error
+    from .lineage import load_manifest
+
+    _m = load_manifest(args.out)
+    if _m.get("run_id") is not None:
+        _prev = _m.get("run_config", {}).get("hygiene")
+        if _prev is not None and _prev != hygiene_config:
+            raise ValueError(
+                "run config differs from the manifest's — cannot resume: "
+                f"{_prev} vs {hygiene_config}"
+            )
     if any(v is not None and v is not False for v in hygiene_config.values()):
         from .curation import web_hygiene
 
@@ -332,10 +350,14 @@ def main(argv: list[str] | None = None) -> int:
             .orderBy("domain")
             .collect()
         )
-        with open(args.emit_blocklist, "w") as f:
+        # atomic publish (tmp + rename): a crash mid-write must not leave a
+        # truncated-but-valid-looking file for the next crawl to consume
+        _bl_tmp = args.emit_blocklist + ".tmp"
+        with open(_bl_tmp, "w") as f:
             f.write("# auto-generated by longqc-spark --emit-blocklist\n")
             for r in cands:
                 f.write(r.domain + "\n")
+        os.replace(_bl_tmp, args.emit_blocklist)
         print(
             f"blocklist: {len(cands)} candidate domains → {args.emit_blocklist}",
             file=sys.stderr,

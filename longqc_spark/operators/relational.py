@@ -416,7 +416,18 @@ def _global_prefix_before(
         acc += row["s"] or 0  # all-NULL byte range sums to NULL
     spark = df.sparkSession
     offsets = spark.createDataFrame(rows or [(0, 0)], "_r long, _off long")
-    w = Window.partitionBy(rng).orderBy(key_col)
+    # ROWS frame, not the default RANGE: under RANGE, rows TIED on key_col
+    # are peers and every one gets the full peer-group sum — duplicate keys
+    # (or an xxhash64 collision on a derived key) would produce OVERLAPPING
+    # stream offsets, silently garbling packed sequences / shard byte totals.
+    # With ROWS each tied row still gets a distinct, non-overlapping offset
+    # (the layout stays valid); only the order WITHIN a tie is partition-
+    # arbitrary, so callers wanting bit-stable output pass unique keys.
+    w = (
+        Window.partitionBy(rng)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_within = F.sum(bytes_col).over(w) - F.col(bytes_col)
     cum_before = (F.col("_off") + cum_within).cast("long")
 

@@ -274,8 +274,14 @@ def domain_stats(
     empty-string pseudo-domain (which could otherwise surface as an
     unactionable blocklist row).
     """
-    domain = F.regexp_extract(
-        F.col(url_col), r"(?i)^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)", 1
+    # lowercased host: the SAME identity blocklist_filter matches on —
+    # case-varying crawl aliases of one domain must aggregate to one row,
+    # or a junk domain could split below min_docs and evade the blocklist
+    # candidates (and --emit-blocklist would write case-variant entries)
+    domain = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"(?i)^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)", 1
+        )
     )
     return (
         labels.withColumn("domain", domain)

@@ -348,11 +348,13 @@ def compact_band_index(spark: SparkSession, out_dir: str) -> dict:
     count (the small-files problem of any log-structured index; the labels
     store has ``lineage.compact_labels`` for the same reason).
 
-    Crash-safe without a lock: the merged table commits first (tmp +
-    rename to ``compact=<max_epoch>``), THEN the merged ``epoch=*`` dirs
-    are removed — a crash between the two leaves duplicate band rows,
-    which the probe's semi-join semantics make harmless, and a re-run
-    finishes the removal. Epoch extensions written AFTER the merge began
+    Crash-safe without a lock: the merged table commits to a FRESH name
+    (``compact=<max_epoch>`` with a ``.g<n>`` generation suffix if that
+    name is taken — never delete-then-replace an existing part, which
+    would open a window where its rows exist nowhere), THEN the merged
+    input parts are removed — a crash between the two leaves duplicate
+    band rows, which the probe's semi-join semantics make harmless, and a
+    re-run folds them away. Epoch extensions written AFTER the merge began
     are never touched (only the listed inputs are removed).
 
     Returns {"n_merged": ..., "n_rows": ..., "part": path}.
@@ -365,14 +367,16 @@ def compact_band_index(spark: SparkSession, out_dir: str) -> dict:
         return {"n_merged": 0, "n_rows": 0, "part": parts[0] if parts else None}
     merged = spark.read.parquet(*parts).distinct()
     max_tag = max(
-        int(os.path.basename(p).split("=", 1)[1]) for p in parts
+        int(os.path.basename(p).split("=", 1)[1].split(".", 1)[0]) for p in parts
     )
     tmp = os.path.join(index_dir, ".tmp-compact")
     merged.write.mode("overwrite").parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()
     final = os.path.join(index_dir, f"compact={max_tag}")
-    if os.path.exists(final):
-        _shutil.rmtree(final)
+    gen = 2
+    while os.path.exists(final):  # commit to a fresh name, never clobber
+        final = os.path.join(index_dir, f"compact={max_tag}.g{gen}")
+        gen += 1
     os.replace(tmp, final)  # commit point
     for p in parts:
         if p != final:
