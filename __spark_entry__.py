@@ -1698,6 +1698,23 @@ def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (embedd
     return embed_neardup(emb, threshold=0.45).withColumn("cosine", F.round("cosine", 4))
 
 
+def q_semantic_keep_best(spark: SparkSession, sf: str) -> DataFrame:  # SemDeDup
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023): embedding-cosine
+    near-dup pairs → connected clusters → keep ONE representative per
+    cluster, the max-score member (deterministic pseudo-quality vec_id % 5,
+    tie → min key); singletons survive. Composes the oracled embed_neardup
+    pair join with cluster_keep_best — the embedding-space twin of
+    cluster_keep_best's token-space query."""
+    from longqc_spark.operators.dedup import cluster_keep_best
+    from longqc_spark.operators.simsearch import embed_neardup
+
+    emb = _read(spark, sf, "embeddings")
+    pairs = embed_neardup(emb, threshold=0.45)
+    scored = emb.withColumn("q_score", (F.col("vec_id") % 5).cast("double"))
+    kept = cluster_keep_best(scored, pairs, "q_score", key_col="vec_id")
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 def _minhash_sigs(docs: DataFrame, n_perms: int = 8) -> DataFrame:
     """THE md5-family MinHash signature builder — (doc_id, perm, mh) via
     min(md5(perm:shingle)) over distinct 3-shingles. Single implementation
@@ -2318,14 +2335,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # round-4b corpus-health + mixture queries — never driver-checked
     "keep_best_dedup", "token_budget_mix", "split_leakage",
     "domain_quality", "dup_inflation", "pack_seqs", "pack_rows",
-    "cluster_keep_best", "contamination_report",
+    "cluster_keep_best", "contamination_report", "semantic_keep_best",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
     "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
-    "fingerprint",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2452,6 +2468,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_all": q_intersect_all,
         "array_ops": q_array_ops,
         "embed_neardup": q_embed_neardup,
+        "semantic_keep_best": q_semantic_keep_best,
         "minhash_sql": q_minhash_sql,
         "minhash_pipeline": q_minhash_pipeline,
         "simhash_pipeline": q_simhash_pipeline,
@@ -3801,6 +3818,34 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
             ORDER BY key_a, key_b
+        """,
+        "semantic_keep_best": """
+            WITH RECURSIVE prs AS (
+                SELECT a.vec_id AS key_a, b.vec_id AS key_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+            ), edges AS (
+                SELECT key_a AS a, key_b AS b FROM prs
+                UNION SELECT key_b, key_a FROM prs
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), lbl AS (
+                SELECT a AS node, least(a, min(b)) AS component
+                FROM reach GROUP BY a
+            ), winners AS (
+                SELECT node FROM (
+                    SELECT node,
+                           row_number() OVER (PARTITION BY component
+                               ORDER BY (node % 5) DESC, node) AS rn
+                    FROM lbl
+                ) WHERE rn = 1
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id IN (SELECT node FROM winners)
+               OR vec_id NOT IN (SELECT node FROM lbl)
+            ORDER BY vec_id
         """,
         "minhash_sql": r"""
             WITH toks AS (
