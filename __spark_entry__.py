@@ -669,6 +669,35 @@ def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:  # data mixin
     )
 
 
+def q_quality_budget_mix(spark: SparkSession, sf: str) -> DataFrame:  # ranked selection
+    """Quality-RANKED budget selection: per source, spend the char budget on
+    the highest-score docs first (deterministic pseudo-quality doc_id % 7,
+    md5 tie-break) — "take the best docs until the budget is spent", the
+    selection rule quality-filtered pipelines deploy (vs the hash lottery of
+    token_budget_mix)."""
+    from longqc_spark.operators.text import mix_sources_token_budget
+
+    docs = _read(spark, sf, "documents").withColumn(
+        "q_score", (F.col("doc_id") % 7).cast("double")
+    )
+    mixed = mix_sources_token_budget(
+        docs,
+        budgets={"src0": 4000, "src1": 2000, "src2": 800},
+        count_col="n_chars",
+        order_col="q_score",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("q_score").alias("sum_score"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:  # eval integrity
     """Cross-split contamination audit: normalized-digest texts straddling
     >1 dataset split (train/val/test from the md5-percent rule). The split
@@ -2336,12 +2365,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "keep_best_dedup", "token_budget_mix", "split_leakage",
     "domain_quality", "dup_inflation", "pack_seqs", "pack_rows",
     "cluster_keep_best", "contamination_report", "semantic_keep_best",
+    "quality_budget_mix",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50", "n50_approx", "binned_median", "histogram",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
-    "mad_outliers", "hash_sample", "stratified_sample", "cosine_topk",
+    "mad_outliers", "hash_sample", "stratified_sample",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2349,7 +2379,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # interval_occupancy/active_regions/merge_upsert/salted_agg/set_ops for
     # keep_best_dedup/token_budget_mix/split_leakage/domain_quality/
     # dup_inflation; tumbling_counts/token_quality/pivot_counts/running_sum
-    # for pack_seqs/cluster_keep_best/pack_rows/contamination_report — all
+    # for pack_seqs/cluster_keep_best/pack_rows/contamination_report;
+    # fingerprint/cosine_topk for semantic_keep_best/quality_budget_mix — all
     # rotated-out names were driver-green in r1/r2; the list is kept at
     # EXACTLY 50 = the driver's window size so every name here is actually
     # checked)
@@ -2396,6 +2427,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "keep_best_dedup": q_keep_best_dedup,
         "token_budget_mix": q_token_budget_mix,
+        "quality_budget_mix": q_quality_budget_mix,
         "split_leakage": q_split_leakage,
         "domain_quality": q_domain_quality,
         "dup_inflation": q_dup_inflation,
@@ -3021,6 +3053,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM ranked
+            WHERE cum_before < CASE source WHEN 'src0' THEN 4000
+                                           WHEN 'src1' THEN 2000
+                                           ELSE 800 END
+            GROUP BY source ORDER BY source
+        """,
+        "quality_budget_mix": """
+            WITH ranked AS (
+                SELECT source, n_chars, doc_id,
+                       CAST(doc_id % 7 AS DOUBLE) AS q,
+                       sum(n_chars) OVER (PARTITION BY source
+                           ORDER BY (doc_id % 7) DESC, md5(doc_id || '#23'), doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(q) AS DOUBLE) AS sum_score
             FROM ranked
             WHERE cum_before < CASE source WHEN 'src0' THEN 4000
                                            WHEN 'src1' THEN 2000

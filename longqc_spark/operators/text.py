@@ -364,6 +364,7 @@ def mix_sources_token_budget(
     source_col: str = "source",
     key_col: str = "doc_id",
     seed: int = 23,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Training-mixture construction by VOLUME budget, not doc count: per
     source, admit md5-priority winners while the running ``count_col`` total
@@ -389,6 +390,12 @@ def mix_sources_token_budget(
     Rows with a NULL ``count_col`` are excluded (their volume is undefined,
     so they can neither consume budget nor be admitted against it) — the
     running sum skips them and the NULL ``_before`` comparison drops them.
+
+    ``order_col``: QUALITY-RANKED selection instead of the hash lottery —
+    the budget is consumed in descending ``order_col`` order (NULLs last,
+    md5-priority tie-break), i.e. "take the best docs of each source until
+    its token budget is spent", the selection rule quality-filtered
+    pipelines actually deploy. Same plan, one extra leading sort key.
     """
     from pyspark.sql import Window
 
@@ -399,7 +406,8 @@ def mix_sources_token_budget(
     prio = F.md5(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")).cast("binary")
     )
-    w = Window.partitionBy(source_col).orderBy("_prio", key_col)
+    order = [F.col(order_col).desc_nulls_last()] if order_col else []
+    w = Window.partitionBy(source_col).orderBy(*order, "_prio", key_col)
     running = F.sum(F.col(count_col).cast("bigint")).over(w)
     return (
         df.filter(F.col(source_col).isin(list(budgets)))
