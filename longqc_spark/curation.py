@@ -19,6 +19,8 @@ operators' own documented ones.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, functions as F
 
 from .config import DEFAULT_CONFIG, QCConfig
@@ -128,6 +130,7 @@ def curate(
     payload_dedup_normalize: bool = False,
     neardup_threshold: float | None = None,
     neardup_max_bucket: int | None = 500,
+    observe: dict | None = None,
 ) -> DataFrame:
     """documents → curated training rows.
 
@@ -170,7 +173,29 @@ def curate(
 
     Returns the curated labels (stat vector + scrubbed_text + split
     [+ shard]).
+
+    ``observe``: pass an empty dict to receive per-stage ``Observation``
+    handles (keys: input, hygiene, payload_dedup, neardup, exclusion,
+    qc_keep, decontam — only the stages that ran). Each records the row
+    count LEAVING its stage, riding the funnel's own single execution
+    (CollectMetrics nodes — zero extra scans or actions); read
+    ``observe[k].get["n"]`` AFTER an action on the returned frame. The
+    funnel audit the north-rule's per-stage metric aggregates call for.
+    Caveat (documented in lineage.py too): on a runtime-EMPTY input AQE's
+    PropagateEmptyRelation can eliminate CollectMetrics nodes — guard with
+    the excludedRules conf if empty inputs are expected.
     """
+
+    def _obs(df: DataFrame, tag: str) -> DataFrame:
+        if observe is None:
+            return df
+        from pyspark.sql import Observation
+
+        o = Observation(f"curate-{tag}-{uuid.uuid4().hex[:8]}")
+        observe[tag] = o
+        return df.observe(o, F.count(F.lit(1)).alias("n"))
+
+    docs = _obs(docs, "input")
     src = web_hygiene(
         docs,
         key_col=key_col,
@@ -183,6 +208,7 @@ def curate(
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,
     )
+    src = _obs(src, "hygiene")
     if payload_dedup:
         from .operators.dedup import keep_best_dedup
 
@@ -200,6 +226,7 @@ def curate(
             html_col=html_col,
             normalize=payload_dedup_normalize,
         )
+        src = _obs(src, "payload_dedup")
     if neardup_threshold is not None:
         from .operators.dedup import cluster_keep_best, minhash_jaccard_estimate
 
@@ -216,13 +243,16 @@ def curate(
             max_bucket=neardup_max_bucket,
         )
         src = cluster_keep_best(src, pairs, payload_score_col, key_col=key_col)
+        src = _obs(src, "neardup")
     if exclude_labels is not None:
         src = incremental_dedup(
             src, exclude_labels, key_col=key_col, text_col=text_col, html_col=html_col
         )
+        src = _obs(src, "exclusion")
     labels = qc_pipeline(
         src, cfg, text_col=text_col, key_cols=[key_col], html_col=html_col
     ).filter(F.col("keep"))
+    labels = _obs(labels, "qc_keep")
     if eval_df is not None:
         # shingle the post-exclusion survivors, not the raw batch: in the
         # re-crawl case stage 1 removes most rows, and hits on excluded
@@ -236,6 +266,7 @@ def curate(
             ).select(key_col)
         )
         labels = labels.join(F.broadcast(contaminated), key_col, "left_anti")
+        labels = _obs(labels, "decontam")
     labels = labels.withColumn(
         "split", dataset_split_expr(key_col, fractions=split_fractions)
     )

@@ -433,3 +433,41 @@ def test_pack_sequence_rows_no_global_window(spark, sf001):
     )
     for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\](, \[[^\]]*\])?", plan):
         assert m.group(2) is not None, f"global (unpartitioned) window: {m.group(0)}"
+
+
+def test_curate_funnel_observations(spark, sf001):
+    """observe= populates per-stage Observations riding the funnel's own
+    execution: stage counts must match independently computed values."""
+    from longqc_spark.config import DRIVER_DOCS_CONFIG
+    from longqc_spark.curation import curate
+    from longqc_spark.pipeline import qc_pipeline
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    corpus = docs.unionByName(recrawl)
+    n_in = corpus.count()
+
+    obs: dict = {}
+    out = curate(
+        corpus,
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="doc_id",
+        text_col="text",
+        payload_dedup=True,
+        observe=obs,
+    )
+    n_final = out.count()  # the one action; all observations harvest from it
+    assert set(obs) == {"input", "hygiene", "payload_dedup", "qc_keep"}
+    assert obs["input"].get["n"] == n_in
+    assert obs["hygiene"].get["n"] == n_in  # no hygiene stages enabled
+    assert obs["payload_dedup"].get["n"] == docs.count()  # dups collapsed
+    assert obs["qc_keep"].get["n"] == n_final
+    # qc_keep equals an independent keep count over the deduped rows
+    want_keep = (
+        qc_pipeline(docs, DRIVER_DOCS_CONFIG, key_cols=["doc_id"])
+        .filter(F.col("keep"))
+        .count()
+    )
+    assert n_final == want_keep
