@@ -32,7 +32,7 @@ from longqc_spark.session import get_spark  # noqa: E402
 DATA_CC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data_cc")
 
 
-def run_at(cores: int, path: str, passes: int = 3) -> tuple[float, int]:
+def run_at(cores: int, path: str, passes: int = 3, job: str = "qc") -> tuple[float, int]:
     spark = get_spark(f"scale-{cores}", cores=cores)
     # production posture: the corpus is written with 4k-row groups, so the
     # SCAN parallelizes (~28 splits at 16 MB) and the pipeline needs no
@@ -47,9 +47,20 @@ def run_at(cores: int, path: str, passes: int = 3) -> tuple[float, int]:
     best = float("inf")
     for _ in range(passes):
         t0 = time.time()
-        qc_pipeline(cc, num_partitions=0).agg(
-            F.count(F.lit(1)), F.count_if(F.col("keep"))
-        ).collect()
+        if job == "qc":
+            qc_pipeline(cc, num_partitions=0).agg(
+                F.count(F.lit(1)), F.count_if(F.col("keep"))
+            ).collect()
+        elif job == "lsh":
+            # the second-heaviest production path: full MinHash-LSH near-dup
+            # (signatures + banded join + Jaccard estimate)
+            from longqc_spark.operators.dedup import minhash_jaccard_estimate
+
+            minhash_jaccard_estimate(
+                cc, key_col="url", threshold=0.5, max_bucket=500
+            ).count()
+        else:
+            raise ValueError(f"unknown job {job!r}")
         best = min(best, time.time() - t0)
     spark.stop()
     return best, n
@@ -65,6 +76,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=None,
                     help="corpus size (default: the 400k scaling corpus)")
+    ap.add_argument("--job", default="qc", choices=("qc", "lsh"),
+                    help="which job to scale: the QC pipeline (north-rule "
+                         "default) or the MinHash-LSH near-dup pass")
     ap.add_argument("--levels", default="2,8,32",
                     help="comma-separated parallelism levels (e.g. 8,32 to "
                          "re-measure one N→4N pair in a short window, "
@@ -85,10 +99,10 @@ def main() -> None:
     levels = tuple(int(x) for x in args.levels.split(","))
     results = {}
     for cores in levels:
-        sec, n = run_at(cores, path)
+        sec, n = run_at(cores, path, job=args.job)
         results[cores] = {"sec": round(sec, 2), "docs_per_sec": round(n / sec, 1)}
         print(f"local[{cores}]: {sec:.2f}s  {n / sec:.0f} docs/s", flush=True)
-    out = {"input": path, "n_docs": n, "runs": results}
+    out = {"input": path, "n_docs": n, "job": args.job, "runs": results}
     for lo, hi in zip(levels, levels[1:]):
         eff = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"] / (hi / lo)
         out[f"efficiency_N{lo}_to_{hi}"] = round(eff, 3)
