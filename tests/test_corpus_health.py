@@ -471,3 +471,73 @@ def test_curate_funnel_observations(spark, sf001):
         .count()
     )
     assert n_final == want_keep
+
+
+# -- hypothesis properties: the new operators must hold their invariants on
+# arbitrary inputs, not just the synthetic corpus (SURVEY §5 strategy) --
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_doc_lists = st.lists(
+    st.one_of(st.none(), st.text(alphabet="abc xyz", max_size=25)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_lists, st.integers(min_value=1, max_value=30))
+def test_pack_rows_reconstruction_property(spark, docs_texts, L):
+    from longqc_spark.operators.relational import pack_sequence_rows
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs_texts)), "text": pd.Series(docs_texts, dtype=object)}
+    )
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    got = pack_sequence_rows(df, L, key_col="doc_id").orderBy("seq_id").toPandas()
+    stream = "".join(t for t in docs_texts if t)
+    assert "".join(got.seq_text) == stream
+    if len(got):
+        assert (got.seq_text.str.len()[:-1] == L).all()
+        assert list(got.seq_id) == list(range(len(got)))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["aa", "bb", "cc"])),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_keep_best_winner_property(spark, rows):
+    """Per digest group exactly the (score desc nulls-last, key asc) argmax
+    survives; NULL payloads all pass through."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": pd.Series([r[0] for r in rows], dtype=object),
+            "score": pd.Series(
+                [None if r[1] is None else float(r[1]) for r in rows], dtype="float64"
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    got = sorted(
+        r.doc_id
+        for r in keep_best_dedup(df, "score", key_col="doc_id", text_col="text").collect()
+    )
+    want = [int(i) for i, r in enumerate(rows) if r[0] is None]
+    groups: dict = {}
+    for i, (t, q) in enumerate(rows):
+        if t is not None:
+            groups.setdefault(t, []).append((i, q))
+    for members in groups.values():
+        # score desc with NULLs last, then min key
+        want.append(
+            min(members, key=lambda m: (m[1] is None, -(m[1] or 0), m[0]))[0]
+        )
+    assert got == sorted(want)
