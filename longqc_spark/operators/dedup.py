@@ -910,6 +910,12 @@ def keep_best_dedup(
     """
     from .text import normalize_text_expr
 
+    if score_col is not None and score_col not in df.columns:
+        raise ValueError(
+            f"keep_best_dedup: score column {score_col!r} not in the input "
+            f"(columns: {df.columns}) — derive a pre-QC prior first, e.g. "
+            "withColumn(score, F.length(text)) or a crawl-rank column"
+        )
     if normalize and html_col is not None:
         raise ValueError(
             "normalize digests TEXT (lowercase/whitespace folding is "
@@ -1005,6 +1011,11 @@ def cluster_keep_best(
 
     Returns the surviving rows of ``df`` (original columns).
     """
+    if score_col is not None and score_col not in df.columns:
+        raise ValueError(
+            f"cluster_keep_best: score column {score_col!r} not in the input "
+            f"(columns: {df.columns}) — derive a pre-QC prior first"
+        )
     cc = connected_components(pairs, key_a=key_a, key_b=key_b)
     labeled = df.join(
         cc.withColumnRenamed("node", key_col), key_col, "left"
