@@ -147,9 +147,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="build a local[N] session (omit under spark-submit)")
     args = p.parse_args(argv)
     if args.pack_out and not args.curate_out:
-        raise ValueError(
-            "--pack-out packs the curated export and requires --curate-out"
-        )
+        p.error("--pack-out packs the curated export and requires --curate-out")
 
     if args.local_cores:
         from .session import get_spark
@@ -176,21 +174,42 @@ def main(argv: list[str] | None = None) -> int:
         "payload_score_col": args.payload_score_col,
         "payload_dedup_normalize": args.payload_dedup_normalize,
         "neardup_threshold": args.neardup_threshold,
+        # the star guard changes WHICH candidate pairs the near-dup stage
+        # sees, hence which survivors exist — identity, like the threshold
+        "neardup_max_bucket": args.neardup_max_bucket,
     }
-    # validate the resume identity BEFORE the dedup stages: the near-dup
-    # stage's connected components run eagerly (driver-side supersteps), so
-    # without this pre-check a refused resume would burn the full corpus
-    # LSH pass just to raise run_qc_with_lineage's identity error
-    from .lineage import load_manifest
+    # validate the COMPLETE resume identity BEFORE the dedup stages: the
+    # near-dup stage's connected components run eagerly (driver-side
+    # supersteps), so without this pre-check a refused resume would burn the
+    # full corpus LSH pass just to raise run_qc_with_lineage's identity
+    # error. The expected run_config is rebuilt exactly as
+    # run_qc_with_lineage builds it (cfg/key/text/html/dedup/schema/
+    # exclude + the hygiene extra), so ANY mismatch front-runs here.
+    from .lineage import LABEL_SCHEMA_VERSION, load_manifest
 
     _m = load_manifest(args.out)
     if _m.get("run_id") is not None:
-        _prev = _m.get("run_config", {}).get("hygiene")
-        if _prev is not None and _prev != hygiene_config:
+        expected_rc = {
+            "cfg": repr(cfg),
+            "key_col": args.key_col,
+            "text_col": args.text_col,
+            "html_col": args.html_col,
+            "dedup": args.dedup,
+            "label_schema": LABEL_SCHEMA_VERSION,
+            **(
+                {"exclude_labels_dir": args.exclude_labels}
+                if args.exclude_labels
+                else {}
+            ),
+            "hygiene": hygiene_config,
+        }
+        if _m.get("run_config", expected_rc) != expected_rc:
             raise ValueError(
                 "run config differs from the manifest's — cannot resume: "
-                f"{_prev} vs {hygiene_config}"
+                f"{_m['run_config']} vs {expected_rc}"
             )
+        if _m.get("n_buckets") != args.buckets:
+            raise ValueError("n_buckets differs from the manifest's — cannot resume")
     if any(v is not None and v is not False for v in hygiene_config.values()):
         from .curation import web_hygiene
 

@@ -875,6 +875,27 @@ def incremental_dedup(
     return kept.unionByName(nulls)
 
 
+def _check_score_col(df: DataFrame, score_col: str | None, op: str) -> None:
+    """Actionable up-front error for a missing score column (the deep
+    mid-plan AnalysisException names internal columns, not the fix).
+    Membership follows Spark's own resolution rules: case-insensitive
+    unless ``spark.sql.caseSensitive`` is on."""
+    if score_col is None:
+        return
+    case_sensitive = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false").lower()
+        == "true"
+    )
+    cols = df.columns if case_sensitive else [c.lower() for c in df.columns]
+    probe = score_col if case_sensitive else score_col.lower()
+    if probe not in cols:
+        raise ValueError(
+            f"{op}: score column {score_col!r} not in the input "
+            f"(columns: {df.columns}) — derive a pre-QC prior first, e.g. "
+            "withColumn(score, F.length(text)) or a crawl-rank column"
+        )
+
+
 def keep_best_dedup(
     df: DataFrame,
     score_col: str | None,
@@ -910,12 +931,7 @@ def keep_best_dedup(
     """
     from .text import normalize_text_expr
 
-    if score_col is not None and score_col not in df.columns:
-        raise ValueError(
-            f"keep_best_dedup: score column {score_col!r} not in the input "
-            f"(columns: {df.columns}) — derive a pre-QC prior first, e.g. "
-            "withColumn(score, F.length(text)) or a crawl-rank column"
-        )
+    _check_score_col(df, score_col, "keep_best_dedup")
     if normalize and html_col is not None:
         raise ValueError(
             "normalize digests TEXT (lowercase/whitespace folding is "
@@ -1011,11 +1027,7 @@ def cluster_keep_best(
 
     Returns the surviving rows of ``df`` (original columns).
     """
-    if score_col is not None and score_col not in df.columns:
-        raise ValueError(
-            f"cluster_keep_best: score column {score_col!r} not in the input "
-            f"(columns: {df.columns}) — derive a pre-QC prior first"
-        )
+    _check_score_col(df, score_col, "cluster_keep_best")
     cc = connected_components(pairs, key_a=key_a, key_b=key_b)
     labeled = df.join(
         cc.withColumnRenamed("node", key_col), key_col, "left"

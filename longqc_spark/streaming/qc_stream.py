@@ -378,7 +378,8 @@ def compact_band_index(spark: SparkSession, out_dir: str) -> dict:
         final = os.path.join(index_dir, f"compact={max_tag}.g{gen}")
         gen += 1
     os.replace(tmp, final)  # commit point
+    # `final` was chosen fresh (the while loop above), so it can never be in
+    # `parts` — every listed input is safe to remove
     for p in parts:
-        if p != final:
-            _shutil.rmtree(p, ignore_errors=True)
+        _shutil.rmtree(p, ignore_errors=True)
     return {"n_merged": len(parts), "n_rows": int(n_rows), "part": final}
