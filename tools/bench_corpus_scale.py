@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "latest_crawl blocklist neardup keep_best pack_seqs pack_rows neardup_keep_best skew) and MERGE their keys into an "
+        "latest_crawl blocklist neardup keep_best pack_seqs pack_rows neardup_keep_best curate_full skew) and MERGE their keys into an "
         "existing --out record instead of overwriting it",
     )
     args = ap.parse_args()
@@ -535,6 +535,40 @@ def main() -> None:
             "docs_per_sec": round(n / best),
             "n_in": n,
             "n_kept": n_kept,
+        }
+
+    # -- the user-facing curate() funnel WITH the round-4b dedup stages over
+    # a ~1M-doc slice of the realistic CC corpus: payload dedup + LSH
+    # near-dup (star guard) + QC keep/drop + split, one lazy composition,
+    # timed end-to-end — the number a user running the whole funnel sees.
+    # (NOT the hex-word skew corpus: its pseudo-words fail every QC rule,
+    # so n_out would be 0 and the record meaningless.) --
+    if want("curate_full"):
+        from longqc_spark.config import DEFAULT_CONFIG
+        from longqc_spark.curation import curate
+
+        slice_df = docs.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == 0).cache()
+        n = slice_df.count()
+        best = float("inf")
+        n_out = 0
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_out = curate(
+                slice_df,
+                cfg=DEFAULT_CONFIG,
+                key_col="url",
+                text_col="text",
+                payload_dedup=True,
+                neardup_threshold=0.8,
+                neardup_max_bucket=200,
+            ).count()
+            best = min(best, time.time() - t0)
+        slice_df.unpersist()
+        out["curate_full_1m_cc"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(n / best),
+            "n_in": n,
+            "n_out": n_out,
         }
 
     if only and os.path.exists(args.out):
