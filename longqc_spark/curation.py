@@ -335,3 +335,30 @@ def curate_from_labels(
             out, shard_bytes=shard_bytes, bytes_col="n_chars", key_col=skey
         )
     return out
+
+
+def funnel_counts(observe: dict) -> dict:
+    """Turn a ``curate(observe=...)`` dict into the audit summary a run
+    report wants: ordered ``{stage: {"n": rows_leaving, "dropped":
+    rows_removed_by_stage}}``. Call AFTER an action on the curated frame
+    (each ``Observation.get`` blocks until its metrics exist). Stage order
+    is the funnel's; stages that didn't run are absent.
+    """
+    order = (
+        "input",
+        "hygiene",
+        "payload_dedup",
+        "neardup",
+        "exclusion",
+        "qc_keep",
+        "decontam",
+    )
+    out: dict = {}
+    prev = None
+    for stage in order:
+        if stage not in observe:
+            continue
+        n = int(observe[stage].get["n"])
+        out[stage] = {"n": n, "dropped": (prev - n) if prev is not None else 0}
+        prev = n
+    return out

@@ -541,3 +541,30 @@ def test_keep_best_winner_property(spark, rows):
             min(members, key=lambda m: (m[1] is None, -(m[1] or 0), m[0]))[0]
         )
     assert got == sorted(want)
+
+
+def test_funnel_counts_summary(spark, sf001):
+    from longqc_spark.config import DRIVER_DOCS_CONFIG
+    from longqc_spark.curation import curate, funnel_counts
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    obs: dict = {}
+    out = curate(
+        docs.unionByName(recrawl),
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="doc_id",
+        text_col="text",
+        payload_dedup=True,
+        observe=obs,
+    )
+    n_final = out.count()
+    fc = funnel_counts(obs)
+    assert list(fc) == ["input", "hygiene", "payload_dedup", "qc_keep"]
+    assert fc["input"]["dropped"] == 0
+    assert fc["payload_dedup"]["dropped"] == recrawl.count()
+    assert fc["qc_keep"]["n"] == n_final
+    # drops telescope: input n - sum(drops) = final n
+    assert fc["input"]["n"] - sum(s["dropped"] for s in fc.values()) == n_final
