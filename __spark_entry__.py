@@ -598,6 +598,98 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:  # data mixing
     )
 
 
+# Self-exercising encoding-repair fixture: a clean suffix covering 2- and
+# 3-char mojibake sequences, plus its deterministically damaged form (what
+# the suffix's UTF-8 bytes look like under the web's sloppy-cp1252
+# mis-decode). The query damages every even-length doc in-engine, repairs
+# it, and proves byte-level restoration — the ftfy-style fix CCNet/C4-class
+# pipelines run before any quality stat (reference analog: input sanitation
+# before stats, lq_utils.py:141-196).
+_MOJI_SUFFIX = " — café’s naïve Ÿ €…"
+
+
+def _moji_damaged_suffix() -> str:
+    from longqc_spark.operators.text import _sloppy_cp1252
+
+    return _sloppy_cp1252(_MOJI_SUFFIX.encode("utf-8"))
+
+
+def q_fix_encoding(spark: SparkSession, sf: str) -> DataFrame:  # encoding repair
+    """ftfy-style cp1252-mojibake repair (operators.text.fix_mojibake_expr):
+    damage even-length docs with a known mojibake suffix, repair with the
+    gated literal-replace chain, report restoration + marker counts."""
+    from longqc_spark.operators.text import (
+        fix_mojibake_expr,
+        mojibake_marker_count,
+    )
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    even = F.length("text") % 2 == 0
+    dam = F.when(even, F.concat(F.col("text"), F.lit(_moji_damaged_suffix()))).otherwise(
+        F.col("text")
+    )
+    clean = F.when(even, F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))).otherwise(
+        F.col("text")
+    )
+    d = docs.select("doc_id", dam.alias("_dam"), clean.alias("_clean"))
+    fixed = fix_mojibake_expr(F.col("_dam"))
+    return d.select(
+        "doc_id",
+        F.md5(fixed.cast("binary")).alias("fixed_md5"),
+        mojibake_marker_count(F.col("_dam")).alias("markers_damaged"),
+        mojibake_marker_count(fixed).alias("markers_fixed"),
+        (F.md5(fixed.cast("binary")) == F.md5(F.col("_clean").cast("binary"))).alias(
+            "restored"
+        ),
+    ).orderBy("doc_id")
+
+
+def _fix_encoding_oracle_sql() -> str:
+    """DuckDB twin of q_fix_encoding: the same ordered replace chain,
+    staged through CTEs because DuckDB caps expression-tree depth at ~128
+    (mojibake_chain_sql_chunks bounds each stage's nesting)."""
+    from longqc_spark.operators.text import (
+        mojibake_chain_sql_chunks,
+        mojibake_lead_class,
+        mojibake_marker_count_sql,
+    )
+
+    dam_suffix = _moji_damaged_suffix()
+    cls = mojibake_lead_class()
+    ctes = [
+        f"""base AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(text) % 2 = 0
+                        THEN text || '{dam_suffix}' ELSE text END AS dam,
+                   CASE WHEN length(text) % 2 = 0
+                        THEN text || '{_MOJI_SUFFIX}' ELSE text END AS clean
+            FROM documents WHERE text IS NOT NULL
+        )"""
+    ]
+    prev, x = "base", "dam"
+    for j, chain in enumerate(mojibake_chain_sql_chunks()):
+        ctes.append(f"s{j} AS (SELECT *, {chain.format(x=x)} AS f{j} FROM {prev})")
+        prev, x = f"s{j}", f"f{j}"
+    ctes.append(
+        f"""fin AS (
+            SELECT doc_id, dam, clean,
+                   CASE WHEN regexp_matches(dam, '{cls}') THEN {x} ELSE dam END AS fixed
+            FROM {prev}
+        )"""
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+        SELECT doc_id, md5(fixed) AS fixed_md5,
+               {mojibake_marker_count_sql('dam')} AS markers_damaged,
+               {mojibake_marker_count_sql('fixed')} AS markers_fixed,
+               md5(fixed) = md5(clean) AS restored
+        FROM fin ORDER BY doc_id
+    """
+    )
+
+
 def _with_recrawl(docs: DataFrame) -> DataFrame:
     """documents ∪ a deterministic 're-crawl' of every doc_id % 3 == 0 page
     under a NEW id (+100000, same payload) — the testdata has (almost) no
@@ -2371,7 +2463,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
-    "mad_outliers", "hash_sample", "stratified_sample",
+    "mad_outliers", "hash_sample", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2380,7 +2472,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # keep_best_dedup/token_budget_mix/split_leakage/domain_quality/
     # dup_inflation; tumbling_counts/token_quality/pivot_counts/running_sum
     # for pack_seqs/cluster_keep_best/pack_rows/contamination_report;
-    # fingerprint/cosine_topk for semantic_keep_best/quality_budget_mix — all
+    # fingerprint/cosine_topk for semantic_keep_best/quality_budget_mix;
+    # stratified_sample for the new fix_encoding (encoding repair) — all
     # rotated-out names were driver-green in r1/r2; the list is kept at
     # EXACTLY 50 = the driver's window size so every name here is actually
     # checked)
@@ -2425,6 +2518,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "split_assign": q_split_assign,
         "source_mix": q_source_mix,
+        "fix_encoding": q_fix_encoding,
         "keep_best_dedup": q_keep_best_dedup,
         "token_budget_mix": q_token_budget_mix,
         "quality_budget_mix": q_quality_budget_mix,
@@ -3013,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
                        '[^a-z0-9 \\n]', ' ', 'g'), '\\s+', ' ', 'g')))) AS n_norm_distinct
             FROM documents GROUP BY source ORDER BY source
         """,
+        "fix_encoding": _fix_encoding_oracle_sql(),
         "split_assign": """
             SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM (

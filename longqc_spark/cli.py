@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--domain-cap", type=int, default=None, metavar="N",
                    help="web-hygiene stage 0: cap each registered domain at "
                         "its N best-keyed docs")
+    p.add_argument("--fix-encoding", type=int, default=None, metavar="PASSES",
+                   help="web-hygiene stage 0: ftfy-style cp1252-mojibake "
+                        "repair of the text column, PASSES nesting levels "
+                        "deep (1 fixes ordinary damage, 2 double-encoded "
+                        "pages; needs --text-col, not --html-col)")
     p.add_argument("--line-dedup-min-docs", type=int, default=None, metavar="K",
                    help="web-hygiene stage 0: C4-style global line dedup — "
                         "drop lines occurring in >= K distinct docs "
@@ -169,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
         "dedup_urls": args.dedup_urls,
         "domain_cap": args.domain_cap,
         "line_dedup_min_docs": args.line_dedup_min_docs,
+        "fix_encoding": args.fix_encoding,
         "blocklist": args.blocklist,
         "payload_dedup": args.payload_dedup,
         "payload_score_col": args.payload_score_col,
@@ -232,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
             domain_cap_n=args.domain_cap,
             line_dedup_min_docs=args.line_dedup_min_docs,
             blocklist=bl,
+            fix_encoding_passes=args.fix_encoding,
         )
     if args.payload_dedup:
         from .operators.dedup import keep_best_dedup

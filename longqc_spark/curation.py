@@ -62,6 +62,7 @@ def web_hygiene(
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
+    fix_encoding_passes: int | None = None,
 ) -> DataFrame:
     """Stage 0 of the funnel — crawl-level hygiene before any QC work, in
     order: domain blocklist (``blocklist`` — a 1-column ``entry`` table,
@@ -70,7 +71,10 @@ def web_hygiene(
     window stages), then snapshot collapse (``collapse_snapshots`` — newest
     ``ts_col`` fetch per canonical URL wins) or URL dedup (``dedup_urls`` —
     min-key winner, for single-snapshot inputs), then per-domain
-    representation cap (``domain_cap_n``), then C4-style GLOBAL line dedup
+    representation cap (``domain_cap_n``), then ftfy-style encoding repair
+    (``fix_encoding_passes`` — cp1252-mojibake fix BEFORE any text-derived
+    statistic, so langid/dedup digests/line dedup see repaired bytes; needs
+    a real ``text_col``), then C4-style GLOBAL line dedup
     (``line_dedup_min_docs`` — drop lines occurring in that many distinct
     docs corpus-wide; needs a real ``text_col``, so it is incompatible with
     extraction-deferred ``html_col`` inputs).
@@ -95,6 +99,16 @@ def web_hygiene(
         src = url_dedup(src, url_col=key_col, key_col=key_col)
     if domain_cap_n is not None:
         src = domain_cap(src, cap=domain_cap_n, url_col=key_col, key_col=key_col)
+    if fix_encoding_passes is not None:
+        from .operators.text import fix_mojibake_expr
+
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "fix_encoding_passes repairs the TEXT column; with an "
+                "extraction-deferred html_col run extraction first or drop "
+                "the flag"
+            )
+        src = src.withColumn(text_col, fix_mojibake_expr(text_col, fix_encoding_passes))
     if line_dedup_min_docs is not None:
         if html_col is not None and text_col not in src.columns:
             raise ValueError(
@@ -125,6 +139,7 @@ def curate(
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
+    fix_encoding_passes: int | None = None,
     payload_dedup: bool = False,
     payload_score_col: str | None = None,
     payload_dedup_normalize: bool = False,
@@ -207,6 +222,7 @@ def curate(
         domain_cap_n=domain_cap_n,
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,
+        fix_encoding_passes=fix_encoding_passes,
     )
     src = _obs(src, "hygiene")
     if payload_dedup:

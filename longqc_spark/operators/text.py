@@ -469,3 +469,142 @@ def split_leakage_report(
         .cast("bigint")
         .alias("n_cross_split_excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair (ftfy-style mojibake fixing)
+# ---------------------------------------------------------------------------
+#
+# Web crawls are full of text whose UTF-8 bytes were mis-decoded as
+# Windows-1252 somewhere in the serving/archiving chain ("cafÃ©",
+# "donâ€™t"). CCNet/C4-class pipelines repair this before any quality
+# statistic is computed (otherwise char-class fractions, langid n-grams and
+# dedup digests all see garbage). The repair table is DERIVED, not typed in:
+# for every repairable codepoint we compute what its UTF-8 bytes look like
+# under a "sloppy" cp1252 decode (cp1252 with the five undefined bytes
+# falling back to their Latin-1/C1 identity — exactly the web's de-facto
+# decoder), and the fix is the literal inverse replacement. One pass of the
+# chain undoes exactly ONE level of mis-decoding; clean text is a fixed
+# point (property-tested). Reference analog: the reference normalizes raw
+# platform artifacts before computing stats (lq_utils.py:141-196's sequence
+# sanitation); here the artifact is the web's encoding damage.
+
+# repairable codepoints: the cp1252-visible punctuation block, the C1
+# controls (never legitimate in text; appear as intermediates of deeper
+# double-mojibake), NBSP, and the full Latin-1 supplement
+_MOJIBAKE_CODEPOINTS: tuple[int, ...] = tuple(
+    [
+        0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+        0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+        0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+        0x0153, 0x017E, 0x0178,
+    ]
+    + list(range(0x80, 0xA0))
+    + [0xA0]
+    + list(range(0xA1, 0x100))
+)
+
+
+def _sloppy_cp1252(bs: bytes) -> str:
+    """Decode bytes the way damaged web pipelines do: cp1252, with the five
+    bytes cp1252 leaves undefined (81 8D 8F 90 9D) passing through as their
+    Latin-1/C1 codepoints (ftfy's "sloppy-windows-1252")."""
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def mojibake_pairs() -> list[tuple[str, str]]:
+    """(damaged, repaired) literal pairs, 3-char sequences first so the
+    chain never half-rewrites a longer sequence via a shorter one. The same
+    ordered table drives the Spark expression AND the DuckDB oracle SQL, so
+    parity is by construction."""
+    pairs = [
+        (_sloppy_cp1252(chr(cp).encode("utf-8")), chr(cp))
+        for cp in _MOJIBAKE_CODEPOINTS
+    ]
+    return [p for p in pairs if len(p[0]) == 3] + [
+        p for p in pairs if len(p[0]) == 2
+    ]
+
+
+def mojibake_lead_class() -> str:
+    """Regex character class of every damaged sequence's FIRST char (the
+    cp1252 faces of the UTF-8 lead bytes: Â Ã â Å Æ Ë ‚ ...). Used to gate
+    the repair chain: a document with none of these chars is provably clean
+    and skips all replaces with one regex scan."""
+    leads = sorted({bad[0] for bad, _ in mojibake_pairs()})
+    return "[" + "".join(leads) + "]"
+
+
+def fix_mojibake_expr(text_col: str = "text", passes: int = 1):
+    """Repair cp1252 mojibake as a pure JVM column expression: the ordered
+    literal-replace chain from :func:`mojibake_pairs`, gated behind one
+    regex scan for the damaged-sequence lead chars so clean documents (the
+    overwhelming majority at corpus scale) pay a single pass over the
+    string instead of ~150 ``indexOf`` scans.
+
+    Each application of the chain undoes exactly one level of mis-decoding;
+    ``passes=N`` repairs up to N nested levels (double-mojibake —
+    "Ã¢â‚¬â„¢" — needs 2). Clean text is a fixed point at any ``passes``.
+    Lead chars are legitimate in some languages (â in French), so the gate
+    is a conservative superset; the chain itself only rewrites exact
+    damaged sequences (a genuine "Ã©" bigram is linguistically improbable —
+    the standard ftfy trade-off).
+
+    Scale: pure map, fuses into the scan stage (no shuffle, stays in
+    whole-stage codegen); at 10^12 docs the gate makes the chain's cost
+    proportional to the DAMAGED fraction of the corpus.
+    """
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
+    src = F.col(text_col) if isinstance(text_col, str) else text_col
+    fixed = src
+    for _ in range(passes):
+        for bad, good in mojibake_pairs():
+            fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return F.when(src.rlike(mojibake_lead_class()), fixed).otherwise(src)
+
+
+def mojibake_marker_count(text_col: str = "text"):
+    """Per-document count of damaged-sequence lead chars — the cheap
+    mojibake-damage score (0 on provably clean text; an upper bound on the
+    number of damaged sequences). Report-friendly: aggregate its mean/rate
+    to track encoding health of a crawl over time."""
+    cls = mojibake_lead_class()
+    src = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (F.length(src) - F.length(F.regexp_replace(src, cls, ""))).cast(
+        "bigint"
+    )
+
+
+def mojibake_chain_sql_chunks(chunk: int = 60, passes: int = 1) -> list[str]:
+    """The EXACT DuckDB mirror of :func:`fix_mojibake_expr`'s replace chain
+    (same ordered table), split into depth-bounded templates: DuckDB binds
+    at most ~128 nested expressions, so the caller stages the chunks
+    through CTEs — each element nests ≤ ``chunk`` ``replace()`` calls
+    around the ``{x}`` placeholder (the previous stage's column). Apply the
+    gate separately: ``CASE WHEN regexp_matches(orig, lead_class) THEN
+    staged_result ELSE orig END``. Single quotes cannot occur in the table
+    (every damaged char is >= U+0080), so literal quoting is safe."""
+    out: list[str] = []
+    pairs = mojibake_pairs() * passes
+    for i in range(0, len(pairs), chunk):
+        expr = "{x}"
+        for bad, good in pairs[i : i + chunk]:
+            expr = f"replace({expr}, '{bad}', '{good}')"
+        out.append(expr)
+    return out
+
+
+def mojibake_marker_count_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`mojibake_marker_count`."""
+    cls = mojibake_lead_class()
+    return (
+        f"CAST(length({expr}) - "
+        f"length(regexp_replace({expr}, '{cls}', '', 'g')) AS BIGINT)"
+    )
