@@ -150,56 +150,77 @@ def corpus_line_dedup(
     stage, lifted from read k-mers to page lines.
 
     Scale (the heavy path — this is the one web-hygiene op that must see
-    every line twice):
+    every line twice). The text itself NEVER moves through a shuffle:
 
-    1. explode lines with position — map-side only;
-    2. per-line distinct-doc counts keyed by ``md5(line)`` (never the
-       line string — shuffle rows are 16-byte keys; md5 so the SAME key
-       is computable in the DuckDB oracle, and 128 bits so collisions
-       cannot silently drop a good line);
-    3. the heavy set (count >= min_docs) is a tiny fraction of distinct
-       lines — the anti-join against it is broadcast-able and AQE picks
+    1. hash every line (``md5`` — never the line string: shuffle rows are
+       16-byte keys; md5 so the SAME key is computable in the DuckDB
+       oracle, and 128 bits so collisions cannot silently drop a good
+       line) and ``array_distinct`` WITHIN the doc, map-side — so the
+       distinct-doc count is a plain partial-aggregating ``count`` (each
+       doc contributes a line once by construction; no countDistinct
+       expand, and within-doc repeats never reach the exchange);
+    2. the heavy set (count >= min_docs) is a tiny fraction of distinct
+       lines — the equi-join against it is broadcast-able and AQE picks
        that up at runtime; no all-pairs path exists;
-    4. reassemble per document (`array_sort(collect_list(struct))`,
-       one shuffle keyed by ``key_col``), then a left join back onto the
-       input so all-boilerplate docs keep their row.
+    3. collect each doc's OWN heavy hashes (``collect_list`` of 16-byte
+       hashes — only heavy MEMBERSHIPS shuffle, never line text), join
+       the per-doc set back, and drop the doc's boilerplate lines with a
+       map-side ``filter`` over the split array. First-occurrence order
+       is preserved by construction, documents with no heavy line skip
+       the rewrite entirely, and the reassembly shuffle of a naive
+       explode→anti-join→collect_list plan (ALL line text through one
+       exchange) never exists.
     """
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     lines = df.select(
         F.col(key_col),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
-    ).withColumn("_lh", F.md5(F.col("_line").cast("binary")))
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.col(text_col), r"\n"),
+                    lambda l: F.md5(l.cast("binary")),
+                )
+            )
+        ).alias("_lh"),
+    )
     heavy = (
         lines.groupBy("_lh")
-        .agg(F.countDistinct(key_col).alias("_nd"))
+        # one row per (doc, line) by construction → plain count IS the
+        # distinct-doc count, with full map-side partial aggregation
+        .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("_lh")
     )
-    kept = lines.join(heavy, "_lh", "left_anti")
-    reassembled = (
-        kept.groupBy(key_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
-                    lambda s: s["_line"],
-                ),
-                "\n",
-            ).alias("_dtext")
-        )
+    doc_heavy = (
+        lines.join(heavy, "_lh")
+        .groupBy(key_col)
+        .agg(F.collect_list("_lh").alias("_heavy"))
     )
     return (
-        df.join(reassembled, key_col, "left")
-        # NULL text stays NULL (a missing payload is not an empty page);
-        # a non-null doc whose every line was boilerplate becomes ""
+        df.join(doc_heavy, key_col, "left")
+        # NULL text stays NULL (a missing payload is not an empty page); a
+        # doc with no heavy line (NULL _heavy) keeps its text untouched; a
+        # non-null doc whose every line was boilerplate becomes ""
         .withColumn(
             text_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
-                F.coalesce(F.col("_dtext"), F.lit(""))
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            )
+            .when(F.col("_heavy").isNull(), F.col(text_col))
+            .otherwise(
+                F.array_join(
+                    F.filter(
+                        F.split(F.col(text_col), r"\n"),
+                        lambda l: ~F.array_contains(
+                            F.col("_heavy"), F.md5(l.cast("binary"))
+                        ),
+                    ),
+                    "\n",
+                )
             ),
         )
-        .drop("_dtext")
+        .drop("_heavy")
     )
 
 
