@@ -12,6 +12,8 @@ stage; ``domain_cap`` is the only operator here with a shuffle (by domain).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Query parameters commonly injected for click tracking; stripping them is
@@ -138,6 +140,7 @@ def corpus_line_dedup(
     text_col: str = "text",
     key_col: str = "doc_id",
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """C4-style GLOBAL boilerplate-line removal: drop every line that
     occurs in ``min_docs``-or-more *distinct* documents (nav bars, cookie
@@ -145,7 +148,11 @@ def corpus_line_dedup(
     within-doc repetition, marks them as boilerplate), preserving the
     original order of the surviving lines. Documents whose every line is
     boilerplate survive with empty text (the downstream length rule drops
-    them — policy stays composable). Reference analog: the corpus-level
+    them — policy stays composable). ``sep`` sets the dedup grain: the
+    default ``"\\n"`` is the C4 line rule; ``"\\n\\n"`` dedups whole
+    PARAGRAPHS (the coarser cut some pipelines prefer — a paragraph must
+    repeat verbatim across ``min_docs`` docs to be dropped, so partial
+    rewrites survive). Reference analog: the corpus-level
     over-represented-sequence cut of ``lq_utils.py:141-196``'s masking
     stage, lifted from read k-mers to page lines.
 
@@ -173,12 +180,17 @@ def corpus_line_dedup(
     """
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal separator")
+    # F.split takes a REGEX; quote the literal separator (paragraph mode's
+    # "\n\n" is regex-safe, but quoting keeps any literal sep correct)
+    sep_re = "".join(re.escape(c) for c in sep)
     lines = df.select(
         F.col(key_col),
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.split(F.col(text_col), r"\n"),
+                    F.split(F.col(text_col), sep_re),
                     lambda l: F.md5(l.cast("binary")),
                 )
             )
@@ -211,12 +223,12 @@ def corpus_line_dedup(
             .otherwise(
                 F.array_join(
                     F.filter(
-                        F.split(F.col(text_col), r"\n"),
+                        F.split(F.col(text_col), sep_re),
                         lambda l: ~F.array_contains(
                             F.col("_heavy"), F.md5(l.cast("binary"))
                         ),
                     ),
-                    "\n",
+                    sep,
                 )
             ),
         )

@@ -237,3 +237,34 @@ def test_snapshot_novelty_null_urls_each_count_novel(spark):
     # day 3: third NULL fetch again novel
     assert out["2025-01-03"]["n_novel"] == 1
     assert out["2025-01-03"]["novelty_frac"] == 1.0
+
+
+def test_corpus_paragraph_dedup_sep(spark):
+    """sep='\\n\\n' lifts the grain to whole paragraphs: a paragraph must
+    repeat verbatim across min_docs docs to drop; its constituent lines
+    repeating inside OTHER paragraphs is not enough."""
+    from longqc_spark.operators.web import corpus_line_dedup
+
+    boiler = "subscribe now\nfollow us"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"intro one\n\n{boiler}\n\nbody one",
+                    f"{boiler}\n\nbody two",
+                    # same lines but as DIFFERENT paragraphs → not heavy
+                    "subscribe now\n\nfollow us\n\nbody three",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in corpus_line_dedup(df, min_docs=2, sep="\n\n").collect()
+    }
+    assert out[1] == "intro one\n\nbody one"
+    assert out[2] == "body two"
+    assert out[3] == "subscribe now\n\nfollow us\n\nbody three"
+    with pytest.raises(ValueError, match="sep"):
+        corpus_line_dedup(df, sep="")
