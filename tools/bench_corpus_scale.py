@@ -82,8 +82,9 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "latest_crawl blocklist neardup keep_best pack_seqs pack_rows neardup_keep_best curate_full skew) and MERGE their keys into an "
-        "existing --out record instead of overwriting it",
+        "fix_encoding latest_crawl blocklist neardup keep_best pack_seqs "
+        "pack_rows neardup_keep_best curate_full skew) and MERGE their keys "
+        "into an existing --out record instead of overwriting it",
     )
     args = ap.parse_args()
     only = set(args.only or [])
@@ -272,6 +273,43 @@ def main() -> None:
             "docs_per_sec": round(args.docs / best),
             "chars_dropped": int(dropped),
         }
+
+    # -- ftfy-style encoding repair at corpus scale: a pure map fused into
+    # the scan. Two postures: the ccsynth corpus as-is (ASCII-clean — the
+    # lead-char gate short-circuits every row, the production common case)
+    # and the same corpus with mojibake injected into every 8th doc (the
+    # damaged fraction pays the replace chain). The gap between the two IS
+    # the gate's value. --
+    if want("fix_encoding"):
+        from longqc_spark.operators.text import _sloppy_cp1252, fix_mojibake_expr
+
+        dam_suffix = _sloppy_cp1252(" — café’s naïve Ÿ €…".encode("utf-8"))
+        rec = {}
+        for tag, src in (
+            ("clean", docs),
+            (
+                "damaged_12pct",
+                docs.withColumn(
+                    "text",
+                    F.when(
+                        F.pmod(F.xxhash64("url"), F.lit(8)) == 0,
+                        F.concat(F.col("text"), F.lit(dam_suffix)),
+                    ).otherwise(F.col("text")),
+                ),
+            ),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                src.select(
+                    F.sum(F.length(fix_mojibake_expr("text"))).alias("n")
+                ).collect()
+                best = min(best, time.time() - t0)
+            rec[tag] = {
+                "sec": round(best, 1),
+                "docs_per_sec": round(args.docs / best),
+            }
+        out["fix_encoding"] = rec
 
     # -- snapshot collapse at corpus scale: one window shuffle keyed by the
     # canonical URL. Synthetic multi-snapshot recrawl: page identity is
