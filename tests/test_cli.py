@@ -430,3 +430,46 @@ def test_cli_pack_out(spark, corpus_path, tmp_path):
     assert (packed.seq_text.str.len()[:-1] == 512).all()
     assert packed.seq_text.str.len().sum() == total
     assert list(packed.seq_id) == list(range(len(packed)))
+
+
+def test_cli_fix_encoding(spark, corpus_path, tmp_path):
+    """--fix-encoding repairs cp1252 mojibake before QC so the committed
+    scrubbed text carries the restored bytes, and the flag is part of the
+    checkpoint identity (a resume with it dropped must be rejected)."""
+    from longqc_spark.operators.text import _sloppy_cp1252
+
+    marker = "privacy notice — it’s “fine”…"
+    damaged = _sloppy_cp1252(marker.encode("utf-8"))
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + damaged))
+    )
+    crawl_path = str(tmp_path / "moji_crawl")
+    docs.write.parquet(crawl_path)
+
+    out = str(tmp_path / "moji_out")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--fix-encoding", "1",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    pdf = spark.read.parquet(os.path.join(out, "data")).toPandas()
+    assert len(pdf) > 0
+    # every surviving text ends with the REPAIRED marker, none with mojibake
+    kept = pdf[pdf.keep]
+    assert kept.scrubbed_text.str.contains("it’s “fine”", regex=False).all()
+    assert not pdf.scrubbed_text.str.contains("â€™", regex=False).any()
+    # identity: resuming the same out dir WITHOUT the flag must be rejected
+    with pytest.raises(ValueError, match="hygiene"):
+        main(
+            [
+                "--input", crawl_path,
+                "--out", out,
+                "--buckets", "2",
+                "--local-cores", "8",
+            ]
+        )
