@@ -487,6 +487,48 @@ def q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: C4 g
     )
 
 
+def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
+    """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
+    as line-count state from line_doc_counts) plus a new batch (the rest);
+    a batch line is cut when committed + batch distinct-doc counts reach 3
+    — boilerplate learned in run 1 is cut from run 2 with zero corpus
+    rescan. Per-source rollup with an order-sensitive text checksum."""
+    from longqc_spark.operators.web import incremental_line_dedup, line_doc_counts
+
+    docs = _read(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){3}\S+) ", "$1\n")
+    )
+    committed = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "n_lines", F.size(F.split("text", r"\n"))
+    )
+    counts = line_doc_counts(committed, text_col="text", key_col="doc_id")
+    deduped = incremental_line_dedup(
+        batch, counts, text_col="text", key_col="doc_id", min_docs=3
+    )
+    return (
+        deduped.select(
+            "source",
+            "n_lines",
+            F.when(F.col("text") == "", 0)
+            .otherwise(F.size(F.split("text", r"\n")))
+            .alias("n_kept"),
+            F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.sum("n_kept").cast("bigint").alias("total_kept_lines"),
+            F.count_if(F.col("n_kept") < F.col("n_lines")).alias("n_docs_changed"),
+            F.sum("h").cast("bigint").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:  # SA1+ weighted
     """Weight-proportional priority sample (Duffield-Lund-Thorup): md5-based
     uniform / weight, k smallest win — deterministic, parallel-stable,
@@ -2463,7 +2505,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
-    "mad_outliers", "hash_sample", "fix_encoding",
+    "mad_outliers", "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2473,7 +2515,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # dup_inflation; tumbling_counts/token_quality/pivot_counts/running_sum
     # for pack_seqs/cluster_keep_best/pack_rows/contamination_report;
     # fingerprint/cosine_topk for semantic_keep_best/quality_budget_mix;
-    # stratified_sample for the new fix_encoding (encoding repair) — all
+    # stratified_sample/hash_sample for the new fix_encoding (encoding
+    # repair) and incremental_line_dedup (cross-run line rule) — all
     # rotated-out names were driver-green in r1/r2; the list is kept at
     # EXACTLY 50 = the driver's window size so every name here is actually
     # checked)
@@ -2534,6 +2577,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl": q_latest_crawl,
         "snapshot_novelty": q_snapshot_novelty,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
         "token_counts": q_token_counts,
@@ -3049,6 +3093,48 @@ def oracle_sql() -> dict[str, str]:
                               / round(greatest(n_ref / tr, 1e-6), 6)),
                          6) AS psi_term
             FROM t, e ORDER BY bin
+        """,
+        "incremental_line_dedup": """
+            WITH l AS (
+                SELECT doc_id, source,
+                       regexp_replace(text, '((?:\\S+ ){3}\\S+) ', '\\1' || chr(10), 'g') AS lined
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(a) AS line, generate_subscripts(a, 1) AS ord
+                FROM (SELECT doc_id, string_split(lined, chr(10)) AS a FROM l)
+            ), committed_counts AS (
+                SELECT line, count(DISTINCT doc_id) AS nc FROM ex
+                WHERE doc_id % 3 = 0 GROUP BY line
+            ), batch_counts AS (
+                SELECT line, count(DISTINCT doc_id) AS nb FROM ex
+                WHERE doc_id % 3 <> 0 GROUP BY line
+            ), heavy AS (
+                SELECT b.line FROM batch_counts b
+                LEFT JOIN committed_counts c USING (line)
+                WHERE b.nb + coalesce(c.nc, 0) >= 3
+            ), kept AS (
+                SELECT doc_id, line, ord FROM ex
+                WHERE doc_id % 3 <> 0 AND line NOT IN (SELECT line FROM heavy)
+            ), re AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY ord) AS dtext
+                FROM kept GROUP BY doc_id
+            ), base AS (
+                SELECT l.source,
+                       len(string_split(l.lined, chr(10))) AS n_lines,
+                       CASE WHEN coalesce(re.dtext, '') = '' THEN 0
+                            ELSE re.n_kept END AS n_kept,
+                       coalesce(re.dtext, '') AS dtext
+                FROM l LEFT JOIN re USING (doc_id)
+                WHERE l.doc_id % 3 <> 0
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_lines) AS BIGINT) AS total_lines,
+                   CAST(sum(n_kept) AS BIGINT) AS total_kept_lines,
+                   count(*) FILTER (WHERE n_kept < n_lines) AS n_docs_changed,
+                   CAST(sum(CAST(('0x' || substr(md5(dtext), 1, 8)) AS BIGINT)) AS BIGINT)
+                       AS text_checksum
+            FROM base GROUP BY source ORDER BY source
         """,
         "corpus_line_dedup": """
             WITH l AS (

@@ -614,3 +614,38 @@ def write_band_index(
         .saveAsTable(table)
     )
     return table
+
+
+def write_line_counts(
+    spark: SparkSession,
+    out_dir: str,
+    table: str = "longqc_line_counts",
+    n_buckets: int = 32,
+    sep: str = "\n",
+) -> str:
+    """Materialize the committed labels store's per-line distinct-doc
+    counts as a ``line_md5``-bucketed catalog table — the line-grain member
+    of the committed-index family (``write_digest_index`` = exact payloads,
+    ``write_band_index`` = LSH bands): it answers "how many committed docs
+    already carry this line?", so ``operators.web.incremental_line_dedup``
+    can apply the C4 global line rule to a re-crawl batch against the WHOLE
+    corpus history with zero corpus rescan.
+
+    Built over the stored ``scrubbed_text`` (the raw payload is not
+    retained); ``sep`` must be repeated at probe time (same contract as the
+    band index's LSH params). One corpus-scale line pass at commit time;
+    every later batch's count lookup consumes the bucketed scan directly
+    (zero committed-side exchange — only the batch shuffles).
+
+    Returns the table name (read back with ``spark.table(name)``)."""
+    from .operators.web import line_doc_counts
+
+    labels = read_labels(spark, out_dir)
+    key = "url" if "url" in labels.columns else labels.columns[0]
+    (
+        line_doc_counts(labels, text_col="scrubbed_text", key_col=key, sep=sep)
+        .write.bucketBy(n_buckets, "line_md5")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table

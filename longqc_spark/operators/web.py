@@ -180,12 +180,35 @@ def corpus_line_dedup(
     """
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    sep_re = _sep_regex(sep)
+    lines = _doc_line_hashes(df, text_col, key_col, sep_re)
+    heavy = (
+        lines.groupBy("_lh")
+        # one row per (doc, line) by construction → plain count IS the
+        # distinct-doc count, with full map-side partial aggregation
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_lh")
+    )
+    return _drop_heavy_lines(df, lines, heavy, text_col, key_col, sep_re, sep)
+
+
+def _sep_regex(sep: str) -> str:
+    """F.split takes a REGEX; quote the literal separator (paragraph mode's
+    "\\n\\n" is regex-safe, but quoting keeps any literal sep correct)."""
     if not sep:
         raise ValueError("sep must be a non-empty literal separator")
-    # F.split takes a REGEX; quote the literal separator (paragraph mode's
-    # "\n\n" is regex-safe, but quoting keeps any literal sep correct)
-    sep_re = "".join(re.escape(c) for c in sep)
-    lines = df.select(
+    return "".join(re.escape(c) for c in sep)
+
+
+def _doc_line_hashes(
+    df: DataFrame, text_col: str, key_col: str, sep_re: str
+) -> DataFrame:
+    """(key, _lh): one row per DISTINCT line per doc — hashes computed and
+    deduped map-side (``array_distinct`` of 16-byte md5s), so downstream
+    counts are plain partial-agg counts and within-doc repeats never reach
+    an exchange."""
+    return df.select(
         F.col(key_col),
         F.explode(
             F.array_distinct(
@@ -196,14 +219,21 @@ def corpus_line_dedup(
             )
         ).alias("_lh"),
     )
-    heavy = (
-        lines.groupBy("_lh")
-        # one row per (doc, line) by construction → plain count IS the
-        # distinct-doc count, with full map-side partial aggregation
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_lh")
-    )
+
+
+def _drop_heavy_lines(
+    df: DataFrame,
+    lines: DataFrame,
+    heavy: DataFrame,
+    text_col: str,
+    key_col: str,
+    sep_re: str,
+    sep: str,
+) -> DataFrame:
+    """Remove each doc's lines whose hash is in ``heavy`` — text never
+    shuffles: collect each doc's OWN heavy hashes (only heavy MEMBERSHIPS
+    move), join the per-doc set back, filter the split array map-side
+    (first-occurrence order by construction)."""
     doc_heavy = (
         lines.join(heavy, "_lh")
         .groupBy(key_col)
@@ -234,6 +264,75 @@ def corpus_line_dedup(
         )
         .drop("_heavy")
     )
+
+
+def line_doc_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-line distinct-document counts — the COMMITTABLE state of global
+    line dedup: (line_md5, n_docs), one row per distinct line. Persist a
+    run's counts (``lineage.write_line_counts`` buckets them by line_md5)
+    and later batches get the C4 line rule against the WHOLE history via
+    :func:`incremental_line_dedup` without rescanning the corpus. ``sep``
+    must match at probe time (same contract as the LSH index params)."""
+    return (
+        _doc_line_hashes(df, text_col, key_col, _sep_regex(sep))
+        .groupBy(F.col("_lh").alias("line_md5"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def incremental_line_dedup(
+    batch: DataFrame,
+    committed_counts: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-run GLOBAL line dedup: drop from the NEW batch every line whose
+    distinct-doc count across committed history + this batch reaches
+    ``min_docs`` — the line-grain member of the incremental family
+    (``incremental_dedup`` = exact payloads, ``incremental_neardup`` = LSH
+    near-dups). A re-crawl inherits the corpus's accumulated boilerplate
+    knowledge (nav bars seen in run 1 are cut from run 2's docs even if
+    only one run-2 doc carries them) with ZERO corpus rescan.
+
+    ``committed_counts`` is a (line_md5, n_docs) table from
+    :func:`line_doc_counts` / ``lineage.write_line_counts`` built with the
+    SAME ``sep``. Committed documents are immutable (their already-written
+    text is not retroactively edited — the standard incremental-pipeline
+    trade-off); to advance history, union this batch's
+    ``line_doc_counts`` into the store (sum n_docs per line_md5 —
+    log-structured, compact like the band index).
+
+    Scale: batch lines are hashed/deduped map-side; the count lookup is an
+    equi-join on the 16-byte key where the committed side read from a
+    line_md5-bucketed table arrives pre-partitioned (zero committed-side
+    exchange — only the batch shuffles); the drop is the same
+    text-never-shuffles filter as :func:`corpus_line_dedup`. Reference
+    analog: cross-chunk accumulated masking state (``longQC.py:299-389`` +
+    ``lq_utils.py:141-196``)."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    sep_re = _sep_regex(sep)
+    lines = _doc_line_hashes(batch, text_col, key_col, sep_re)
+    batch_counts = lines.groupBy("_lh").agg(F.count(F.lit(1)).alias("_nb"))
+    heavy = (
+        batch_counts.join(
+            committed_counts.select(
+                F.col("line_md5").alias("_lh"), F.col("n_docs").alias("_nc")
+            ),
+            "_lh",
+            "left",
+        )
+        .filter(F.col("_nb") + F.coalesce(F.col("_nc"), F.lit(0)) >= min_docs)
+        .select("_lh")
+    )
+    return _drop_heavy_lines(batch, lines, heavy, text_col, key_col, sep_re, sep)
 
 
 def latest_crawl(

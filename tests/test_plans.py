@@ -664,3 +664,79 @@ def test_band_index_neardup_catches_recrawl_edits(spark, corpus_path, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     spark.sql("DROP TABLE band_idx_t")
+
+
+def test_line_count_index_cross_run_line_rule(spark, corpus_path, tmp_path):
+    """write_line_counts + incremental_line_dedup: boilerplate committed in
+    run 1 is cut from a re-crawl batch doc that carries it only once, with
+    the committed counts read from the line_md5-bucketed table — Bucketed:
+    true and no committed-side Exchange on the count-lookup join."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from longqc_spark.lineage import run_qc_with_lineage, write_line_counts
+    from longqc_spark.operators.web import incremental_line_dedup
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS line_counts_t")
+    shutil.rmtree(f"{wh}/line_counts_t", ignore_errors=True)
+
+    # run 1: every page carries the same nav line (scrub keeps it — no PII
+    # or lexicon hits), so the committed counts make it heavy on their own
+    nav = "Subscribe to our newsletter today friends"
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "text", F.concat(F.lit(nav + "\n"), F.col("text"))
+    )
+    out = str(tmp_path / "run")
+    run_qc_with_lineage(docs, out, n_buckets=2)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_line_counts(spark, out, table="line_counts_t", n_buckets=n_parts)
+    counts = spark.table("line_counts_t")
+    assert counts.filter(F.col("n_docs") >= 2).count() >= 1
+
+    batch = spark.createDataFrame(
+        [("https://fresh.site/a", nav + "\nbrand new body text")],
+        ["url", "text"],
+    )
+    cleaned = incremental_line_dedup(
+        batch, counts, text_col="text", key_col="url", min_docs=3
+    )
+    assert [r["text"] for r in cleaned.collect()] == ["brand new body text"]
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            incremental_line_dedup(
+                batch, counts, text_col="text", key_col="url", min_docs=3
+            )
+        )
+        assert "Bucketed: true" in plan, plan
+        # differential pin: the same probe against UNBUCKETED counts costs
+        # exactly one more _lh-keyed Exchange (the committed-side shuffle
+        # the bucketed table removes; the committed column is renamed to
+        # _lh before the join, so the key name alone can't distinguish
+        # batch- from committed-side exchanges)
+        flat = str(tmp_path / "counts_flat")
+        counts.write.parquet(flat)
+        import re as _re
+
+        lh_exchanges = lambda p: len(  # noqa: E731
+            _re.findall(r"Exchange hashpartitioning\(_lh", p)
+        )
+        unbucketed = _plan(
+            incremental_line_dedup(
+                batch,
+                spark.read.parquet(flat),
+                text_col="text",
+                key_col="url",
+                min_docs=3,
+            )
+        )
+        assert lh_exchanges(unbucketed) == lh_exchanges(plan) + 1, (
+            unbucketed,
+            plan,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

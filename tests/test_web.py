@@ -268,3 +268,59 @@ def test_corpus_paragraph_dedup_sep(spark):
     assert out[3] == "subscribe now\n\nfollow us\n\nbody three"
     with pytest.raises(ValueError, match="sep"):
         corpus_line_dedup(df, sep="")
+
+
+def test_incremental_line_dedup_cross_run(spark):
+    """Cross-run line rule: committed history pushes a batch line over the
+    min_docs threshold (boilerplate learned in run 1 is cut from run 2 even
+    though run 2 alone is below threshold); batch-only heavy lines still
+    cut; sub-threshold lines survive; NULL text passes through."""
+    from longqc_spark.operators.web import (
+        corpus_line_dedup,
+        incremental_line_dedup,
+        line_doc_counts,
+    )
+
+    committed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["NAV BAR\nrun one body a", "NAV BAR\nrun one body b"],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    "NAV BAR\nbatch body ten",      # heavy only WITH history
+                    "BATCH DUP\nbatch body eleven",  # heavy within batch alone
+                    "BATCH DUP\nbatch body twelve",
+                    None,
+                ],
+            }
+        )
+    )
+    counts = line_doc_counts(committed, key_col="doc_id")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in incremental_line_dedup(
+            batch, counts, key_col="doc_id", min_docs=3
+        ).collect()
+    }
+    # committed 2 + batch 1 = 3 → NAV BAR cut from the batch doc
+    assert out[10] == "batch body ten"
+    # BATCH DUP: 0 committed + 2 batch = 2 < 3 → kept
+    assert out[11].startswith("BATCH DUP")
+    assert out[12].startswith("BATCH DUP")
+    assert out[13] is None
+    # with EMPTY history the op degrades to exactly corpus_line_dedup
+    empty = counts.filter(F.lit(False))
+    inc = incremental_line_dedup(batch, empty, key_col="doc_id", min_docs=2)
+    full = corpus_line_dedup(batch, key_col="doc_id", min_docs=2)
+    a = {r["doc_id"]: r["text"] for r in inc.collect()}
+    b = {r["doc_id"]: r["text"] for r in full.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="min_docs"):
+        incremental_line_dedup(batch, counts, min_docs=0)
