@@ -2464,6 +2464,97 @@ def q_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:  # correlated LAT
     )
 
 
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:  # DSIR data selection
+    """DSIR importance selection (Xie et al. 2023): score every document
+    against the src0 target domain via hashed unigram+bigram log-likelihood
+    ratios (integer micro-unit sums — order-independent, cross-engine
+    exact), keep the top-80. The spike-in-profile filter of the reference
+    (``longQC.py:553-592``) recast as training-data domain selection.
+    Scoring is a pure map (log-ratio table rides as a literal array)."""
+    from longqc_spark.operators.text import dsir_select
+
+    docs = _read(spark, sf, "documents")
+    tgt = docs.filter(F.col("source") == "src0")
+    sel = dsir_select(docs, tgt, k=80, n_buckets=512)
+    return sel.select(
+        "doc_id",
+        "source",
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        F.col("w_micro").cast("bigint").alias("w_micro"),
+    ).orderBy("doc_id")
+
+
+def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:  # CCNet head/middle/tail
+    """CCNet-style per-language head/middle/tail split by exact ntile over
+    a score column (n_chars stands in for perplexity so the oracle is
+    integer-exact); per (lang, band) doc count + char volume bounds."""
+    from longqc_spark.operators.text import perplexity_buckets
+
+    docs = _read(spark, sf, "documents")
+    b = perplexity_buckets(docs, "n_chars", by_col="lang", k=3)
+    return (
+        b.groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "ppl_bucket")
+    )
+
+
+def q_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:  # LM sufficient stats
+    """Hashed word-trigram bucket counts (top-50) — the oracle-checkable
+    face of distributed n-gram LM training: one explode + partial-agg
+    shuffle bounded by the bucket space, md5 buckets so DuckDB reproduces
+    them bit-exactly (the SipHash fast path is pinned by
+    tests/test_lm_buckets.py serial-fit equality instead)."""
+    docs = _read(spark, sf, "documents")
+    t = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    n2 = F.greatest(F.size(t) - 2, F.lit(0))
+    ab = F.zip_with(
+        F.slice(t, 1, n2), F.slice(t, 2, n2), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    tri = F.zip_with(ab, F.slice(t, 3, n2), lambda x, c: F.concat(x, F.lit(" "), c))
+    bucket = F.transform(
+        tri,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast("long"),
+            F.lit(4096),
+        ),
+    )
+    return (
+        docs.select(F.explode(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bucket"))
+        .limit(50)
+        .orderBy("bucket")
+    )
+
+
+def q_lm_stats(spark: SparkSession, sf: str) -> DataFrame:  # distributed LM fit (rows-only)
+    """Per-order sufficient-statistic rollup of the SPARK-fit hashed 5-gram
+    LM (SipHash token hashing — not SQL-expressible, so rows-only here;
+    bit-identical-to-serial-fit is pinned by tests/test_lm_buckets.py)."""
+    from longqc_spark.operators.text import ngram_lm_partial_counts
+
+    docs = _read(spark, sf, "documents")
+    return (
+        ngram_lm_partial_counts(docs)
+        .groupBy("order")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("n_buckets_hit"),
+        )
+        .orderBy("order")
+    )
+
+
 def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Pin the session timezone: a handful of queries cast TIMESTAMP_NTZ to
     the session-local type (window/session/range-frame semantics), and the
@@ -2500,11 +2591,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "domain_quality", "dup_inflation", "pack_seqs", "pack_rows",
     "cluster_keep_best", "contamination_report", "semantic_keep_best",
     "quality_budget_mix",
+    # round-4d DSIR / CCNet-bucket / LM-training queries — never driver-checked
+    "dsir_select", "ppl_buckets", "ngram_counts", "lm_stats",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
-    "length_stats", "n50", "n50_approx", "binned_median", "histogram",
+    "length_stats", "n50",
     "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
-    "ngram_jaccard", "fuzzy_scrub", "token_pmi", "decontaminate",
+    "ngram_jaccard", "fuzzy_scrub", "decontaminate",
     "mad_outliers", "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
@@ -2516,8 +2609,10 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # for pack_seqs/cluster_keep_best/pack_rows/contamination_report;
     # fingerprint/cosine_topk for semantic_keep_best/quality_budget_mix;
     # stratified_sample/hash_sample for the new fix_encoding (encoding
-    # repair) and incremental_line_dedup (cross-run line rule) — all
-    # rotated-out names were driver-green in r1/r2; the list is kept at
+    # repair) and incremental_line_dedup (cross-run line rule);
+    # n50_approx/binned_median/histogram/token_pmi for the round-4d
+    # dsir_select/ppl_buckets/ngram_counts/lm_stats — all rotated-out
+    # names were driver-green in r1/r2; the list is kept at
     # EXACTLY 50 = the driver's window size so every name here is actually
     # checked)
 )
@@ -2562,6 +2657,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "source_mix": q_source_mix,
         "fix_encoding": q_fix_encoding,
+        "dsir_select": q_dsir_select,
+        "ppl_buckets": q_ppl_buckets,
+        "ngram_counts": q_ngram_counts,
+        "lm_stats": q_lm_stats,
         "keep_best_dedup": q_keep_best_dedup,
         "token_budget_mix": q_token_budget_mix,
         "quality_budget_mix": q_quality_budget_mix,
@@ -3194,6 +3293,85 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source ORDER BY source
         """,
         "fix_encoding": _fix_encoding_oracle_sql(),
+        "dsir_select": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, unnest(list_concat(
+                    list_transform(ts, t ->
+                        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 512),
+                    list_transform(range(1, greatest(len(ts), 1)), i ->
+                        CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15)) AS BIGINT) % 512)
+                )) AS b
+                FROM toks
+            ), tcnt AS (
+                SELECT f.b, count(*) AS n
+                FROM feats f JOIN documents d USING (doc_id)
+                WHERE d.source = 'src0' GROUP BY f.b
+            ), rcnt AS (
+                SELECT b, count(*) AS n FROM feats GROUP BY b
+            ), tot AS (
+                SELECT (SELECT coalesce(sum(n), 0) FROM tcnt) AS tt,
+                       (SELECT coalesce(sum(n), 0) FROM rcnt) AS tr
+            ), ratio AS (
+                SELECT g.b,
+                       CAST(round((ln((coalesce(t.n, 0) + 1) / CAST(tot.tt + 512 AS DOUBLE))
+                                 - ln((coalesce(r.n, 0) + 1) / CAST(tot.tr + 512 AS DOUBLE))) * 1e6)
+                            AS BIGINT) AS lr
+                FROM (SELECT unnest(range(512)) AS b) g
+                LEFT JOIN tcnt t ON g.b = t.b
+                LEFT JOIN rcnt r ON g.b = r.b
+                CROSS JOIN tot
+            ), w AS (
+                SELECT d.doc_id, d.source,
+                       coalesce(fw.nf, 0) AS n_feats, coalesce(fw.w, 0) AS w_micro
+                FROM documents d LEFT JOIN (
+                    SELECT f.doc_id, count(*) AS nf, sum(ra.lr) AS w
+                    FROM feats f JOIN ratio ra ON f.b = ra.b GROUP BY f.doc_id
+                ) fw USING (doc_id)
+            ), sel AS (
+                SELECT * FROM w ORDER BY w_micro DESC, doc_id LIMIT 80
+            )
+            SELECT doc_id, source, CAST(n_feats AS BIGINT) AS n_feats,
+                   CAST(w_micro AS BIGINT) AS w_micro
+            FROM sel ORDER BY doc_id
+        """,
+        "ppl_buckets": """
+            WITH b AS (
+                SELECT lang, n_chars,
+                       ntile(3) OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+                           AS ppl_bucket
+                FROM documents
+            )
+            SELECT lang, ppl_bucket, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM b GROUP BY lang, ppl_bucket ORDER BY lang, ppl_bucket
+        """,
+        "ngram_counts": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), tri AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ts) - 1, 1)), i ->
+                           ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+                FROM toks
+            ), b AS (
+                SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+                FROM tri
+            ), top AS (
+                SELECT bucket, count(*) AS n FROM b
+                GROUP BY bucket ORDER BY n DESC, bucket LIMIT 50
+            )
+            SELECT bucket, n FROM top ORDER BY bucket
+        """,
         "split_assign": """
             SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM (

@@ -608,3 +608,350 @@ def mojibake_marker_count_sql(expr: str) -> str:
         f"CAST(length({expr}) - "
         f"length(regexp_replace({expr}, '{cls}', '', 'g')) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+# Select raw-corpus documents that look like a small TARGET domain by
+# importance weights over a hashed bag-of-ngrams feature space: two bucket
+# count vectors (target vs raw), a per-bucket smoothed log-likelihood ratio,
+# and a per-document weight = sum of ratios over its features. The web-scale
+# sibling of the reference's spike-in control filtering (``longQC.py:553-592``
+# selects reads that match a known control profile): score every record
+# against a known-good profile, keep the best matches.
+
+
+def dsir_feature_buckets(
+    text_col: str = "text", n_buckets: int = 1024
+):
+    """Column: ``array<long>`` of hashed unigram+bigram feature buckets for a
+    document — the DSIR feature map.
+
+    Tokens are lowercased whitespace words; features are every token and
+    every adjacent-token bigram, hashed into ``n_buckets`` via the first 15
+    md5 hex digits (60-bit, exactly reproducible in DuckDB as
+    ``('0x' || substr(md5(f), 1, 15))::BIGINT % n_buckets``). Pure JVM
+    expression (split + higher-order transform/zip_with) — fuses into the
+    scan stage, zero Python."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def bucket(s):
+        return F.pmod(
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    # bigram slices use length max(n-1, 0) so 0/1-token docs yield empty
+    # arrays instead of a negative slice length (no reliance on CASE
+    # laziness inside codegen)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    uni = F.transform(toks, bucket)
+    big = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: bucket(F.concat(a, F.lit(" "), b)),
+    )
+    return F.concat(uni, big)
+
+
+def dsir_logratio_table(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-bucket smoothed log-likelihood-ratio table
+    ``(bucket, lr_micro)`` — the tiny learned "parameter vector" of DSIR.
+
+    ``lr = ln((c_target+1)/(T+B)) - ln((c_raw+1)/(R+B))`` (add-one
+    smoothing over B buckets), stored as MICRO-UNITS
+    (``round(lr*1e6)`` as BIGINT) so downstream per-document sums are
+    integer — order-independent and bit-identical across engines (the
+    float-sum-associativity dodge). The count/total doubles entering
+    ``ln`` are single exact int->double conversions + one IEEE division,
+    so both engines feed ``ln`` the identical double (the
+    ``score_drift`` parity argument).
+
+    Scale: two partial-agg groupBys whose shuffles carry at most
+    ``n_buckets`` rows each; totals ride back on 1-row broadcast
+    cross-joins; output is B rows — collectable by design (DSIR's entire
+    model is this vector)."""
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(dsir_feature_buckets(text_col, n_buckets)).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    t, r = counts(target, "_n_t"), counts(raw, "_n_r")
+    tot_t = t.agg(F.coalesce(F.sum("_n_t"), F.lit(0)).alias("_tot_t"))
+    tot_r = r.agg(F.coalesce(F.sum("_n_r"), F.lit(0)).alias("_tot_r"))
+    allb = target.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    b = F.lit(float(n_buckets))
+    p_t = (F.coalesce("_n_t", F.lit(0)) + 1) / (F.col("_tot_t") + b)
+    p_r = (F.coalesce("_n_r", F.lit(0)) + 1) / (F.col("_tot_r") + b)
+    return (
+        allb.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            F.round((F.log(p_t) - F.log(p_r)) * 1e6)
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance weight over ``df`` (the raw corpus)
+    against ``target`` (a small in-domain sample):
+    ``(key, n_feats, w_micro)`` where ``w_micro`` is the integer
+    micro-unit sum of bucket log-ratios over the document's features.
+
+    The B-row log-ratio table is collected once (bounded by construction)
+    and rides into the plan as a LITERAL array, so scoring is a PURE MAP
+    over the corpus — zero corpus-side exchange, the ``vocab_coverage``
+    literal-array pattern. NULL/empty text scores 0 (no features, not
+    NULL — weightless, never dropped silently)."""
+    lr_rows = dsir_logratio_table(target, df, text_col, n_buckets).collect()
+    arr = [0] * n_buckets
+    for r in lr_rows:
+        arr[int(r["bucket"])] = int(r["lr_micro"])
+    # one FOLDABLE array literal (F.lit of a list), not F.array of B
+    # casts: CreateArray is re-evaluated wherever the expression appears —
+    # inside the per-token aggregate lambda that would rebuild a B-element
+    # array per token (O(tokens x B)); a Literal is built once
+    lr_lit = F.lit(arr).cast("array<bigint>")
+    feats = dsir_feature_buckets(text_col, n_buckets)
+    w = F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, bkt: acc + F.element_at(lr_lit, (bkt + 1).cast("int")),
+    )
+    return df.select(
+        F.col(key_col),
+        F.size(feats).cast("long").alias("n_feats"),
+        w.alias("w_micro"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    gumbel_seed: int | None = None,
+) -> DataFrame:
+    """Top-``k`` DSIR selection from the raw corpus: the ``k`` documents
+    most target-like by importance weight. ``gumbel_seed=None`` (default)
+    is deterministic argmax — rank by ``(w_micro DESC, key)``;
+    a seed switches to DSIR's Gumbel-top-k importance RESAMPLING:
+    ``score = w_micro/1e6 + Gumbel(u_key)`` with a deterministic md5
+    uniform per key (so the sample is exactly reproducible), rounded to
+    6 dp with the key tiebreak.
+
+    Plan: weight column is a pure map (see :func:`dsir_weights`), the
+    selection is ``TakeOrderedAndProject`` — k rows to the driver, no
+    global sort."""
+    ww = dsir_weights(df, target, key_col, text_col, n_buckets)
+    out = df.join(ww, key_col)
+    if gumbel_seed is None:
+        return out.orderBy(F.desc("w_micro"), F.asc(key_col)).limit(k)
+    u_int = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"), F.lit(f"#g{gumbel_seed}")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0,1) strictly: (u_int+1)/(2^32+1) — both ln() calls finite
+    u = (u_int + 1).cast("double") / F.lit(float(2**32 + 1))
+    score = F.round(F.col("w_micro") / 1e6 + (-F.log(-F.log(u))), 6)
+    return (
+        out.withColumn("_s", score)
+        .orderBy(F.desc("_s"), F.asc(key_col))
+        .limit(k)
+        .drop("_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity partition (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    by_col: str = "lang",
+    k: int = 3,
+    key_col: str = "doc_id",
+    sample_size: int | None = None,
+) -> DataFrame:
+    """Partition each ``by_col`` group (language) into ``k`` equal-size
+    score bands — CCNet's head/middle/tail perplexity split (bucket 1 =
+    lowest scores = head). The web analog of the reference's per-batch
+    quality-band reporting (Q-score histogram bands, ``lq_nanopore.py``).
+
+    Two paths:
+
+    * ``sample_size=None`` — EXACT ``ntile(k)`` over
+      ``(score, key)`` within each group: one window shuffle keyed by
+      ``by_col``; groups parallelize across languages but one giant
+      language serializes into a single task (fine at per-language
+      volumes that fit a task; see the sampled path otherwise).
+    * ``sample_size=m`` — CCNet's actual recipe: per-group boundaries are
+      order statistics of a deterministic md5-priority sample of m docs
+      per group (bounded collect = n_groups × m), and bucket assignment
+      becomes a PURE MAP against the broadcast boundary table — no
+      corpus-side shuffle at any group size, at the cost of
+      sample-approximate (not exact-count) tertiles.
+
+    → df columns + ``ppl_bucket`` (int, 1..k). NULL scores land in
+    bucket k (worst band) rather than vanishing: an unscorable doc is
+    tail by definition."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    s = F.col(score_col)
+    if sample_size is None:
+        w = Window.partitionBy(by_col).orderBy(
+            F.col(score_col).asc_nulls_last(), F.col(key_col).asc()
+        )
+        return df.withColumn("ppl_bucket", F.ntile(k).over(w))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("#ppl")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rw = Window.partitionBy(by_col).orderBy(u.asc(), F.col(key_col).asc())
+    samp = (
+        df.filter(s.isNotNull())
+        .withColumn("_rn", F.row_number().over(rw))
+        .filter(F.col("_rn") <= sample_size)
+        .select(by_col, s.cast("double").alias("_s"))
+        .collect()
+    )
+    by_vals: dict = {}
+    for r in samp:
+        by_vals.setdefault(r[by_col], []).append(r["_s"])
+    rows = []
+    for g, vals in sorted(by_vals.items(), key=lambda kv: str(kv[0])):
+        vals.sort()
+        m = len(vals)
+        # boundary j (1..k-1) = the ceil(j*m/k)-th smallest sample value
+        bounds = [vals[max(0, -(-j * m // k) - 1)] for j in range(1, k)]
+        rows.append((g, bounds))
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(rows, f"`{by_col}` string, _bounds array<double>")
+    assign = F.when(
+        s.isNull(), F.lit(k)
+    ).otherwise(
+        F.lit(1)
+        + F.size(F.filter(F.col("_bounds"), lambda b: s.cast("double") > b))
+    )
+    return (
+        df.join(F.broadcast(bdf), by_col, "left")
+        .withColumn("ppl_bucket", F.coalesce(assign, F.lit(k)).cast("int"))
+        .drop("_bounds")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed n-gram LM training (CCNet trains its KenLM off-cluster;
+# here the hashed 5-gram scorer is fit on Spark, bit-identical to a
+# serial fit)
+# ---------------------------------------------------------------------------
+
+
+def ngram_lm_partial_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(order, bucket) hashed n-gram counts of the corpus — the
+    sufficient statistics of :class:`longqc_spark.models.HashedNgramLM`,
+    computed distributed: each partition accumulates dense numpy count
+    vectors over the flat token-hash stream (``np.add.at`` — the
+    flat-stream kernel idiom), emits only its NONZERO entries, and one
+    partial-agg shuffle (≤ orders × n_buckets rows per partition,
+    independent of corpus size) sums them. N-grams never cross document
+    boundaries — the same per-doc semantics ``token_logprobs_flat``
+    scores with. NULL/empty texts contribute nothing."""
+    from ..models import _LM_BUCKETS, _MAX_ORDER, hash_tokens, ngram_keys_all
+    import numpy as np
+
+    def part(batches):
+        local = {o: np.zeros(_LM_BUCKETS, dtype=np.int64) for o in range(1, _MAX_ORDER + 1)}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if not isinstance(text, str) or not text:
+                    continue
+                tokens = np.array(text.lower().split(), dtype=object)
+                if tokens.size == 0:
+                    continue
+                hashes = hash_tokens(tokens)
+                kall = ngram_keys_all(hashes, _MAX_ORDER)
+                for o in range(1, _MAX_ORDER + 1):
+                    if tokens.size >= o:
+                        idx = (kall[o] % np.uint64(_LM_BUCKETS)).astype(np.int64)[o - 1 :]
+                        np.add.at(local[o], idx, 1)
+        frames = []
+        for o, v in local.items():
+            nz = np.flatnonzero(v)
+            if nz.size:
+                frames.append(
+                    pd.DataFrame(
+                        {"order": np.full(nz.size, o, dtype=np.int32), "bucket": nz.astype(np.int64), "n": v[nz]}
+                    )
+                )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    rows = df.mapInPandas(part, "order int, bucket long, n long")
+    return rows.groupBy("order", "bucket").agg(F.sum("n").alias("n"))
+
+
+def train_ngram_lm(df: DataFrame, text_col: str = "text"):
+    """Fit a :class:`~longqc_spark.models.HashedNgramLM` ON SPARK from a
+    corpus DataFrame and return the model object — byte-identical counts
+    to a serial per-document fit (asserted in tests), so the perplexity
+    scorer can be trained on the very corpus being filtered (CCNet
+    retrains its LM per language/snapshot) instead of the fixed seed
+    artifact. The collected sufficient statistics are bounded by
+    ``orders × n_buckets`` (the model size), never by corpus size."""
+    from ..models import _LM_BUCKETS, _MAX_ORDER, HashedNgramLM
+    import numpy as np
+
+    agg = ngram_lm_partial_counts(df, text_col).collect()
+    lm = HashedNgramLM.__new__(HashedNgramLM)
+    lm.counts = [np.zeros(_LM_BUCKETS, dtype=np.float32) for _ in range(_MAX_ORDER + 1)]
+    for r in agg:
+        lm.counts[int(r["order"])][int(r["bucket"])] = float(r["n"])
+    lm.totals = [float(c.sum()) for c in lm.counts]
+    lm.vocab = max(1.0, float((lm.counts[1] > 0).sum()))
+    return lm
