@@ -1672,6 +1672,20 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:  # C4-style span ded
     )
 
 
+def q_scrub_dup_spans(spark: SparkSession, sf: str) -> DataFrame:  # span-dedup scrub
+    """Duplicated-span REMOVAL (Lee-et-al substring dedup): the scrub twin
+    of ``dup_spans`` — first occurrence of each 8-token span survives, every
+    later occurrence is deleted from its doc, text rebuilt from surviving
+    tokens. Full-text oracle: the rebuilt string must match DuckDB's
+    byte-for-byte. See ``operators/dedup.py:scrub_dup_spans`` scale notes."""
+    from longqc_spark.operators.dedup import scrub_dup_spans
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return scrub_dup_spans(docs, key_col="doc_id", text_col="text", window=8).orderBy(
+        "doc_id"
+    )
+
+
 def q_trace_reconstruct(spark: SparkSession, sf: str) -> DataFrame:  # M13 grouped-map
     """Per-key run-length reconstruction via groupBy().applyInPandas — the
     polymerase-read stitching analog (lq_sequel.py:76-137); oracle is the
@@ -2593,9 +2607,11 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "quality_budget_mix",
     # round-4d DSIR / CCNet-bucket / LM-training queries — never driver-checked
     "dsir_select", "ppl_buckets", "ngram_counts", "lm_stats",
+    # round-4e substring-dedup scrub (full-text oracle) — never driver-checked
+    "scrub_dup_spans",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50",
-    "rule_fractions", "anti_join", "union_split", "topk_tokens", "event_gaps",
+    "rule_fractions", "anti_join", "union_split", "event_gaps",
     "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "decontaminate",
     "mad_outliers", "incremental_line_dedup", "fix_encoding",
@@ -2611,7 +2627,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # stratified_sample/hash_sample for the new fix_encoding (encoding
     # repair) and incremental_line_dedup (cross-run line rule);
     # n50_approx/binned_median/histogram/token_pmi for the round-4d
-    # dsir_select/ppl_buckets/ngram_counts/lm_stats — all rotated-out
+    # dsir_select/ppl_buckets/ngram_counts/lm_stats; topk_tokens for the
+    # round-4e scrub_dup_spans — all rotated-out
     # names were driver-green in r1/r2; the list is kept at
     # EXACTLY 50 = the driver's window size so every name here is actually
     # checked)
@@ -2731,6 +2748,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_first": q_lead_first,
         "session_window_native": q_session_window_native,
         "dup_spans": q_dup_spans,
+        "scrub_dup_spans": q_scrub_dup_spans,
         "trace_reconstruct": q_trace_reconstruct,
         "dedup_clusters": q_dedup_clusters,
         "except_all": q_except_all,
@@ -4129,6 +4147,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_docs, count(*) AS n_spans,
                    CAST(sum(n_occ) AS BIGINT) AS total_occ
             FROM per_span WHERE n_docs >= 2 GROUP BY n_docs ORDER BY n_docs
+        """,
+        "scrub_dup_spans": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+            ), pos_tok AS (
+                SELECT doc_id, pos, ts[pos] AS tok
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, len(ts))) AS pos
+                      FROM base)
+            ), spans AS (
+                SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS span
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM base WHERE len(ts) >= 8)
+            ), dups AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY span
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM spans) WHERE rn > 1
+            ), deleted AS (
+                SELECT DISTINCT doc_id, dpos FROM (
+                    SELECT doc_id,
+                           unnest(generate_series(pos, pos + 7)) AS dpos
+                    FROM dups)
+            ), kept AS (
+                SELECT p.doc_id, p.pos, p.tok
+                FROM pos_tok p LEFT JOIN deleted d
+                  ON p.doc_id = d.doc_id AND p.pos = d.dpos
+                WHERE d.doc_id IS NULL
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed
+                FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id, len(b.ts) AS n_tokens,
+                   len(b.ts) - coalesce(a.n_kept, 0) AS n_removed,
+                   coalesce(a.text_scrubbed, '') AS text_scrubbed
+            FROM base b LEFT JOIN agg a USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "except_all": """
             WITH d AS (

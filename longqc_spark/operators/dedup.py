@@ -1039,3 +1039,90 @@ def cluster_keep_best(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_comp", "component")
     )
+
+
+def scrub_dup_spans(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the scrub twin of the ``dup_spans``
+    detector (Lee-et-al-style substring dedup / C4 repeated-span rule):
+    every ``window``-token sliding span is keyed across the corpus, the
+    globally-first occurrence (min ``(key, pos)``) keeps its text, every
+    later occurrence has its token range deleted from its document, and
+    each document is rebuilt from the surviving tokens in order.
+
+    Reference analog: the adapter scrub cascade (``lq_adapt.py``, M7/M8)
+    removes KNOWN artifact patterns from each record; this removes EMERGENT
+    corpus-level repeats, discovering the pattern set with the same grouped
+    hash join the detector uses (``lqmap.c:140-205`` shared-k-mer flavor).
+
+    All JVM-side Catalyst ops — split → posexplode → per-span
+    first-occurrence window → ``sequence()`` range explode → anti-join →
+    ordered reassembly; no Python touches a row. Scale posture: the span
+    shuffle key is the span string here only for oracle comparability — at
+    100 TB substitute ``xxhash64(_span)`` so 8 bytes move instead of the
+    text (same note as ``dup_spans``); a boilerplate span present in k docs
+    costs one k-row window partition (linear row_number, no pair
+    explosion), and each duplicate occurrence fans out to exactly
+    ``window`` delete positions. Whitespace normalizes to single spaces in
+    the rebuilt text (tokens are the unit of identity). The plan's three
+    branches (spans / position-tokens / per-doc counts) each re-scan the
+    source — columnar-pruned to (key, text) — because Spark does not
+    materialize shared subplans; at 100 TB persist the tokenized
+    projection (``toks.persist(DISK_ONLY)``) or stage it to parquet first
+    so the raw text is read once.
+
+    Returns ``(key_col, n_tokens, n_removed, text_scrubbed)``, one row per
+    input doc with non-NULL text.
+    """
+    w = int(window)
+    if w < 2:
+        raise ValueError(f"scrub_dup_spans: window must be >= 2, got {window}")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        key_col,
+        F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t <> '')").alias("_ts"),
+    )
+    pos_tok = toks.select(
+        key_col, F.posexplode("_ts").alias("_p0", "_tok")
+    ).select(key_col, (F.col("_p0") + 1).alias("_pos"), "_tok")
+    spans = (
+        toks.filter(F.size("_ts") >= w)
+        .select(
+            key_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(_ts) - {w - 1}),"
+                    f" i -> array_join(slice(_ts, i, {w}), ' '))"
+                )
+            ).alias("_p0", "_span"),
+        )
+        .select(key_col, (F.col("_p0") + 1).alias("_pos"), "_span")
+    )
+    first_w = Window.partitionBy("_span").orderBy(key_col, "_pos")
+    dups = spans.withColumn("_rn", F.row_number().over(first_w)).filter(F.col("_rn") > 1)
+    deleted = dups.select(
+        key_col,
+        F.explode(F.sequence(F.col("_pos"), F.col("_pos") + F.lit(w - 1))).alias("_pos"),
+    ).distinct()
+    rebuilt = (
+        pos_tok.join(deleted, [key_col, "_pos"], "left_anti")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(_pos, _tok))),"
+                " x -> x._tok), ' ')"
+            ).alias("text_scrubbed"),
+        )
+    )
+    base = toks.select(key_col, F.size("_ts").cast("long").alias("n_tokens"))
+    return base.join(rebuilt, key_col, "left").select(
+        key_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("text_scrubbed"), F.lit("")).alias("text_scrubbed"),
+    )

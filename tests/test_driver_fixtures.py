@@ -256,6 +256,7 @@ _GOLDEN_SF001 = {
     "media_features": (3, "4c5fc880670265aa"),
     "media_frames": (85, "2a9b05232581451f"),
     "ccsynth_source": (4, "34b14c5532134246"),
+    "lm_stats": (5, "b6e78b0ccc228aed"),
 }
 
 

@@ -324,3 +324,49 @@ def test_incremental_line_dedup_cross_run(spark):
     assert a == b
     with pytest.raises(ValueError, match="min_docs"):
         incremental_line_dedup(batch, counts, min_docs=0)
+
+
+def test_scrub_dup_spans_semantics(spark):
+    """First occurrence keeps its text; later occurrences (cross-doc AND
+    within-doc) lose the span's token range; short docs pass through with
+    whitespace normalized; a full-duplicate doc empties out."""
+    from longqc_spark.operators.dedup import scrub_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x"),                      # owner of span a..h
+            (2, "z a b c d e f g h y"),                    # cross-doc dup at pos 2
+            (3, "  hello   world  "),                      # <8 tokens, messy ws
+            (4, "a b c d e f g h x"),                      # full duplicate of doc 1
+            (5, "p q r s t u v w p q r s t u v w"),        # within-doc repeat
+            (6, None),                                     # NULL text: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_dup_spans(docs, key_col="doc_id", text_col="text", window=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (out[1]["text_scrubbed"], out[1]["n_removed"]) == ("a b c d e f g h x", 0)
+    assert (out[2]["text_scrubbed"], out[2]["n_removed"]) == ("z y", 8)
+    assert (out[3]["text_scrubbed"], out[3]["n_tokens"]) == ("hello world", 2)
+    # doc 4 duplicates doc 1's both spans (pos 1 and pos 2) -> ranges 1-8 and
+    # 2-9 union to all 9 positions
+    assert (out[4]["text_scrubbed"], out[4]["n_removed"]) == ("", 9)
+    # doc 5: span at pos 9 repeats span at pos 1 -> second half deleted
+    assert (out[5]["text_scrubbed"], out[5]["n_removed"]) == ("p q r s t u v w", 8)
+
+
+def test_scrub_dup_spans_is_parallelism_invariant(spark):
+    """Winner selection is a total order on (key, pos): repartitioning the
+    input must not change a byte of the rebuilt text."""
+    from longqc_spark.operators.dedup import scrub_dup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    a = scrub_dup_spans(docs).orderBy("doc_id").collect()
+    b = scrub_dup_spans(docs.repartition(13)).orderBy("doc_id").collect()
+    assert a == b
+    assert sum(r["n_removed"] for r in a) > 0  # fixture actually has dup spans
