@@ -83,7 +83,8 @@ def main() -> None:
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
         "fix_encoding latest_crawl blocklist neardup keep_best pack_seqs "
-        "pack_rows neardup_keep_best curate_full skew) and MERGE their keys "
+        "pack_rows neardup_keep_best curate_full scrub_spans skew) and MERGE "
+        "their keys "
         "into an existing --out record instead of overwriting it",
     )
     args = ap.parse_args()
@@ -607,6 +608,35 @@ def main() -> None:
             "docs_per_sec": round(n / best),
             "n_in": n,
             "n_out": n_out,
+        }
+
+    # -- duplicated-span removal at corpus scale: a 1M-doc slice (same
+    # sizing rule as curate_full) through scrub_dup_spans. Dominant cost is
+    # the span shuffle (≈ n_tokens-7 span rows per doc) + the delete-range
+    # anti-join; the slice keeps the measurement inside one epoch while the
+    # docs/s figure scales per-core like every other shuffle-bound stage. --
+    if want("scrub_spans"):
+        from longqc_spark.operators.dedup import scrub_dup_spans
+
+        slice_df = docs.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == 1).cache()
+        n = slice_df.count()
+        best = float("inf")
+        removed = 0
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            row = (
+                scrub_dup_spans(slice_df, key_col="url", text_col="text")
+                .agg(F.sum("n_removed").alias("r"), F.count(F.lit(1)).alias("n"))
+                .collect()[0]
+            )
+            removed = int(row["r"])
+            best = min(best, time.time() - t0)
+        slice_df.unpersist()
+        out["scrub_dup_spans_1m_cc"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(n / best),
+            "n_in": n,
+            "n_tokens_removed": removed,
         }
 
     if only and os.path.exists(args.out):
