@@ -1681,9 +1681,12 @@ def q_scrub_dup_spans(spark: SparkSession, sf: str) -> DataFrame:  # span-dedup 
     from longqc_spark.operators.dedup import scrub_dup_spans
 
     docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return scrub_dup_spans(docs, key_col="doc_id", text_col="text", window=8).orderBy(
-        "doc_id"
-    )
+    # hash_spans=False so the span key stays SQL-expressible for the DuckDB
+    # twin; production (funnel/bench) uses the default hashed 8-byte key —
+    # tests pin hashed == unhashed output on the fixture corpus.
+    return scrub_dup_spans(
+        docs, key_col="doc_id", text_col="text", window=8, hash_spans=False
+    ).orderBy("doc_id")
 
 
 def q_trace_reconstruct(spark: SparkSession, sf: str) -> DataFrame:  # M13 grouped-map

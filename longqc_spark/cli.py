@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="web-hygiene stage 0: C4-style global line dedup — "
                         "drop lines occurring in >= K distinct docs "
                         "corpus-wide (needs --text-col, not --html-col)")
+    p.add_argument("--scrub-spans", type=int, default=None, metavar="W",
+                   help="web-hygiene stage 0 (runs LAST): Lee-et-al exact "
+                        "duplicated-span removal — every W-token span keeps "
+                        "only its globally-first occurrence, later "
+                        "occurrences' token ranges are cut and the text "
+                        "rebuilt (whitespace-normalized; needs --text-col, "
+                        "not --html-col)")
     p.add_argument("--blocklist", default=None, metavar="FILE",
                    help="web-hygiene stage 0 (runs FIRST): UT1-style domain "
                         "blocklist — text file, one domain per line (blank "
@@ -175,6 +182,7 @@ def main(argv: list[str] | None = None) -> int:
         "domain_cap": args.domain_cap,
         "line_dedup_min_docs": args.line_dedup_min_docs,
         "fix_encoding": args.fix_encoding,
+        "scrub_span_window": args.scrub_spans,
         "blocklist": args.blocklist,
         "payload_dedup": args.payload_dedup,
         "payload_score_col": args.payload_score_col,
@@ -239,6 +247,7 @@ def main(argv: list[str] | None = None) -> int:
             line_dedup_min_docs=args.line_dedup_min_docs,
             blocklist=bl,
             fix_encoding_passes=args.fix_encoding,
+            scrub_span_window=args.scrub_spans,
         )
     if args.payload_dedup:
         from .operators.dedup import keep_best_dedup

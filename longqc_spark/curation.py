@@ -63,6 +63,7 @@ def web_hygiene(
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
     fix_encoding_passes: int | None = None,
+    scrub_span_window: int | None = None,
 ) -> DataFrame:
     """Stage 0 of the funnel — crawl-level hygiene before any QC work, in
     order: domain blocklist (``blocklist`` — a 1-column ``entry`` table,
@@ -77,7 +78,14 @@ def web_hygiene(
     a real ``text_col``), then C4-style GLOBAL line dedup
     (``line_dedup_min_docs`` — drop lines occurring in that many distinct
     docs corpus-wide; needs a real ``text_col``, so it is incompatible with
-    extraction-deferred ``html_col`` inputs).
+    extraction-deferred ``html_col`` inputs), then Lee-et-al duplicated-SPAN
+    removal (``scrub_span_window`` — every ``scrub_span_window``-token span
+    keeps only its globally-first occurrence, later occurrences' token
+    ranges are cut; LAST because it is the heaviest rewrite and should see
+    only rows the cheaper stages kept. Rebuilt text is whitespace-normalized
+    to single spaces; rows with NULL text pass through untouched; keys
+    should be unique by this stage — the earlier URL dedup/collapse stages
+    guarantee that on multi-snapshot crawls).
 
     Shared by ``curate()`` and the CLI (``--collapse-snapshots`` etc.) so
     the gating/order semantics cannot drift between the two entry points.
@@ -118,6 +126,25 @@ def web_hygiene(
         src = corpus_line_dedup(
             src, text_col=text_col, key_col=key_col, min_docs=line_dedup_min_docs
         )
+    if scrub_span_window is not None:
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "scrub_span_window rewrites the TEXT column; with an "
+                "extraction-deferred html_col run extraction first or drop "
+                "the flag"
+            )
+        from .operators.dedup import scrub_dup_spans
+
+        scrubbed = scrub_dup_spans(
+            src.select(key_col, text_col),
+            key_col=key_col,
+            text_col=text_col,
+            window=scrub_span_window,
+        ).select(key_col, F.col("text_scrubbed").alias(text_col))
+        # left join: NULL-text rows (filtered by the operator) pass through
+        # with their NULL intact, matching every other hygiene stage's
+        # NULL-identity rule. One equi-join shuffle on the key.
+        src = src.drop(text_col).join(scrubbed, key_col, "left")
     return src
 
 
@@ -140,6 +167,7 @@ def curate(
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
     fix_encoding_passes: int | None = None,
+    scrub_span_window: int | None = None,
     payload_dedup: bool = False,
     payload_score_col: str | None = None,
     payload_dedup_normalize: bool = False,
@@ -159,7 +187,9 @@ def curate(
        (``domain_cap_n``), then C4-style GLOBAL line dedup
        (``line_dedup_min_docs`` — drop lines occurring in that many
        distinct docs corpus-wide; needs a real ``text_col``, so it is
-       incompatible with extraction-deferred ``html_col`` inputs);
+       incompatible with extraction-deferred ``html_col`` inputs), then
+       duplicated-span removal (``scrub_span_window`` — see
+       ``web_hygiene``);
     0.5 ``payload_dedup``: within-corpus exact payload dedup — ONE winner
        per (optionally normalized: ``payload_dedup_normalize``) payload
        digest. Winner policy: min ``key_col`` by default, or quality-argmax
@@ -223,6 +253,7 @@ def curate(
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,
         fix_encoding_passes=fix_encoding_passes,
+        scrub_span_window=scrub_span_window,
     )
     src = _obs(src, "hygiene")
     if payload_dedup:

@@ -1047,6 +1047,7 @@ def scrub_dup_spans(
     key_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
+    hash_spans: bool = True,
 ) -> DataFrame:
     """Exact duplicated-span REMOVAL — the scrub twin of the ``dup_spans``
     detector (Lee-et-al-style substring dedup / C4 repeated-span rule):
@@ -1062,10 +1063,15 @@ def scrub_dup_spans(
 
     All JVM-side Catalyst ops — split → posexplode → per-span
     first-occurrence window → ``sequence()`` range explode → anti-join →
-    ordered reassembly; no Python touches a row. Scale posture: the span
-    shuffle key is the span string here only for oracle comparability — at
-    100 TB substitute ``xxhash64(_span)`` so 8 bytes move instead of the
-    text (same note as ``dup_spans``); a boilerplate span present in k docs
+    ordered reassembly; no Python touches a row. Scale posture: with
+    ``hash_spans=True`` (the default, and the production path) the span is
+    collapsed map-side to ``xxhash64(span)`` so 8 bytes cross the window
+    exchange instead of the ~window·word text — output is identical unless
+    two DISTINCT spans collide in 64 bits (birthday bound ≈ n²/2⁶⁵: ~3·10⁻⁹
+    at 10¹⁰ corpus spans — acceptable for a scrub; the oracled registry
+    query pins ``hash_spans=False`` so the DuckDB twin stays expressible,
+    and a test pins hashed == unhashed output on the fixture corpus); a
+    boilerplate span present in k docs
     costs one k-row window partition (linear row_number, no pair
     explosion), and each duplicate occurrence fans out to exactly
     ``window`` delete positions. Whitespace normalizes to single spaces in
@@ -1102,6 +1108,8 @@ def scrub_dup_spans(
         )
         .select(key_col, (F.col("_p0") + 1).alias("_pos"), "_span")
     )
+    if hash_spans:
+        spans = spans.withColumn("_span", F.xxhash64("_span"))
     first_w = Window.partitionBy("_span").orderBy(key_col, "_pos")
     dups = spans.withColumn("_rn", F.row_number().over(first_w)).filter(F.col("_rn") > 1)
     deleted = dups.select(

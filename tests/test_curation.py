@@ -180,3 +180,40 @@ def test_curate_line_dedup_requires_text(spark, docs):
             html_col="html",
             line_dedup_min_docs=3,
         )
+
+
+def test_web_hygiene_scrub_spans_stage(spark):
+    """Stage-0 span scrub: later occurrences of a duplicated 4-token span
+    are cut from the text, other columns survive the rewrite, and rows with
+    NULL text pass through untouched (NULL-identity rule)."""
+    from longqc_spark.curation import web_hygiene
+
+    crawl = spark.createDataFrame(
+        [
+            ("https://a.com/1", "alpha beta gamma delta tail", "en"),
+            ("https://b.com/2", "head alpha beta gamma delta", "en"),
+            ("https://c.com/3", None, "en"),
+        ],
+        "url string, text string, lang string",
+    )
+    out = {
+        r["url"]: r
+        for r in web_hygiene(crawl, scrub_span_window=4).collect()
+    }
+    assert out["https://a.com/1"]["text"] == "alpha beta gamma delta tail"
+    assert out["https://b.com/2"]["text"] == "head"
+    assert out["https://c.com/3"]["text"] is None
+    assert out["https://b.com/2"]["lang"] == "en"  # non-text columns intact
+
+
+def test_curate_scrub_spans_requires_text(spark, docs):
+    with pytest.raises(ValueError, match="TEXT column"):
+        curate(
+            docs.filter(F.col("doc_id") < 10)
+            .withColumn("url", F.concat(F.lit("https://a.com/"), F.col("doc_id")))
+            .withColumn("html", F.col("text").cast("binary"))
+            .drop("text"),
+            key_col="url",
+            html_col="html",
+            scrub_span_window=8,
+        )

@@ -370,3 +370,17 @@ def test_scrub_dup_spans_is_parallelism_invariant(spark):
     b = scrub_dup_spans(docs.repartition(13)).orderBy("doc_id").collect()
     assert a == b
     assert sum(r["n_removed"] for r in a) > 0  # fixture actually has dup spans
+
+
+def test_scrub_dup_spans_hashed_equals_unhashed(spark):
+    """The production 8-byte span key (xxhash64) must reproduce the
+    string-keyed output exactly on the fixture corpus (collisions are the
+    only divergence mode, birthday-bounded way below these sizes)."""
+    from longqc_spark.operators.dedup import scrub_dup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    hashed = scrub_dup_spans(docs, hash_spans=True).orderBy("doc_id").collect()
+    plain = scrub_dup_spans(docs, hash_spans=False).orderBy("doc_id").collect()
+    assert hashed == plain
