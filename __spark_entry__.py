@@ -487,6 +487,66 @@ def q_corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: C4 g
     )
 
 
+def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:  # web: C4 line-level cleaning
+    """C4's line-level heuristic cleaning (Raffel et al. 2020 §2.2):
+    documents re-lined every 4 words, deterministic seeding of the rule
+    triggers in BOTH engines (word 'scan' → 'javascript' for the line-drop
+    rule, 'merge' → 'lorem ipsum' and 'window' → 'x{y}' for the page-drop
+    gates, terminal punctuation appended per line by its md5 leading hex
+    digit), then the full gate: lorem-ipsum/brace page drops, terminal-
+    punct + >=4-words + no-javascript line filter, >=2-sentence page gate.
+    Per-source rollup with an order-sensitive text checksum, so surviving
+    line ORDER and page membership are both oracle-verified."""
+    from longqc_spark.operators.web import c4_clean
+
+    docs = _read(spark, sf, "documents")
+    seeded = (
+        docs.withColumn(
+            "text", F.regexp_replace("text", r"((?:\S+ ){3}\S+) ", "$1\n")
+        )
+        .withColumn("text", F.regexp_replace("text", r"\bscan\b", "javascript"))
+        .withColumn("text", F.regexp_replace("text", r"\bmerge\b", "lorem ipsum"))
+        .withColumn("text", F.regexp_replace("text", r"\bwindow\b", "x{y}"))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split("text", r"\n"),
+                    lambda l: F.when(
+                        F.substring(F.md5(l.cast("binary")), 1, 1).rlike("[0-7]"),
+                        F.concat(l, F.lit(".")),
+                    )
+                    .when(
+                        F.substring(F.md5(l.cast("binary")), 1, 1).rlike("[89]"),
+                        F.concat(l, F.lit("?")),
+                    )
+                    .otherwise(l),
+                ),
+                "\n",
+            ),
+        )
+    )
+    cleaned = c4_clean(seeded, text_col="text", min_words=4, min_sentences=2)
+    return (
+        cleaned.select(
+            "source",
+            F.when(F.col("text") == "", 0)
+            .otherwise(F.size(F.split("text", r"\n")))
+            .alias("n_kept"),
+            F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").cast("bigint").alias("total_kept_lines"),
+            F.sum("h").cast("bigint").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -2612,10 +2672,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dsir_select", "ppl_buckets", "ngram_counts", "lm_stats",
     # round-4e substring-dedup scrub (full-text oracle) — never driver-checked
     "scrub_dup_spans",
+    # round-4f C4 line-level heuristic cleaning — never driver-checked
+    # (anchor token_counts rotated out to keep the window at exactly 50;
+    # it was driver-green in r1/r2)
+    "c4_clean",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats", "n50",
     "rule_fractions", "anti_join", "union_split", "event_gaps",
-    "exact_dedup", "incremental_dedup", "token_counts", "alpha_frac",
+    "exact_dedup", "incremental_dedup", "alpha_frac",
     "ngram_jaccard", "fuzzy_scrub", "decontaminate",
     "mad_outliers", "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
@@ -2696,6 +2760,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl": q_latest_crawl,
         "snapshot_novelty": q_snapshot_novelty,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "c4_clean": q_c4_clean,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -3255,6 +3320,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(('0x' || substr(md5(dtext), 1, 8)) AS BIGINT)) AS BIGINT)
                        AS text_checksum
             FROM base GROUP BY source ORDER BY source
+        """,
+        "c4_clean": """
+            WITH seeded AS (
+                SELECT source,
+                       array_to_string(
+                         list_transform(
+                           string_split(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(text,
+                                     '((?:\\S+ ){3}\\S+) ', '\\1' || chr(10), 'g'),
+                                   '\\bscan\\b', 'javascript', 'g'),
+                                 '\\bmerge\\b', 'lorem ipsum', 'g'),
+                               '\\bwindow\\b', 'x{y}', 'g'),
+                             chr(10)),
+                           l -> CASE
+                                WHEN substr(md5(l), 1, 1) BETWEEN '0' AND '7'
+                                     THEN l || '.'
+                                WHEN substr(md5(l), 1, 1) IN ('8', '9')
+                                     THEN l || '?'
+                                ELSE l END),
+                         chr(10)) AS text
+                FROM documents
+            ), gated AS (
+                SELECT * FROM seeded
+                WHERE NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')
+            ), cleaned AS (
+                SELECT source,
+                       array_to_string(
+                         list_filter(string_split(text, chr(10)),
+                           l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 4
+                            AND regexp_matches(trim(l), '[.!?"]$')
+                            AND NOT contains(lower(l), 'javascript')),
+                         chr(10)) AS text
+                FROM gated
+            ), final AS (
+                SELECT * FROM cleaned
+                WHERE length(regexp_replace(text, '[^.!?]', '', 'g')) >= 2
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN text = '' THEN 0
+                                 ELSE len(string_split(text, chr(10))) END)
+                        AS BIGINT) AS total_kept_lines,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                        AS BIGINT) AS text_checksum
+            FROM final GROUP BY source ORDER BY source
         """,
         "corpus_line_dedup": """
             WITH l AS (

@@ -66,6 +66,16 @@ def main(argv: list[str] | None = None) -> int:
                         "repair of the text column, PASSES nesting levels "
                         "deep (1 fixes ordinary damage, 2 double-encoded "
                         "pages; needs --text-col, not --html-col)")
+    p.add_argument("--clean-lines", type=int, default=None, metavar="MINWORDS",
+                   help="web-hygiene stage 0: C4 line-level cleaning — keep "
+                        "only lines with >= MINWORDS words ending in "
+                        "terminal punctuation and without 'javascript'; "
+                        "drop lorem-ipsum/curly-brace pages and pages left "
+                        "with < --clean-lines-min-sentences sentences "
+                        "(needs --text-col, not --html-col)")
+    p.add_argument("--clean-lines-min-sentences", type=int, default=3, metavar="S",
+                   help="page gate for --clean-lines: minimum sentences "
+                        "(terminal-punct count) surviving line cleaning")
     p.add_argument("--line-dedup-min-docs", type=int, default=None, metavar="K",
                    help="web-hygiene stage 0: C4-style global line dedup — "
                         "drop lines occurring in >= K distinct docs "
@@ -181,6 +191,12 @@ def main(argv: list[str] | None = None) -> int:
         "dedup_urls": args.dedup_urls,
         "domain_cap": args.domain_cap,
         "line_dedup_min_docs": args.line_dedup_min_docs,
+        "clean_lines_min_words": args.clean_lines,
+        # only an identity input when the stage is on — a bare default of 3
+        # must not flip the hygiene gate or invalidate pre-existing resumes
+        "clean_lines_min_sentences": (
+            args.clean_lines_min_sentences if args.clean_lines is not None else None
+        ),
         "fix_encoding": args.fix_encoding,
         "scrub_span_window": args.scrub_spans,
         "blocklist": args.blocklist,
@@ -247,6 +263,8 @@ def main(argv: list[str] | None = None) -> int:
             line_dedup_min_docs=args.line_dedup_min_docs,
             blocklist=bl,
             fix_encoding_passes=args.fix_encoding,
+            clean_lines_min_words=args.clean_lines,
+            clean_lines_min_sentences=args.clean_lines_min_sentences,
             scrub_span_window=args.scrub_spans,
         )
     if args.payload_dedup:

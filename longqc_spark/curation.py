@@ -63,6 +63,8 @@ def web_hygiene(
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
     fix_encoding_passes: int | None = None,
+    clean_lines_min_words: int | None = None,
+    clean_lines_min_sentences: int = 3,
     scrub_span_window: int | None = None,
 ) -> DataFrame:
     """Stage 0 of the funnel — crawl-level hygiene before any QC work, in
@@ -75,7 +77,12 @@ def web_hygiene(
     representation cap (``domain_cap_n``), then ftfy-style encoding repair
     (``fix_encoding_passes`` — cp1252-mojibake fix BEFORE any text-derived
     statistic, so langid/dedup digests/line dedup see repaired bytes; needs
-    a real ``text_col``), then C4-style GLOBAL line dedup
+    a real ``text_col``), then C4's line-level heuristic cleaning
+    (``clean_lines_min_words`` — lorem-ipsum/curly-brace page drops,
+    terminal-punctuation + min-words + javascript line rules, and the
+    ``clean_lines_min_sentences`` page gate, BEFORE global line dedup so
+    corpus line counts only ever see rule-eligible lines), then C4-style
+    GLOBAL line dedup
     (``line_dedup_min_docs`` — drop lines occurring in that many distinct
     docs corpus-wide; needs a real ``text_col``, so it is incompatible with
     extraction-deferred ``html_col`` inputs), then Lee-et-al duplicated-SPAN
@@ -117,6 +124,21 @@ def web_hygiene(
                 "the flag"
             )
         src = src.withColumn(text_col, fix_mojibake_expr(text_col, fix_encoding_passes))
+    if clean_lines_min_words is not None:
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "clean_lines_min_words rewrites the TEXT column; with an "
+                "extraction-deferred html_col run extraction first or drop "
+                "the flag"
+            )
+        from .operators.web import c4_clean
+
+        src = c4_clean(
+            src,
+            text_col=text_col,
+            min_words=clean_lines_min_words,
+            min_sentences=clean_lines_min_sentences,
+        )
     if line_dedup_min_docs is not None:
         if html_col is not None and text_col not in src.columns:
             raise ValueError(
@@ -167,6 +189,8 @@ def curate(
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
     fix_encoding_passes: int | None = None,
+    clean_lines_min_words: int | None = None,
+    clean_lines_min_sentences: int = 3,
     scrub_span_window: int | None = None,
     payload_dedup: bool = False,
     payload_score_col: str | None = None,
@@ -184,7 +208,9 @@ def curate(
        (``collapse_snapshots`` — newest ``ts_col`` fetch per canonical URL
        wins) or URL dedup (``dedup_urls`` — min-key winner, for
        single-snapshot inputs), then per-domain representation cap
-       (``domain_cap_n``), then C4-style GLOBAL line dedup
+       (``domain_cap_n``), then C4 line-level heuristic cleaning
+       (``clean_lines_min_words`` / ``clean_lines_min_sentences`` — see
+       ``web_hygiene``), then C4-style GLOBAL line dedup
        (``line_dedup_min_docs`` — drop lines occurring in that many
        distinct docs corpus-wide; needs a real ``text_col``, so it is
        incompatible with extraction-deferred ``html_col`` inputs), then
@@ -253,6 +279,8 @@ def curate(
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,
         fix_encoding_passes=fix_encoding_passes,
+        clean_lines_min_words=clean_lines_min_words,
+        clean_lines_min_sentences=clean_lines_min_sentences,
         scrub_span_window=scrub_span_window,
     )
     src = _obs(src, "hygiene")

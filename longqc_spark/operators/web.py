@@ -135,6 +135,89 @@ def dedup_lines_expr(text_col: str = "text") -> Column:
     return F.array_join(F.array_distinct(F.split(F.col(text_col), r"\n")), "\n")
 
 
+def clean_lines_expr(
+    text_col: str = "text",
+    min_words: int = 5,
+    require_terminal: bool = True,
+    drop_javascript: bool = True,
+) -> Column:
+    """C4's LINE-level heuristic filter (Raffel et al. 2020 §2.2), as one
+    pure JVM expression: keep only lines that (a) end in a terminal
+    punctuation mark (``.`` ``!`` ``?`` ``"``), (b) carry at least
+    ``min_words`` whitespace-separated words, and (c) do not contain the
+    word "javascript" (case-insensitive — the classic enable-JS banner
+    marker). Surviving lines keep their original order; a page whose every
+    line fails becomes ``""`` (the downstream length rule drops it — same
+    composability contract as :func:`corpus_line_dedup`); NULL text stays
+    NULL (``split``/``filter``/``array_join`` are all NULL-preserving).
+
+    This is the line-grain complement of the DOC-grain Gopher/C4 rule
+    cascade in ``pipeline.py`` (reference analog: the per-window mask
+    rules of ``lq_utils.py:141-196`` applied at sub-record grain rather
+    than whole-record thresholds). Pure map over the split array — fuses
+    into the scan stage, no shuffle, stays in whole-stage codegen."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+
+    def _keep(l: Column) -> Column:
+        t = F.trim(l)
+        cond = F.size(F.split(t, r"\s+")) >= min_words
+        if require_terminal:
+            cond = cond & t.rlike(r'[.!?"]$')
+        if drop_javascript:
+            cond = cond & ~F.lower(l).contains("javascript")
+        return cond
+
+    return F.array_join(F.filter(F.split(F.col(text_col), r"\n"), _keep), "\n")
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+    require_terminal: bool = True,
+    drop_javascript: bool = True,
+    drop_lorem_ipsum: bool = True,
+    drop_braces: bool = True,
+) -> DataFrame:
+    """The full C4 page-cleaning stage: PAGE-drop gates on the raw text
+    (any page containing "lorem ipsum" — placeholder boilerplate — or a
+    ``{`` — source code — is removed whole, before any line is touched,
+    exactly as C4 applies them to the page source), then the line filter
+    of :func:`clean_lines_expr`, then the page-level minimum-sentence gate
+    (``min_sentences`` sentences COUNTED ON THE CLEANED TEXT via terminal
+    punctuation — a page left with fewer than 3 sentences after line
+    cleaning is dropped). NULL-text rows pass every gate untouched (the
+    NULL-identity rule of the whole hygiene funnel).
+
+    Scale: three chained narrow filters + one map — no shuffle anywhere,
+    predicate order cheapest-first so the contains() gates prune before
+    the per-line regex work; Catalyst fuses all of it into the scan."""
+    if min_sentences < 0:
+        raise ValueError(f"min_sentences must be >= 0, got {min_sentences}")
+    orig = F.col(text_col)
+    page_ok = F.lit(True)
+    if drop_lorem_ipsum:
+        page_ok = page_ok & ~F.lower(orig).contains("lorem ipsum")
+    if drop_braces:
+        page_ok = page_ok & ~orig.contains("{")
+    out = df.filter(orig.isNull() | page_ok)
+    out = out.withColumn(
+        text_col,
+        clean_lines_expr(
+            text_col,
+            min_words=min_words,
+            require_terminal=require_terminal,
+            drop_javascript=drop_javascript,
+        ),
+    )
+    if min_sentences > 0:
+        n_sent = F.length(F.regexp_replace(F.col(text_col), r"[^.!?]", ""))
+        out = out.filter(F.col(text_col).isNull() | (n_sent >= min_sentences))
+    return out
+
+
 def corpus_line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -473,3 +473,46 @@ def test_cli_fix_encoding(spark, corpus_path, tmp_path):
                 "--local-cores", "8",
             ]
         )
+
+
+def test_cli_clean_lines(spark, corpus_path, tmp_path):
+    """--clean-lines runs C4 line cleaning as hygiene stage 0: javascript
+    banner lines never reach the committed text, brace pages are dropped
+    whole, and the flag is part of the checkpoint identity."""
+    banner = "Please enable javascript to continue viewing."
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "text",
+        F.concat(
+            F.lit(banner + "\n"),
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){5}\S+) ", "$1.\n"),
+            F.lit("."),
+        ),
+    )
+    crawl_path = str(tmp_path / "c4_crawl")
+    docs.write.parquet(crawl_path)
+
+    out = str(tmp_path / "c4_out")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--clean-lines", "4",
+            "--clean-lines-min-sentences", "2",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    pdf = spark.read.parquet(os.path.join(out, "data")).toPandas()
+    assert len(pdf) > 0
+    assert not pdf.scrubbed_text.str.contains("javascript", regex=False).any()
+    # identity: resuming without the flag must be rejected
+    with pytest.raises(ValueError, match="hygiene"):
+        main(
+            [
+                "--input", crawl_path,
+                "--out", out,
+                "--buckets", "2",
+                "--local-cores", "8",
+            ]
+        )

@@ -384,3 +384,64 @@ def test_scrub_dup_spans_hashed_equals_unhashed(spark):
     hashed = scrub_dup_spans(docs, hash_spans=True).orderBy("doc_id").collect()
     plain = scrub_dup_spans(docs, hash_spans=False).orderBy("doc_id").collect()
     assert hashed == plain
+
+
+def test_clean_lines_rules(spark):
+    """C4 line rules: terminal punctuation required, min-words floor,
+    javascript lines cut, order preserved, all-fail page becomes ''."""
+    from longqc_spark.operators.web import clean_lines_expr
+
+    docs = [
+        # keeps the two well-formed lines, drops the rest, order preserved
+        'First good line stays here.\nno punct line here\nshort.\n'
+        'Enable javascript to view this site.\nSecond good line stays too!',
+        # every line fails -> ""
+        'tiny.\nno terminal punct',
+        None,  # NULL text stays NULL
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id int, text string")
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", clean_lines_expr("text", min_words=4).alias("c")
+        ).collect()
+    }
+    assert out[0] == "First good line stays here.\nSecond good line stays too!"
+    assert out[1] == ""
+    assert out[2] is None
+
+
+def test_c4_clean_page_gates(spark):
+    """Page drops: lorem ipsum, curly brace, and the post-clean minimum
+    sentence gate; NULL-text rows pass every gate untouched."""
+    from longqc_spark.operators.web import c4_clean
+
+    good = "One proper sentence right here.\nAnother proper sentence right here!\nA third proper sentence is present."
+    docs = [
+        (0, good),                                          # survives
+        (1, good + "\nsome Lorem Ipsum filler text."),      # lorem -> dropped
+        (2, good + "\nvar x = {a: 1};"),                    # brace -> dropped
+        (3, "Only one proper sentence right here."),        # < 3 sentences -> dropped
+        (4, None),                                          # NULL passes through
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    out = {r["id"]: r["text"] for r in c4_clean(df, min_words=4).collect()}
+    assert sorted(out) == [0, 4]
+    assert out[0] == good
+    assert out[4] is None
+
+
+def test_c4_clean_in_hygiene_funnel(spark):
+    """web_hygiene wires the stage: line cleaning runs before global line
+    dedup and the page gate actually removes pages."""
+    from longqc_spark.curation import web_hygiene
+
+    good = "A proper sentence number one.\nA proper sentence number two.\nA proper sentence number three."
+    df = spark.createDataFrame(
+        [("u1", good), ("u2", good + "\ncode { bad }"), ("u3", "stub")],
+        "url string, text string",
+    )
+    out = web_hygiene(df, clean_lines_min_words=4).collect()
+    kept = {r["url"]: r["text"] for r in out}
+    assert sorted(kept) == ["u1"]
+    assert kept["u1"] == good
