@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "fix_encoding latest_crawl blocklist neardup keep_best pack_seqs "
+        "c4_clean fix_encoding latest_crawl blocklist neardup keep_best pack_seqs "
         "pack_rows neardup_keep_best curate_full scrub_spans skew) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
@@ -273,6 +273,64 @@ def main() -> None:
             "sec": round(best, 1),
             "docs_per_sec": round(args.docs / best),
             "chars_dropped": int(dropped),
+        }
+
+    # -- C4 line-level heuristic cleaning at corpus scale: three narrow
+    # page-gate filters + one split-array line filter, all scan-fused JVM
+    # expressions — the zero-shuffle posture means docs/s should track the
+    # raw scan+regex rate. Docs are re-lined every 8 words and every
+    # even-length line gets terminal punctuation, so both the line rules
+    # and the post-clean sentence gate do real work. --
+    if want("c4_clean"):
+        from longqc_spark.operators.web import c4_clean
+
+        # Seeding (re-line every 8 words, terminal-punctuate even-length
+        # lines) is MATERIALIZED to a temp parquet first: the seeding
+        # regexes cost more than the operator, and timing them would grade
+        # the fixture, not c4_clean.
+        lined_path = tempfile.mkdtemp(prefix="c4_lined_")
+        try:
+            (
+                docs.withColumn(
+                    "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+                )
+                .withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", r"\n"),
+                            lambda l: F.when(
+                                F.length(l) % 2 == 0, F.concat(l, F.lit("."))
+                            ).otherwise(l),
+                        ),
+                        "\n",
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(lined_path)
+            )
+            lined = spark.read.parquet(lined_path)
+            best = float("inf")
+            for i in range(3):  # pass 0 = warm-up
+                t0 = time.time()
+                row = (
+                    c4_clean(lined, text_col="text", min_words=4, min_sentences=2)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.length("text")).alias("kept_chars"),
+                    )
+                    .collect()[0]
+                )
+                if i:
+                    best = min(best, time.time() - t0)
+            before = lined.agg(F.sum(F.length("text"))).collect()[0][0]
+        finally:
+            shutil.rmtree(lined_path, ignore_errors=True)
+        out["c4_clean"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_pages_kept": int(row["n"]),
+            "chars_dropped": int(before - row["kept_chars"]),
         }
 
     # -- ftfy-style encoding repair at corpus scale: a pure map fused into
