@@ -547,6 +547,145 @@ def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:  # web: C4 line-level
     )
 
 
+def q_block_extract(spark: SparkSession, sf: str) -> DataFrame:  # web: jusText-lite blocks
+    """jusText-lite BLOCK-level boilerplate extraction: every document's
+    text is rendered into realistic page chrome (script + style + comment
+    noise, an all-anchor nav div, one <p> block per text line — lines whose
+    md5 leading hex digit is 0-3 get a trailing 'related links' anchor so
+    the link-density rule does real per-block work — and an all-anchor
+    footer), then block_extract drops the link-dense blocks and re-joins
+    the survivors. Per-source rollup with an order-sensitive text checksum,
+    so block membership AND order are oracle-verified. The DuckDB oracle
+    reproduces the identical construction + block logic (the regexes are
+    written in the Java∩RE2 compatible subset)."""
+    from longqc_spark.operators.web import block_extract
+
+    docs = _read(spark, sf, "documents")
+    anchor = F.lit(' <a href="/r">related links here</a>')
+    body = F.array_join(
+        F.transform(
+            F.split("text", r"\n"),
+            lambda l: F.concat(
+                F.lit("<p>"),
+                l,
+                F.when(
+                    F.substring(F.md5(l.cast("binary")), 1, 1).rlike("[0-3]"), anchor
+                ).otherwise(F.lit("")),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var a = "<p>no</p>";'
+            "</script><style>p{margin:0}</style><!-- g --></head><body>"
+            '<div id="nav"><a href="/">Home</a> <a href="/about">About us</a>'
+            ' <a href="/contact">Contact</a></div>'
+        ),
+        body,
+        F.lit(
+            '<div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a>'
+            "</div></body></html>"
+        ),
+    )
+    wrapped = docs.select("source", F.encode(html, "UTF-8").alias("html"))
+    ex = block_extract(
+        wrapped, html_col="html", text_col="btext", min_words=2, max_link_density=0.35
+    )
+    return (
+        ex.select(
+            "source",
+            F.when(F.col("btext") == "", 0)
+            .otherwise(F.size(F.split("btext", r"\n")))
+            .alias("n_blocks"),
+            F.conv(F.substring(F.md5(F.col("btext").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_blocks").cast("bigint").alias("total_kept_blocks"),
+            F.sum("h").cast("bigint").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_optout_filter(spark: SparkSession, sf: str) -> DataFrame:  # web: robots/AI opt-out
+    """robots/AI opt-out gate: docs are wrapped in html whose <head> carries
+    a deterministic meta tag — doc_id%7==0 gets name-then-content
+    'noindex', %7==3 gets content-then-name 'noai' (attribute order AND
+    quoting both vary), everything else gets negative controls (a robots
+    'index,follow' and a NON-robots meta whose content says 'none'). The
+    oracle is GROUND TRUTH (doc_id arithmetic, no regex): the Spark-side
+    detector must classify every page exactly."""
+    from longqc_spark.operators.web import robots_optout_filter
+
+    docs = _read(spark, sf, "documents")
+    meta = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(F.col("doc_id") % 7 == 3, F.lit("<META CONTENT='noai' NAME=robots>"))
+        .otherwise(
+            F.lit(
+                '<meta name="robots" content="index, follow">'
+                '<meta name="viewport" content="none">'
+            )
+        )
+    )
+    wrapped = docs.select(
+        "doc_id",
+        "source",
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                meta,
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return (
+        robots_optout_filter(wrapped, html_col="html")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def q_lang_thresholds(spark: SparkSession, sf: str) -> DataFrame:  # web: per-lang QC cutoffs
+    """CCNet-style per-language adaptive thresholds: zh gets a lower
+    min-chars floor and a looser symbol cap (CJK density), de/fr their own
+    floors, en + unknown fall back to the default — the keep decision is
+    re-derived in DuckDB as a CASE over the same (min,max,cap) table, so
+    the broadcast-join + Unicode-class symbol fraction must agree with the
+    plain-SQL semantics row for row."""
+    from longqc_spark.operators.web import per_lang_thresholds
+
+    docs = _read(spark, sf, "documents")
+    kept = per_lang_thresholds(
+        docs,
+        {"zh": (100, 100_000, 0.60), "de": (250, 100_000, 0.30), "fr": (220, 100_000, 0.30)},
+        default=(200, 100_000, 0.30),
+        lang_col="lang",
+        text_col="text",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.length("text")).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -2676,12 +2815,16 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # (anchor token_counts rotated out to keep the window at exactly 50;
     # it was driver-green in r1/r2)
     "c4_clean",
+    # round-4g block extraction / robots opt-out / per-lang thresholds —
+    # never driver-checked (anchors n50/alpha_frac/mad_outliers rotated
+    # out; all were driver-green in r2/r3)
+    "block_extract", "optout_filter", "lang_thresholds",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
-    "length_stats", "n50",
+    "length_stats",
     "rule_fractions", "anti_join", "union_split", "event_gaps",
-    "exact_dedup", "incremental_dedup", "alpha_frac",
+    "exact_dedup", "incremental_dedup",
     "ngram_jaccard", "fuzzy_scrub", "decontaminate",
-    "mad_outliers", "incremental_line_dedup", "fix_encoding",
+    "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
     # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
@@ -2761,6 +2904,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_novelty": q_snapshot_novelty,
         "corpus_line_dedup": q_corpus_line_dedup,
         "c4_clean": q_c4_clean,
+        "block_extract": q_block_extract,
+        "optout_filter": q_optout_filter,
+        "lang_thresholds": q_lang_thresholds,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -3368,6 +3514,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
                         AS BIGINT) AS text_checksum
             FROM final GROUP BY source ORDER BY source
+        """,
+        "block_extract": """
+            WITH wrapped AS (
+                SELECT source,
+                       '<html><head><script type="text/javascript">var a = "<p>no</p>";</script><style>p{margin:0}</style><!-- g --></head><body><div id="nav"><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></div>'
+                       || array_to_string(
+                            list_transform(
+                              string_split(text, chr(10)),
+                              l -> '<p>' || l ||
+                                   CASE WHEN substr(md5(l), 1, 1) BETWEEN '0' AND '3'
+                                        THEN ' <a href="/r">related links here</a>'
+                                        ELSE '' END || '</p>'),
+                            '')
+                       || '<div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'
+                       AS html
+                FROM documents
+            ), stripped AS (
+                SELECT source,
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+                         ' ', 'g') AS s
+                FROM wrapped
+            ), ex AS (
+                SELECT source,
+                       array_to_string(
+                         list_transform(
+                           list_filter(
+                             regexp_split_to_array(s,
+                               '(?i)</?(?:p|div|td|th|li|h[1-6]|article|section|table|tr|ul|ol|blockquote|header|footer|nav|aside|main|figure|figcaption|dd|dt|dl)[^>]*>|<br[^>]*>'),
+                             b -> trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) <> ''
+                              AND len(string_split(trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) >= 2
+                              AND coalesce(list_aggregate(list_transform(
+                                    regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+                                    x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))), 'sum'), 0)
+                                  <= 0.35 * length(trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))),
+                           b -> replace(replace(replace(replace(replace(replace(
+                                  trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                                  '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')),
+                         chr(10)) AS btext
+                FROM stripped
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN btext = '' THEN 0
+                                 ELSE len(string_split(btext, chr(10))) END)
+                        AS BIGINT) AS total_kept_blocks,
+                   CAST(sum(CAST(('0x' || substr(md5(btext), 1, 8)) AS BIGINT))
+                        AS BIGINT) AS text_checksum
+            FROM ex GROUP BY source ORDER BY source
+        """,
+        "optout_filter": """
+            -- GROUND-TRUTH oracle: the opt-out metas are seeded by doc_id
+            -- arithmetic, so the keep set is known without running any
+            -- regex — the Spark-side detector must reproduce it exactly.
+            SELECT source, count(*) AS n_kept
+            FROM documents
+            WHERE doc_id % 7 NOT IN (0, 3)
+            GROUP BY source ORDER BY source
+        """,
+        "lang_thresholds": """
+            WITH thr AS (
+                SELECT lang, text,
+                       CASE lang WHEN 'zh' THEN 100 WHEN 'de' THEN 250
+                                 WHEN 'fr' THEN 220 ELSE 200 END AS min_c,
+                       100000 AS max_c,
+                       CASE lang WHEN 'zh' THEN 0.60 ELSE 0.30 END AS cap
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(length(text)) AS BIGINT) AS kept_chars
+            FROM thr
+            WHERE text IS NULL OR (
+                  length(text) >= min_c AND length(text) <= max_c
+              AND length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                    <= cap * greatest(length(text), 1))
+            GROUP BY lang ORDER BY lang
         """,
         "corpus_line_dedup": """
             WITH l AS (

@@ -639,3 +639,219 @@ def snapshot_novelty(
         )
         .orderBy("crawl_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-level boilerplate extraction (justext-lite), robots opt-out gate,
+# and per-language adaptive thresholds — round-4g additions
+# ---------------------------------------------------------------------------
+
+# Block boundaries: the structural HTML elements that delimit visually
+# separate text blocks (jusText's "paragraph" unit). <br> is a boundary
+# too (self-closing, so it gets its own alternative without the "/?").
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|td|th|li|h[1-6]|article|section|table|tr|ul|ol|"
+    r"blockquote|header|footer|nav|aside|main|figure|figcaption|dd|dt|dl)"
+    r"[^>]*>|<br[^>]*>"
+)
+_SCRIPT_STYLE_COMMENT_RE = (
+    r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->"
+)
+_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+_INLINE_TAG_RE = r"<[^>]*>"
+
+# Order matters: named entities first, &amp; LAST so that a double-escaped
+# "&amp;lt;" correctly resolves to "&lt;" (html.unescape semantics for the
+# core five + nbsp). Mirrored verbatim in the DuckDB oracle.
+_ENTITY_CHAIN: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _unescape_entities(c: Column) -> Column:
+    for ent, ch in _ENTITY_CHAIN:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _html_string(df: DataFrame, html_col: str) -> Column:
+    """The html column as a string: ``binary`` columns are UTF-8 decoded,
+    string columns pass through (both shapes appear in the wild; the CC
+    fixture stores binary per the input contract)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[html_col].dataType, T.BinaryType):
+        return F.decode(F.col(html_col), "UTF-8")
+    return F.col(html_col).cast("string")
+
+
+def block_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    min_words: int = 2,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """jusText-lite BLOCK-level boilerplate removal (Pomikalek 2011): split
+    the page into text blocks at structural-tag boundaries, score each
+    block by word count and LINK DENSITY (chars of anchor text / chars of
+    block text), and keep only content-like blocks — the navigation bars,
+    footers and link farms that a flat tag-strip (``with_extracted_text``)
+    leaves in are dropped here because their text is mostly anchor text.
+
+    Surviving blocks are whitespace-normalized, entity-unescaped, and
+    re-joined with ``\\n`` in page order. NULL html stays NULL (module
+    NULL-identity policy). Reference analog: the masked-region extraction
+    of ``lq_utils.py:141-196`` — sub-record grain selection by a local
+    quality statistic, transplanted from read windows to DOM blocks.
+
+    Scale: one pure JVM map (split + higher-order filter/transform), no
+    Python, no shuffle — fuses into the scan stage like the other hygiene
+    expressions, so it composes with ``c4_clean``/``corpus_line_dedup``
+    at zero extra exchanges."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if not 0.0 <= max_link_density <= 1.0:
+        raise ValueError(f"max_link_density must be in [0,1], got {max_link_density}")
+
+    s = F.regexp_replace(_html_string(df, html_col), _SCRIPT_STYLE_COMMENT_RE, " ")
+    blocks = F.split(s, _BLOCK_SPLIT_RE)
+
+    def _plain(b: Column) -> Column:
+        # tag-stripped, single-spaced, trimmed block text (PRE-entity form:
+        # word counts and the link-density ratio both use this so the two
+        # sides of the ratio are measured on the same string)
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(b, _INLINE_TAG_RE, " "), r"\s+", " ")
+        )
+
+    def _link_chars(b: Column) -> Column:
+        return F.coalesce(
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1),
+                F.lit(0),
+                lambda acc, x: acc + F.length(_plain(x)),
+            ),
+            F.lit(0),
+        )
+
+    def _keep(b: Column) -> Column:
+        p = _plain(b)
+        return (
+            (p != "")
+            & (F.size(F.split(p, " ")) >= min_words)
+            & (_link_chars(b) <= F.lit(max_link_density) * F.length(p))
+        )
+
+    extracted = F.array_join(
+        F.transform(F.filter(blocks, _keep), lambda b: _unescape_entities(_plain(b))),
+        "\n",
+    )
+    return df.withColumn(
+        text_col, F.when(F.col(html_col).isNull(), None).otherwise(extracted)
+    )
+
+
+# A robots meta opt-out: <meta name="robots" content="... noindex|none|
+# noai|noimageai ...">, attributes in either order, any quoting. RE2- and
+# Java-regex-compatible (no backrefs/lookaround) so the DuckDB oracle can
+# run the IDENTICAL pattern.
+_OPTOUT_TOKENS = r"(?:noindex|none|noai|noimageai)"
+_OPTOUT_META_RE = (
+    r"(?is)<meta[^>]*"
+    r"(?:name\s*=\s*['\"]?robots\b[^>]*content\s*=\s*['\"]?[^'\">]*\b"
+    + _OPTOUT_TOKENS
+    + r"\b"
+    r"|content\s*=\s*['\"]?[^'\">]*\b" + _OPTOUT_TOKENS + r"\b[^'\">]*['\"]?[^>]*"
+    r"name\s*=\s*['\"]?robots\b)"
+    r"[^>]*>"
+)
+
+
+def optout_expr(df: DataFrame, html_col: str = "html") -> Column:
+    """Boolean: the page carries a robots/AI opt-out meta tag (``noindex``,
+    ``none``, ``noai``, ``noimageai``) — the consent signal a responsible
+    crawl-curation pipeline must honor before any text reaches training.
+    NULL html → NULL (caller decides the NULL policy; the filter below
+    passes them through, consistent with the module's NULL-identity rule)."""
+    return _html_string(df, html_col).rlike(_OPTOUT_META_RE)
+
+
+def robots_optout_filter(
+    df: DataFrame, html_col: str = "html", keep_opted_out: bool = False
+) -> DataFrame:
+    """Drop pages whose html carries a robots/AI opt-out meta tag (or keep
+    ONLY them with ``keep_opted_out=True``, for audit). NULL html passes the
+    default filter (no page, no signal — same NULL-identity contract as the
+    other hygiene gates).
+
+    Scale: a pure JVM rlike over the (already-scanned) html column — a
+    narrow scan-fused filter, no shuffle; at crawl scale this is the
+    cheapest possible placement (drop before extraction, so opted-out pages
+    never pay the extract/QC cost)."""
+    flag = optout_expr(df, html_col)
+    if keep_opted_out:
+        return df.filter(flag)
+    return df.filter(F.col(html_col).isNull() | ~flag)
+
+
+def per_lang_thresholds(
+    df: DataFrame,
+    thresholds: dict[str, tuple[int, int, float]],
+    default: tuple[int, int, float] = (200, 100_000, 0.30),
+    lang_col: str = "lang",
+    text_col: str = "text",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style PER-LANGUAGE adaptive QC thresholds: each language gets
+    its own (min_chars, max_chars, max_symbol_frac) cutoffs — what counts
+    as "too short" or "too symbol-heavy" differs by script (a 200-char
+    Chinese page carries several times the content of a 200-char German
+    one), so one global threshold either over-prunes dense scripts or
+    under-prunes sparse ones. Languages absent from ``thresholds`` (and
+    NULL lang) fall back to ``default``; NULL text passes (NULL-identity).
+
+    ``keep_col=None`` filters; a name instead ANNOTATES with the boolean
+    (for calibration sweeps). symbol_frac = non-alphanumeric-non-space
+    chars / total chars.
+
+    Scale: the thresholds dim is a handful of literal rows — broadcast
+    hash join against it, then a scan-fused JVM predicate; no shuffle on
+    the corpus side. Reference analog: the per-platform threshold presets
+    of the rule cascade (``lq_nanopore.py`` vs ``lq_sequel.py`` defaults),
+    keyed here by language instead of sequencer platform."""
+    for lang, t in thresholds.items():
+        if len(t) != 3:
+            raise ValueError(f"thresholds[{lang!r}] must be (min_chars, max_chars, max_symbol_frac)")
+    spark = df.sparkSession
+    rows = [(k, int(v[0]), int(v[1]), float(v[2])) for k, v in sorted(thresholds.items())]
+    dim = spark.createDataFrame(
+        rows, "_thr_lang string, _min_chars int, _max_chars int, _max_symbol_frac double"
+    )
+    joined = df.join(
+        F.broadcast(dim), F.col(lang_col) == F.col("_thr_lang"), "left"
+    )
+    n = F.length(F.col(text_col))
+    # Unicode letter/number classes, not ASCII — a CJK character is a
+    # letter, not a "symbol" (the whole point of per-language thresholds);
+    # \p{L}\p{N} parse identically in Java regex and DuckDB's RE2.
+    sym = F.length(F.regexp_replace(F.col(text_col), r"[\p{L}\p{N}\s]", ""))
+    keep = (
+        (n >= F.coalesce(F.col("_min_chars"), F.lit(int(default[0]))))
+        & (n <= F.coalesce(F.col("_max_chars"), F.lit(int(default[1]))))
+        & (
+            sym
+            <= F.coalesce(F.col("_max_symbol_frac"), F.lit(float(default[2])))
+            * F.greatest(n, F.lit(1))
+        )
+    )
+    keep = F.col(text_col).isNull() | keep
+    dim_cols = ("_thr_lang", "_min_chars", "_max_chars", "_max_symbol_frac")
+    if keep_col is not None:
+        return joined.withColumn(keep_col, keep).drop(*dim_cols)
+    return joined.filter(keep).drop(*dim_cols)

@@ -445,3 +445,94 @@ def test_c4_clean_in_hygiene_funnel(spark):
     kept = {r["url"]: r["text"] for r in out}
     assert sorted(kept) == ["u1"]
     assert kept["u1"] == good
+
+
+def test_block_extract_drops_link_dense_blocks(spark):
+    """jusText-lite: nav/footer (all-anchor) blocks dropped, content blocks
+    kept in page order with inline anchors flattened; script/style/comment
+    payloads never leak; entities unescape (&amp;lt; -> &lt;); NULL html
+    stays NULL."""
+    from longqc_spark.operators.web import block_extract
+
+    html = (
+        b'<html><head><script>var x="<p>not text</p>";</script>'
+        b"<style>p{margin:0}</style><!-- gen --></head><body>"
+        b'<div id="nav"><a href="/">Home</a> <a href="/a">About us</a>'
+        b' <a href="/c">Contact</a></div>'
+        b"<p>First real paragraph with plain   words &amp; more.</p>"
+        b'<p>Second one has a <a href="x">small link</a> inside longer prose.</p>'
+        b'<div class="footer"><a>Privacy</a> <a>Terms</a></div></body></html>'
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "id int, html binary")
+    out = {r["id"]: r["text"] for r in block_extract(df, max_link_density=0.4).collect()}
+    assert out[1] == (
+        "First real paragraph with plain words & more.\n"
+        "Second one has a small link inside longer prose."
+    )
+    assert out[2] is None
+
+
+def test_block_extract_link_density_boundary(spark):
+    """The density ratio is measured on tag-stripped single-spaced text on
+    BOTH sides: a block exactly at the threshold is kept (<=)."""
+    from longqc_spark.operators.web import block_extract
+
+    # anchor text "aaaa bbbb" = 9 chars, block text "aaaa bbbb x equals y z" =
+    # 22 chars -> density 9/22 ~ 0.409
+    html = b'<p><a href="u">aaaa bbbb</a> x equals y z</p>'
+    df = spark.createDataFrame([(1, html)], "id int, html binary")
+    kept = block_extract(df, max_link_density=9 / 22).collect()[0]["text"]
+    dropped = block_extract(df, max_link_density=0.40).collect()[0]["text"]
+    assert kept == "aaaa bbbb x equals y z"
+    assert dropped == ""
+
+
+def test_robots_optout_filter(spark):
+    """Opt-out metas in either attribute order / quoting are honored;
+    content="none" on a NON-robots meta does not trigger; NULL html passes."""
+    from longqc_spark.operators.web import optout_expr, robots_optout_filter
+
+    rows = [
+        (1, b'<meta name="robots" content="noindex, nofollow">'),
+        (2, b"<META CONTENT='noai' NAME=robots>"),
+        (3, b'<meta name="robots" content="index,follow">'),
+        (4, b'<meta name="viewport" content="none">'),
+        (5, None),
+        (6, b'<meta name="robots" content="NOIMAGEAI">'),
+    ]
+    df = spark.createDataFrame(rows, "id int, html binary")
+    flags = {r["id"]: r["f"] for r in df.select("id", optout_expr(df).alias("f")).collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False, 5: None, 6: True}
+    assert sorted(r["id"] for r in robots_optout_filter(df).collect()) == [3, 4, 5]
+    assert sorted(
+        r["id"] for r in robots_optout_filter(df, keep_opted_out=True).collect()
+    ) == [1, 2, 6]
+
+
+def test_per_lang_thresholds(spark):
+    """Per-language cutoffs: zh's lower min-chars admits a short dense page
+    the en default would drop; symbol fraction counts UNICODE letters as
+    letters; unknown/NULL lang falls back to default; NULL text passes;
+    keep_col annotates instead of filtering."""
+    from longqc_spark.operators.web import per_lang_thresholds
+
+    docs = [
+        (1, "en", "a" * 250),              # default keep
+        (2, "zh", "好" * 60),          # zh min 50 -> keep (CJK != symbol)
+        (3, "zh", "好" * 20),          # below zh min -> drop
+        (4, "en", "a" * 100),              # below default min -> drop
+        (5, None, "b" * 250),              # NULL lang -> default -> keep
+        (6, "en", None),                   # NULL text -> keep
+        (7, "de", "!" * 50 + "a" * 200),   # de symbol cap 0.1 -> drop
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, lang string, text string")
+    thr = {"zh": (50, 100_000, 0.30), "de": (100, 100_000, 0.10)}
+    kept = sorted(
+        r["doc_id"]
+        for r in per_lang_thresholds(df, thr, default=(200, 100_000, 0.30)).collect()
+    )
+    assert kept == [1, 2, 5, 6]
+    ann = per_lang_thresholds(df, thr, default=(200, 100_000, 0.30), keep_col="keep")
+    got = {r["doc_id"]: r["keep"] for r in ann.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True, 6: True, 7: False}
+    assert "_thr_lang" not in ann.columns
