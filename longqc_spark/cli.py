@@ -29,6 +29,32 @@ from .report import summarize, write_html_report, write_json_report
 PRESETS = {"default": DEFAULT_CONFIG, "driver_docs": DRIVER_DOCS_CONFIG}
 
 
+def _parse_lang_triple(spec: str) -> tuple[int, int, float]:
+    """'min_chars:max_chars:max_symbol_frac' → (int, int, float)."""
+    parts = spec.split(":")
+    if len(parts) != 3:
+        raise SystemExit(
+            f"bad threshold triple {spec!r} — want min_chars:max_chars:max_symbol_frac"
+        )
+    return int(parts[0]), int(parts[1]), float(parts[2])
+
+
+def _parse_lang_thresholds(spec: str | None) -> dict[str, tuple[int, int, float]] | None:
+    """'zh:100:100000:0.6,de:250:100000:0.3' → {lang: triple}."""
+    if spec is None:
+        return None
+    out: dict[str, tuple[int, int, float]] = {}
+    for item in spec.split(","):
+        lang, _, triple = item.strip().partition(":")
+        if not lang or not triple:
+            raise SystemExit(
+                f"bad --lang-thresholds item {item!r} — want "
+                "lang:min_chars:max_chars:max_symbol_frac"
+            )
+        out[lang] = _parse_lang_triple(triple)
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="longqc-spark")
     p.add_argument("--input", required=True, help="parquet path of the documents table")
@@ -93,6 +119,23 @@ def main(argv: list[str] | None = None) -> int:
                         "lines and # comments skipped); a page is dropped "
                         "when its host equals an entry or is a subdomain of "
                         "one (suffix match per dot-label)")
+    p.add_argument("--respect-optout", action="store_true",
+                   help="web-hygiene stage 0 (right after --blocklist): drop "
+                        "pages whose html carries a robots/AI opt-out meta "
+                        "tag (noindex, none, noai, noimageai) before any "
+                        "extraction or QC work (needs an html column: "
+                        "--html-col, or a column literally named 'html')")
+    p.add_argument("--lang-thresholds", default=None, metavar="SPEC",
+                   help="web-hygiene stage 0: per-language QC cutoffs, "
+                        "'lang:min_chars:max_chars:max_symbol_frac' comma-"
+                        "separated (e.g. 'zh:100:100000:0.6,de:250:100000:"
+                        "0.3'); languages not listed use --lang-default "
+                        "(needs --text-col and a --lang-col column)")
+    p.add_argument("--lang-default", default="200:100000:0.3", metavar="D",
+                   help="fallback 'min_chars:max_chars:max_symbol_frac' for "
+                        "--lang-thresholds (default %(default)s)")
+    p.add_argument("--lang-col", default="lang",
+                   help="language column for --lang-thresholds")
     p.add_argument("--payload-dedup", action="store_true",
                    help="within-corpus exact payload dedup before QC (one "
                         "winner per payload digest; min-key unless "
@@ -200,6 +243,13 @@ def main(argv: list[str] | None = None) -> int:
         "fix_encoding": args.fix_encoding,
         "scrub_span_window": args.scrub_spans,
         "blocklist": args.blocklist,
+        "respect_optout": args.respect_optout,
+        "lang_thresholds": args.lang_thresholds,
+        # only identity inputs when per-lang thresholds are on (same rule
+        # as clean_lines_min_sentences: bare defaults must not flip the
+        # hygiene gate or invalidate pre-existing resumes)
+        "lang_default": args.lang_default if args.lang_thresholds else None,
+        "lang_col": args.lang_col if args.lang_thresholds else None,
         "payload_dedup": args.payload_dedup,
         "payload_score_col": args.payload_score_col,
         "payload_dedup_normalize": args.payload_dedup_normalize,
@@ -266,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
             clean_lines_min_words=args.clean_lines,
             clean_lines_min_sentences=args.clean_lines_min_sentences,
             scrub_span_window=args.scrub_spans,
+            respect_optout=args.respect_optout,
+            lang_thresholds=_parse_lang_thresholds(args.lang_thresholds),
+            lang_col=args.lang_col,
+            lang_default=_parse_lang_triple(args.lang_default),
         )
     if args.payload_dedup:
         from .operators.dedup import keep_best_dedup

@@ -66,18 +66,28 @@ def web_hygiene(
     clean_lines_min_words: int | None = None,
     clean_lines_min_sentences: int = 3,
     scrub_span_window: int | None = None,
+    respect_optout: bool = False,
+    lang_thresholds: dict | None = None,
+    lang_col: str = "lang",
+    lang_default: tuple[int, int, float] = (200, 100_000, 0.30),
 ) -> DataFrame:
     """Stage 0 of the funnel — crawl-level hygiene before any QC work, in
     order: domain blocklist (``blocklist`` — a 1-column ``entry`` table,
     UT1-style suffix semantics; FIRST because it is the cheapest predicate,
     a broadcast probe with no shuffle, so blocked rows never enter the
-    window stages), then snapshot collapse (``collapse_snapshots`` — newest
+    window stages), then the robots/AI opt-out gate (``respect_optout`` —
+    a scan-fused rlike over the html column; consent gates precede all
+    value extraction, see ``robots_optout_filter``), then snapshot collapse (``collapse_snapshots`` — newest
     ``ts_col`` fetch per canonical URL wins) or URL dedup (``dedup_urls`` —
     min-key winner, for single-snapshot inputs), then per-domain
     representation cap (``domain_cap_n``), then ftfy-style encoding repair
     (``fix_encoding_passes`` — cp1252-mojibake fix BEFORE any text-derived
     statistic, so langid/dedup digests/line dedup see repaired bytes; needs
-    a real ``text_col``), then C4's line-level heuristic cleaning
+    a real ``text_col``), then per-language adaptive thresholds
+    (``lang_thresholds`` — CCNet-style {lang: (min_chars, max_chars,
+    max_symbol_frac)} cutoffs with ``lang_default`` fallback, a broadcast-
+    dim predicate placed before the per-line regex stages so whole pages
+    prune cheaply), then C4's line-level heuristic cleaning
     (``clean_lines_min_words`` — lorem-ipsum/curly-brace page drops,
     terminal-punctuation + min-words + javascript line rules, and the
     ``clean_lines_min_sentences`` page gate, BEFORE global line dedup so
@@ -108,6 +118,20 @@ def web_hygiene(
     src = docs
     if blocklist is not None:
         src = blocklist_filter(src, blocklist, url_col=key_col, key_col=key_col)
+    if respect_optout:
+        # Right after the blocklist (URL-only probe) and before everything
+        # else: a scan-fused rlike over the html column, so opted-out pages
+        # never pay extraction, windows, or any text-derived work. Consent
+        # gates come before value-extraction gates.
+        from .operators.web import robots_optout_filter
+
+        oc = html_col if html_col is not None else "html"
+        if oc not in src.columns:
+            raise ValueError(
+                "respect_optout reads the robots meta from the HTML column; "
+                f"no column {oc!r} in the input — pass html_col or drop the flag"
+            )
+        src = robots_optout_filter(src, html_col=oc)
     if collapse_snapshots:
         src = latest_crawl(src, url_col=key_col, ts_col=ts_col, key_col=key_col)
     elif dedup_urls:
@@ -124,6 +148,31 @@ def web_hygiene(
                 "the flag"
             )
         src = src.withColumn(text_col, fix_mojibake_expr(text_col, fix_encoding_passes))
+    if lang_thresholds is not None:
+        # After encoding repair (thresholds should see repaired bytes),
+        # before the line-grain stages: a broadcast-dim predicate is far
+        # cheaper than per-line regex work, so prune whole pages first.
+        from .operators.web import per_lang_thresholds
+
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "lang_thresholds measures the TEXT column; with an "
+                "extraction-deferred html_col run extraction first or drop "
+                "the thresholds"
+            )
+        if lang_col not in src.columns:
+            raise ValueError(
+                f"lang_thresholds needs a language column; no column "
+                f"{lang_col!r} in the input — run langid first or drop the "
+                "thresholds"
+            )
+        src = per_lang_thresholds(
+            src,
+            lang_thresholds,
+            default=lang_default,
+            lang_col=lang_col,
+            text_col=text_col,
+        )
     if clean_lines_min_words is not None:
         if html_col is not None and text_col not in src.columns:
             raise ValueError(
@@ -192,6 +241,10 @@ def curate(
     clean_lines_min_words: int | None = None,
     clean_lines_min_sentences: int = 3,
     scrub_span_window: int | None = None,
+    respect_optout: bool = False,
+    lang_thresholds: dict | None = None,
+    lang_col: str = "lang",
+    lang_default: tuple[int, int, float] = (200, 100_000, 0.30),
     payload_dedup: bool = False,
     payload_score_col: str | None = None,
     payload_dedup_normalize: bool = False,
@@ -282,6 +335,10 @@ def curate(
         clean_lines_min_words=clean_lines_min_words,
         clean_lines_min_sentences=clean_lines_min_sentences,
         scrub_span_window=scrub_span_window,
+        respect_optout=respect_optout,
+        lang_thresholds=lang_thresholds,
+        lang_col=lang_col,
+        lang_default=lang_default,
     )
     src = _obs(src, "hygiene")
     if payload_dedup:

@@ -516,3 +516,76 @@ def test_cli_clean_lines(spark, corpus_path, tmp_path):
                 "--local-cores", "8",
             ]
         )
+
+
+def test_cli_respect_optout_and_lang_thresholds(spark, corpus_path, tmp_path):
+    """--respect-optout drops opted-out pages before QC (none reach the
+    committed label store), --lang-thresholds parses and applies, and both
+    are checkpoint identity (a resume without them is rejected)."""
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "html",
+        F.when(
+            F.xxhash64("url") % 7 == 0,
+            F.encode(
+                F.concat(
+                    F.lit('<html><head><meta name="robots" content="noindex, noai"></head><body><p>'),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ),
+        ).otherwise(F.col("html")),
+    )
+    crawl_path = str(tmp_path / "optout_crawl")
+    docs.write.parquet(crawl_path)
+    opted_out = {
+        r["url"]
+        for r in docs.filter(F.xxhash64("url") % 7 == 0).select("url").collect()
+    }
+    assert opted_out  # the fixture must actually exercise the gate
+
+    out = str(tmp_path / "optout_out")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--respect-optout",
+            "--lang-thresholds", "en:1:1000000:1.0",
+            "--lang-default", "1:1000000:1.0",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    committed = {
+        r["url"]
+        for r in spark.read.parquet(os.path.join(out, "data")).select("url").collect()
+    }
+    assert committed and not (committed & opted_out)
+    # identity: resuming the same out dir WITHOUT the flags must be rejected
+    with pytest.raises(ValueError, match="hygiene|run config"):
+        main(
+            [
+                "--input", crawl_path,
+                "--out", out,
+                "--buckets", "2",
+                "--local-cores", "8",
+            ]
+        )
+
+
+def test_cli_lang_thresholds_spec_errors():
+    """Malformed --lang-thresholds/--lang-default specs die with a usage
+    error naming the expected shape, before any Spark work."""
+    from longqc_spark.cli import _parse_lang_thresholds, _parse_lang_triple
+
+    assert _parse_lang_thresholds("zh:100:100000:0.6,de:250:100000:0.3") == {
+        "zh": (100, 100000, 0.6),
+        "de": (250, 100000, 0.3),
+    }
+    assert _parse_lang_thresholds(None) is None
+    assert _parse_lang_triple("200:100000:0.3") == (200, 100000, 0.3)
+    with pytest.raises(SystemExit, match="lang_thresholds|min_chars"):
+        _parse_lang_thresholds("zh:100")
+    with pytest.raises(SystemExit, match="min_chars"):
+        _parse_lang_triple("200:0.3")

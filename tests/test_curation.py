@@ -217,3 +217,68 @@ def test_curate_scrub_spans_requires_text(spark, docs):
             html_col="html",
             scrub_span_window=8,
         )
+
+
+def test_web_hygiene_optout_and_lang_thresholds(spark):
+    """Stage-0 wiring for the round-4g gates: opt-out pages drop before
+    anything else, per-lang thresholds apply after encoding repair, and
+    both raise actionable errors when their input column is missing."""
+    from longqc_spark.curation import web_hygiene
+
+    rows = [
+        ("u1", b"<html><head></head><body>ok</body></html>", "en", "x " * 150),
+        ("u2", b'<html><head><meta name="robots" content="noai"></head></html>', "en", "x " * 150),
+        ("u3", b"<html><head></head><body>ok</body></html>", "zh", "好" * 60),
+        ("u4", b"<html><head></head><body>ok</body></html>", "zh", "好" * 20),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, lang string, text string")
+    out = web_hygiene(
+        df,
+        respect_optout=True,
+        lang_thresholds={"zh": (50, 100_000, 0.6)},
+        lang_default=(200, 100_000, 0.3),
+    )
+    assert sorted(r["url"] for r in out.collect()) == ["u1", "u3"]
+
+    # missing html column -> actionable error
+    with pytest.raises(ValueError, match="html"):
+        web_hygiene(df.drop("html"), respect_optout=True)
+    # missing lang column -> actionable error
+    with pytest.raises(ValueError, match="lang"):
+        web_hygiene(df.drop("lang"), lang_thresholds={"zh": (50, 100_000, 0.6)})
+    # extraction-deferred html input without a text column -> refuse
+    with pytest.raises(ValueError, match="TEXT"):
+        web_hygiene(
+            df.drop("text"), html_col="html",
+            lang_thresholds={"zh": (50, 100_000, 0.6)},
+        )
+
+
+def test_curate_respects_optout_and_lang_thresholds(spark, docs):
+    """curate() plumbs the two new hygiene knobs: the opted-out page never
+    reaches QC, the per-lang floor prunes before the QC stage, and the
+    observe hook shows the hygiene stage doing the dropping."""
+    from longqc_spark.curation import curate
+
+    base = docs.limit(40).withColumn(
+        "html",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.encode(F.lit('<html><head><meta name="robots" content="noindex"></head></html>'), "UTF-8"),
+        ).otherwise(F.encode(F.lit("<html><body>fine</body></html>"), "UTF-8")),
+    ).withColumn("url", F.col("doc_id").cast("string"))
+    obs: dict = {}
+    out = curate(
+        base,
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="url",
+        respect_optout=True,
+        lang_thresholds={"zh": (1, 1_000_000, 1.0)},
+        lang_default=(1, 1_000_000, 1.0),
+        observe=obs,
+    )
+    kept = [int(r["url"]) for r in out.select("url").collect()]
+    assert all(k % 5 != 0 for k in kept)
+    n_in = obs["input"].get["n"]
+    n_hyg = obs["hygiene"].get["n"]
+    assert n_in == 40 and n_hyg == 32  # exactly the doc_id%5==0 pages dropped

@@ -740,3 +740,31 @@ def test_line_count_index_cross_run_line_rule(spark, corpus_path, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_block_extract_and_optout_are_scan_fused(spark, corpus_path):
+    """block_extract and the robots opt-out gate are pure JVM expressions:
+    extraction+gate over the crawl has NO Exchange and NO Python/Arrow
+    stage — both fuse into the parquet scan."""
+    from longqc_spark.operators.web import block_extract, robots_optout_filter
+
+    docs = spark.read.parquet(corpus_path)
+    plan = _plan(
+        block_extract(robots_optout_filter(docs), html_col="html", text_col="btext")
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_per_lang_thresholds_broadcasts_dim(spark, sf001):
+    """The thresholds dim must ride a broadcast join: no corpus-side
+    Exchange (a shuffled join on `lang` would be a scale bug — the dim is
+    five literal rows)."""
+    from longqc_spark.operators.web import per_lang_thresholds
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(
+        per_lang_thresholds(docs, {"zh": (100, 100_000, 0.6)}, default=(200, 100_000, 0.3))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "c4_clean fix_encoding latest_crawl blocklist neardup keep_best pack_seqs "
+        "c4_clean block_extract fix_encoding latest_crawl blocklist neardup keep_best pack_seqs "
         "pack_rows neardup_keep_best curate_full scrub_spans skew) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
@@ -281,6 +281,40 @@ def main() -> None:
     # raw scan+regex rate. Docs are re-lined every 8 words and every
     # even-length line gets terminal punctuation, so both the line rules
     # and the post-clean sentence gate do real work. --
+    # -- robots opt-out gate + jusText-lite block extraction over the REAL
+    # html column (the ccsynth corpus stores the rendered page bytes): both
+    # are scan-fused JVM expressions, so this measures the raw
+    # decode+regex rate of the consent gate and the block scorer — the
+    # heaviest pure-map stage a crawl pays before any text work. --
+    if want("block_extract"):
+        from longqc_spark.operators.web import block_extract, robots_optout_filter
+
+        best = float("inf")
+        for i in range(3):  # pass 0 = warm-up
+            t0 = time.time()
+            row = (
+                block_extract(
+                    robots_optout_filter(docs),
+                    html_col="html",
+                    text_col="btext",
+                    min_words=2,
+                    max_link_density=0.5,
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("btext")).alias("kept_chars"),
+                )
+                .collect()[0]
+            )
+            if i:
+                best = min(best, time.time() - t0)
+        out["block_extract"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_pages": int(row["n"]),
+            "kept_chars": int(row["kept_chars"]),
+        }
+
     if want("c4_clean"):
         from longqc_spark.operators.web import c4_clean
 
