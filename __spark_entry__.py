@@ -686,6 +686,73 @@ def q_lang_thresholds(spark: SparkSession, sf: str) -> DataFrame:  # web: per-la
     )
 
 
+def q_anchor_extract(spark: SparkSession, sf: str) -> DataFrame:  # web: anchor-text corpus
+    """Anchor-text corpus extraction (MassiveWeb-style): documents are
+    rendered into pages where lines whose md5 leading hex digit is 0-7
+    become line anchors (href = a 6-hex digest of the line), the rest
+    plain <p> blocks, plus a fixed nav div of three anchors and a
+    script-embedded decoy anchor that must NOT leak. Per-source rollup of
+    anchor count and a checksum over (href, anchor_text, page position) —
+    so anchor ORDER, href capture, and text cleaning are all verified.
+    The DuckDB oracle rebuilds the same pages and re-extracts with the
+    mirrored regexes."""
+    from longqc_spark.operators.web import extract_anchors
+
+    docs = _read(spark, sf, "documents")
+    body = F.array_join(
+        F.transform(
+            F.split("text", r"\n"),
+            lambda l: F.when(
+                F.substring(F.md5(l.cast("binary")), 1, 1).rlike("[0-7]"),
+                F.concat(
+                    F.lit('<p><a href="/l/'),
+                    F.substring(F.md5(l.cast("binary")), 1, 6),
+                    F.lit('">'),
+                    l,
+                    F.lit("</a></p>"),
+                ),
+            ).otherwise(F.concat(F.lit("<p>"), l, F.lit("</p>"))),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><script>var a="<a href=x>decoy</a>";</script></head>'
+            '<body><div id="nav"><a href="/">Home</a> <a href="/about">About'
+            ' us</a> <a href="/contact">Contact</a></div>'
+        ),
+        body,
+        F.lit("</body></html>"),
+    )
+    wrapped = docs.select("source", F.encode(html, "UTF-8").alias("html"))
+    anchors = extract_anchors(wrapped, html_col="html", url_col="source")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.coalesce(F.col("href"), F.lit("~")),
+                    F.lit("|"),
+                    F.col("anchor_text"),
+                    F.lit("|"),
+                    F.col("anchor_pos").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        anchors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum(h).cast("bigint").alias("anchor_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -2815,13 +2882,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # (anchor token_counts rotated out to keep the window at exactly 50;
     # it was driver-green in r1/r2)
     "c4_clean",
-    # round-4g block extraction / robots opt-out / per-lang thresholds —
-    # never driver-checked (anchors n50/alpha_frac/mad_outliers rotated
-    # out; all were driver-green in r2/r3)
-    "block_extract", "optout_filter", "lang_thresholds",
+    # round-4g block extraction / robots opt-out / per-lang thresholds /
+    # anchor-text corpus — never driver-checked (anchors n50/alpha_frac/
+    # mad_outliers/event_gaps rotated out; all were driver-green in r2/r3)
+    "block_extract", "optout_filter", "lang_thresholds", "anchor_extract",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats",
-    "rule_fractions", "anti_join", "union_split", "event_gaps",
+    "rule_fractions", "anti_join", "union_split",
     "exact_dedup", "incremental_dedup",
     "ngram_jaccard", "fuzzy_scrub", "decontaminate",
     "incremental_line_dedup", "fix_encoding",
@@ -2907,6 +2974,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_extract": q_block_extract,
         "optout_filter": q_optout_filter,
         "lang_thresholds": q_lang_thresholds,
+        "anchor_extract": q_anchor_extract,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -3571,6 +3639,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_kept
             FROM documents
             WHERE doc_id % 7 NOT IN (0, 3)
+            GROUP BY source ORDER BY source
+        """,
+        "anchor_extract": """
+            WITH wrapped AS (
+                SELECT source,
+                       '<html><head><script>var a="<a href=x>decoy</a>";</script></head><body><div id="nav"><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></div>'
+                       || array_to_string(
+                            list_transform(
+                              string_split(text, chr(10)),
+                              l -> CASE WHEN substr(md5(l), 1, 1) BETWEEN '0' AND '7'
+                                        THEN '<p><a href="/l/' || substr(md5(l), 1, 6) || '">' || l || '</a></p>'
+                                        ELSE '<p>' || l || '</p>' END),
+                            '')
+                       || '</body></html>' AS html
+                FROM documents
+            ), stripped AS (
+                SELECT source,
+                       regexp_replace(html,
+                         '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+                         ' ', 'g') AS s
+                FROM wrapped
+            ), lst AS (
+                SELECT source,
+                       regexp_extract_all(s, '(?is)<a\\b[^>]*>.*?</a>', 0) AS a
+                FROM stripped
+            ), ex AS (
+                SELECT source, unnest(a) AS e,
+                       generate_subscripts(a, 1) - 1 AS pos
+                FROM lst
+            ), cleaned AS (
+                SELECT source, pos,
+                       nullif(regexp_extract(e,
+                         '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["]?([^"\\s>]+)', 1), '') AS href,
+                       replace(replace(replace(replace(replace(replace(
+                         trim(regexp_replace(regexp_replace(e, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+                FROM ex
+            )
+            SELECT source, count(*) AS n_anchors,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                         coalesce(href, '~') || '|' || t || '|' || CAST(pos AS VARCHAR)
+                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS anchor_checksum
+            FROM cleaned
+            WHERE length(t) >= 1
             GROUP BY source ORDER BY source
         """,
         "lang_thresholds": """

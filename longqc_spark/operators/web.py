@@ -855,3 +855,53 @@ def per_lang_thresholds(
     if keep_col is not None:
         return joined.withColumn(keep_col, keep).drop(*dim_cols)
     return joined.filter(keep).drop(*dim_cols)
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_text_chars: int = 1,
+) -> DataFrame:
+    """Anchor-text corpus extraction (the MassiveWeb-style signal: the
+    text OTHER pages' links carry is a labeled summary of the target —
+    Rae et al. 2021 use anchor text as a first-class training stream):
+    every ``<a ...>text</a>`` on the page becomes one output row
+    ``(url, href, anchor_text, anchor_pos)``, in page order, with the
+    anchor text tag-stripped, whitespace-normalized, and entity-unescaped
+    the same way :func:`block_extract` treats block text. Anchors whose
+    cleaned text is shorter than ``min_text_chars`` are dropped (icon/
+    image links); href is NULL for ``<a>`` without one. NULL html rows
+    produce no anchors (explode of an empty array).
+
+    Scale: regexp_extract_all + posexplode — a pure JVM map followed by a
+    generator, no shuffle; output cardinality is the page's anchor count
+    (bounded by page bytes), so the stage scales with input bytes like
+    the other extraction maps."""
+    if min_text_chars < 0:
+        raise ValueError(f"min_text_chars must be >= 0, got {min_text_chars}")
+    s = F.regexp_replace(_html_string(df, html_col), _SCRIPT_STYLE_COMMENT_RE, " ")
+    # full <a ...>...</a> elements, page order; group 1 = attrs, group 2 = body
+    full = F.regexp_extract_all(s, F.lit(r"(?is)<a\b([^>]*)>(.*?)</a>"), 0)
+
+    def _clean(x: Column) -> Column:
+        return _unescape_entities(
+            F.trim(
+                F.regexp_replace(F.regexp_replace(x, _INLINE_TAG_RE, " "), r"\s+", " ")
+            )
+        )
+
+    exploded = df.select(
+        url_col, F.posexplode_outer(full).alias("anchor_pos", "_a")
+    ).filter(F.col("_a").isNotNull())
+    href = F.regexp_extract(
+        F.col("_a"), r"(?is)<a\b[^>]*\bhref\s*=\s*['\"]?([^'\"\s>]+)", 1
+    )
+    body = F.regexp_extract(F.col("_a"), r"(?is)<a\b[^>]*>(.*?)</a>", 1)
+    out = exploded.select(
+        url_col,
+        F.when(href == "", None).otherwise(href).alias("href"),
+        _clean(body).alias("anchor_text"),
+        "anchor_pos",
+    )
+    return out.filter(F.length("anchor_text") >= min_text_chars)

@@ -536,3 +536,29 @@ def test_per_lang_thresholds(spark):
     got = {r["doc_id"]: r["keep"] for r in ann.collect()}
     assert got == {1: True, 2: True, 3: False, 4: False, 5: True, 6: True, 7: False}
     assert "_thr_lang" not in ann.columns
+
+
+def test_extract_anchors(spark):
+    """Anchor corpus: one row per <a> in page order, nested tags flattened,
+    entities unescaped, script-embedded anchors never leak, no-href ->
+    NULL, empty-text (icon) anchors dropped, NULL html -> no rows."""
+    from longqc_spark.operators.web import extract_anchors
+
+    html = (
+        b'<html><head><script>var a="<a href=x>no</a>";</script></head><body>'
+        b'<div><a href="/">Home</a> <a href="/a" class="x">About &amp; more</a></div>'
+        b"<p>text <a href='/b'>inner <b>bold</b> link</a> tail</p>"
+        b'<a>no href anchor</a><a href="/i"><img src="x"></a></body></html>'
+    )
+    df = spark.createDataFrame([("u1", html), ("u2", None)], "url string, html binary")
+    rows = extract_anchors(df).orderBy("url", "anchor_pos").collect()
+    got = [(r["url"], r["anchor_pos"], r["href"], r["anchor_text"]) for r in rows]
+    assert got == [
+        ("u1", 0, "/", "Home"),
+        ("u1", 1, "/a", "About & more"),
+        ("u1", 2, "/b", "inner bold link"),
+        ("u1", 3, None, "no href anchor"),
+    ]
+    # min_text_chars=0 keeps the icon anchor too
+    all_rows = extract_anchors(df, min_text_chars=0).collect()
+    assert len(all_rows) == 5
