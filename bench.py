@@ -59,6 +59,12 @@ BENCH_QUERIES = (
     "shard_assign",
     "keep_best_dedup",
     "pack_seqs",
+    # round-4f/4g web-hygiene operators
+    "c4_clean",
+    "block_extract",
+    "optout_filter",
+    "lang_thresholds",
+    "anchor_extract",
 )
 
 
