@@ -753,6 +753,29 @@ def q_anchor_extract(spark: SparkSession, sf: str) -> DataFrame:  # web: anchor-
     )
 
 
+def q_zlib_quality(spark: SparkSession, sf: str) -> DataFrame:  # text: compression signal
+    """Compression-ratio quality signal rollup: per-source doc count, mean
+    deflate ratio, and counts below/above the (0.3, 0.9) keep band — the
+    two-sided repetition+entropy gate. ROWS-ONLY by design: DuckDB has no
+    deflate; correctness is pinned by test_corpus_health's Spark-vs-direct
+    zlib equality and the ordering property (boilerplate < prose <
+    random)."""
+    from longqc_spark.operators.text import compression_ratio
+
+    docs = _read(spark, sf, "documents")
+    scored = compression_ratio(docs, text_col="text")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("zlib_ratio"), 6).alias("mean_ratio"),
+            F.count_if(F.col("zlib_ratio") < 0.3).alias("n_below"),
+            F.count_if(F.col("zlib_ratio") > 0.9).alias("n_above"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -2886,9 +2909,12 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # anchor-text corpus — never driver-checked (anchors n50/alpha_frac/
     # mad_outliers/event_gaps rotated out; all were driver-green in r2/r3)
     "block_extract", "optout_filter", "lang_thresholds", "anchor_extract",
+    # round-4g compression-ratio signal (rows-only by design — no deflate
+    # in DuckDB; anchor union_split rotated out, driver-green r2)
+    "zlib_quality",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats",
-    "rule_fractions", "anti_join", "union_split",
+    "rule_fractions", "anti_join",
     "exact_dedup", "incremental_dedup",
     "ngram_jaccard", "fuzzy_scrub", "decontaminate",
     "incremental_line_dedup", "fix_encoding",
@@ -2975,6 +3001,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optout_filter": q_optout_filter,
         "lang_thresholds": q_lang_thresholds,
         "anchor_extract": q_anchor_extract,
+        "zlib_quality": q_zlib_quality,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,

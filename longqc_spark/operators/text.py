@@ -955,3 +955,45 @@ def train_ngram_lm(df: DataFrame, text_col: str = "text"):
     lm.totals = [float(c.sum()) for c in lm.counts]
     lm.vocab = max(1.0, float((lm.counts[1] > 0).sum()))
     return lm
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "zlib_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal (the Pile/Gopher-family heuristic:
+    template boilerplate deflates far below prose — near-duplicate nav
+    text compresses to a fraction of its size — while gibberish/random
+    strings deflate ABOVE prose; thresholding the ratio from both sides is
+    a cheap one-pass repetition+entropy gate that needs no n-gram state).
+    ratio = len(deflate(utf8)) / len(utf8); NULL and empty text → NULL
+    (no bytes to measure — NULL-identity like the other hygiene signals).
+
+    This is deliberately a PANDAS (Arrow-batched) UDF, not a JVM
+    expression: deflate has no Catalyst equivalent — same placement as the
+    html-extraction kernel (reference analog: the per-read GC/complexity
+    accumulators of ``lq_utils.py:141-196``, one scalar per record from a
+    byte-level scan). Pure map, fuses into the scan stage, no shuffle; at
+    100 TB the cost is one deflate pass over input bytes, embarrassingly
+    parallel."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in [1,9], got {level}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

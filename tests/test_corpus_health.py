@@ -568,3 +568,36 @@ def test_funnel_counts_summary(spark, sf001):
     assert fc["qc_keep"]["n"] == n_final
     # drops telescope: input n - sum(drops) = final n
     assert fc["input"]["n"] - sum(s["dropped"] for s in fc.values()) == n_final
+
+
+def test_compression_ratio_signal(spark):
+    """zlib ratio: boilerplate < prose < random (the two-sided gate the
+    signal exists for); Spark values equal direct zlib on the driver
+    (engine adds nothing); NULL/empty -> NULL; bad level rejected."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from longqc_spark.operators.text import compression_ratio
+
+    rng = np.random.default_rng(7)
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    random_text = "".join(rng.choice(alphabet, size=2000))
+    prose = (
+        "The committee reviewed the updated proposal on Thursday and asked "
+        "for two clarifications about the budget and the timeline before "
+        "approving the next phase of the work. "
+    ) * 8
+    boiler = "cookie consent required please accept our policy " * 40
+    rows = [(1, boiler), (2, prose), (3, random_text), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    assert got[1] < got[2] < got[3]
+    for i, t in rows:
+        if t:
+            b = t.encode("utf-8")
+            assert got[i] == _pytest.approx(len(zlib.compress(b, 6)) / len(b))
+    assert got[4] is None and got[5] is None
+    with _pytest.raises(ValueError, match="level"):
+        compression_ratio(df, level=0)
