@@ -1313,7 +1313,11 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:  # train/eval hy
     """Decontamination demo: docs 0-19 play the benchmark set; corpus =
     the rest. Flags corpus docs sharing any 5-token shingle with the
     benchmark (broadcast semi-join of the eval shingle set — no corpus
-    shuffle)."""
+    shuffle). Uses the human-auditable STRING shingle mode: at sf0.1 the
+    hashed fast path's unrolled rotate-XOR codegen costs ~1.3s of fixed
+    compile time (2.6s vs 1.3s here) while winning 1.5x at 4M docs
+    (BENCH_CORPUS.json `decontaminate`) — the right mode per regime;
+    mode-equality of the counts is pytest-pinned."""
     from longqc_spark.operators.dedup import contamination_check
 
     docs = _read(spark, sf, "documents")
@@ -1321,7 +1325,7 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:  # train/eval hy
         F.col("doc_id").alias("eval_id"), "text"
     )
     corpus = docs.filter(F.col("doc_id") >= 20)
-    return contamination_check(corpus, eval_df)
+    return contamination_check(corpus, eval_df, hashed=False)
 
 
 def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:  # eval audit
