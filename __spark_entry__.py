@@ -645,7 +645,10 @@ def q_optout_filter(spark: SparkSession, sf: str) -> DataFrame:  # web: robots/A
                 F.lit("<html><head>"),
                 meta,
                 F.lit("</head><body><p>"),
-                F.col("text"),
+                # coalesce: a NULL-text fixture row must not NULL the whole
+                # page (NULL html passes the gate while the arithmetic
+                # oracle would drop the row — latent divergence otherwise)
+                F.coalesce(F.col("text"), F.lit("")),
                 F.lit("</p></body></html>"),
             ),
             "UTF-8",
@@ -3645,7 +3648,7 @@ def oracle_sql() -> dict[str, str]:
                              b -> trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) <> ''
                               AND len(string_split(trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) >= 2
                               AND coalesce(list_aggregate(list_transform(
-                                    regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+                                    regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
                                     x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))), 'sum'), 0)
                                   <= 0.35 * length(trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))),
                            b -> replace(replace(replace(replace(replace(replace(
@@ -3702,7 +3705,7 @@ def oracle_sql() -> dict[str, str]:
             ), cleaned AS (
                 SELECT source, pos,
                        nullif(regexp_extract(e,
-                         '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["]?([^"\\s>]+)', 1), '') AS href,
+                         '(?is)<a\\b[^>]*\\bhref\\s*=\\s*[''"]?([^''"\\s>]+)', 1), '') AS href,
                        replace(replace(replace(replace(replace(replace(
                          trim(regexp_replace(regexp_replace(e, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

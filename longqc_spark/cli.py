@@ -36,7 +36,13 @@ def _parse_lang_triple(spec: str) -> tuple[int, int, float]:
         raise SystemExit(
             f"bad threshold triple {spec!r} — want min_chars:max_chars:max_symbol_frac"
         )
-    return int(parts[0]), int(parts[1]), float(parts[2])
+    try:
+        return int(parts[0]), int(parts[1]), float(parts[2])
+    except ValueError:
+        raise SystemExit(
+            f"bad threshold triple {spec!r} — want min_chars:max_chars:max_symbol_frac"
+            " (integer, integer, float)"
+        ) from None
 
 
 def _parse_lang_thresholds(spec: str | None) -> dict[str, tuple[int, int, float]] | None:
@@ -243,13 +249,20 @@ def main(argv: list[str] | None = None) -> int:
         "fix_encoding": args.fix_encoding,
         "scrub_span_window": args.scrub_spans,
         "blocklist": args.blocklist,
-        "respect_optout": args.respect_optout,
-        "lang_thresholds": args.lang_thresholds,
-        # only identity inputs when per-lang thresholds are on (same rule
-        # as clean_lines_min_sentences: bare defaults must not flip the
-        # hygiene gate or invalidate pre-existing resumes)
-        "lang_default": args.lang_default if args.lang_thresholds else None,
-        "lang_col": args.lang_col if args.lang_thresholds else None,
+        # the round-4g keys are CONDITIONALLY present (not None-valued):
+        # a manifest written before they existed must still resume a
+        # flagless run — bare defaults never invalidate pre-existing
+        # resumes (same rule as clean_lines_min_sentences)
+        **({"respect_optout": True} if args.respect_optout else {}),
+        **(
+            {
+                "lang_thresholds": args.lang_thresholds,
+                "lang_default": args.lang_default,
+                "lang_col": args.lang_col,
+            }
+            if args.lang_thresholds
+            else {}
+        ),
         "payload_dedup": args.payload_dedup,
         "payload_score_col": args.payload_score_col,
         "payload_dedup_normalize": args.payload_dedup_normalize,

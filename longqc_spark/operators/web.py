@@ -657,7 +657,9 @@ _BLOCK_SPLIT_RE = (
 _SCRIPT_STYLE_COMMENT_RE = (
     r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->"
 )
-_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+# \b after <a: without it <abbr>/<address>/<audio> would start a
+# pseudo-anchor running to the next </a> and inflate link density
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
 _INLINE_TAG_RE = r"<[^>]*>"
 
 # Order matters: named entities first, &amp; LAST so that a double-escaped

@@ -487,6 +487,21 @@ def test_block_extract_link_density_boundary(spark):
     assert dropped == ""
 
 
+def test_block_extract_abbr_is_not_an_anchor(spark):
+    """Tags that merely START with 'a' (<abbr>, <address>, <audio>) must not
+    open a pseudo-anchor running to the next </a> — that would count the
+    whole block as link text and drop real prose."""
+    from longqc_spark.operators.web import block_extract
+
+    html = (
+        b'<p><abbr title="x">HTML</abbr> is a standard and widely used markup '
+        b'language <a href="/">x</a></p>'
+    )
+    df = spark.createDataFrame([(1, html)], "id int, html binary")
+    out = block_extract(df, max_link_density=0.3).collect()[0]["text"]
+    assert out == "HTML is a standard and widely used markup language x"
+
+
 def test_robots_optout_filter(spark):
     """Opt-out metas in either attribute order / quoting are honored;
     content="none" on a NON-robots meta does not trigger; NULL html passes."""

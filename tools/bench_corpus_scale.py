@@ -275,12 +275,6 @@ def main() -> None:
             "chars_dropped": int(dropped),
         }
 
-    # -- C4 line-level heuristic cleaning at corpus scale: three narrow
-    # page-gate filters + one split-array line filter, all scan-fused JVM
-    # expressions — the zero-shuffle posture means docs/s should track the
-    # raw scan+regex rate. Docs are re-lined every 8 words and every
-    # even-length line gets terminal punctuation, so both the line rules
-    # and the post-clean sentence gate do real work. --
     # -- robots opt-out gate + jusText-lite block extraction over the REAL
     # html column (the ccsynth corpus stores the rendered page bytes): both
     # are scan-fused JVM expressions, so this measures the raw
@@ -315,6 +309,12 @@ def main() -> None:
             "kept_chars": int(row["kept_chars"]),
         }
 
+    # -- C4 line-level heuristic cleaning at corpus scale: three narrow
+    # page-gate filters + one split-array line filter, all scan-fused JVM
+    # expressions — the zero-shuffle posture means docs/s should track the
+    # raw scan+regex rate. Docs are re-lined every 8 words and every
+    # even-length line gets terminal punctuation, so both the line rules
+    # and the post-clean sentence gate do real work. --
     if want("c4_clean"):
         from longqc_spark.operators.web import c4_clean
 
