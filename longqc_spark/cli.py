@@ -185,6 +185,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shard-bytes", type=int, default=None, metavar="N",
                    help="byte-balanced shard ids in the curated export "
                         "(two-pass prefix sum over xxhash64(key))")
+    p.add_argument("--anchors-out", default=None, metavar="DIR",
+                   help="export the anchor-text corpus (url, href, "
+                        "anchor_text, anchor_pos — one row per <a> in page "
+                        "order) extracted from the INPUT's html column to "
+                        "this parquet dir; only pages that survive the "
+                        "hygiene gates contribute (needs an html column: "
+                        "--html-col, or a column literally named 'html')")
+    p.add_argument("--anchors-min-chars", type=int, default=1, metavar="C",
+                   help="drop anchors whose cleaned text is shorter than C "
+                        "chars (icon/image links; default %(default)s)")
     p.add_argument("--digest-index", default=None, metavar="TABLE",
                    help="after the run: save the committed payload digests "
                         "as a catalog table bucketed on payload_md5 — later "
@@ -219,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.pack_out and not args.curate_out:
         p.error("--pack-out packs the curated export and requires --curate-out")
+    _anchors_col = args.html_col if args.html_col else "html"
 
     if args.local_cores:
         from .session import get_spark
@@ -232,6 +243,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.fuzzy_scrub:
         cfg = cfg.with_overrides(scrub_fuzzy=True)
     docs = spark.read.parquet(args.input)
+    if args.anchors_out and _anchors_col not in docs.columns:
+        p.error(
+            f"--anchors-out extracts from the html column; no column "
+            f"{_anchors_col!r} in the input — pass --html-col or drop the flag"
+        )
     # hygiene flags reshape the input rows before lineage sees them, so they
     # are part of the checkpoint identity: a resume with different flags
     # must be rejected, not silently mix capped/uncapped buckets.
@@ -407,6 +423,21 @@ def main(argv: list[str] | None = None) -> int:
                 f"packed {n_seq} x {args.seq_len}-char sequences → {args.pack_out}",
                 file=sys.stderr,
             )
+
+    if args.anchors_out:
+        from .operators.web import extract_anchors
+
+        # `docs` here is the post-hygiene/post-dedup frame: only pages that
+        # survived the gates (incl. --respect-optout) contribute anchors —
+        # an opted-out or blocklisted page's links are not training data.
+        extract_anchors(
+            docs,
+            html_col=_anchors_col,
+            url_col=args.key_col,
+            min_text_chars=args.anchors_min_chars,
+        ).write.mode("overwrite").parquet(args.anchors_out)
+        n_anchors = spark.read.parquet(args.anchors_out).count()
+        print(f"anchors {n_anchors} rows → {args.anchors_out}", file=sys.stderr)
 
     if args.digest_index:
         from .lineage import write_digest_index

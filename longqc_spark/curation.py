@@ -256,12 +256,15 @@ def curate(
 
     Stages (each optional input gates its stage):
     0. web hygiene (``operators.web``), in order: domain blocklist
-       (``blocklist`` — UT1-style suffix match, broadcast probe), then
+       (``blocklist`` — UT1-style suffix match, broadcast probe), then the
+       robots/AI opt-out gate (``respect_optout``), then
        snapshot collapse
        (``collapse_snapshots`` — newest ``ts_col`` fetch per canonical URL
        wins) or URL dedup (``dedup_urls`` — min-key winner, for
        single-snapshot inputs), then per-domain representation cap
-       (``domain_cap_n``), then C4 line-level heuristic cleaning
+       (``domain_cap_n``), then per-language adaptive thresholds
+       (``lang_thresholds`` / ``lang_default`` / ``lang_col``), then C4
+       line-level heuristic cleaning
        (``clean_lines_min_words`` / ``clean_lines_min_sentences`` — see
        ``web_hygiene``), then C4-style GLOBAL line dedup
        (``line_dedup_min_docs`` — drop lines occurring in that many

@@ -589,3 +589,68 @@ def test_cli_lang_thresholds_spec_errors():
         _parse_lang_thresholds("zh:100")
     with pytest.raises(SystemExit, match="min_chars"):
         _parse_lang_triple("200:0.3")
+
+
+def test_cli_anchors_out(spark, corpus_path, tmp_path):
+    """--anchors-out exports the anchor corpus from pages that SURVIVED the
+    hygiene gates: an opted-out page's links never appear; a missing html
+    column dies with a usage error before any Spark job."""
+    nav = (
+        '<div><a href="/x">Archive link</a></div>'
+    )
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "html",
+        F.when(
+            F.xxhash64("url") % 3 == 0,
+            F.encode(
+                F.lit(
+                    '<html><head><meta name="robots" content="noai"></head>'
+                    "<body>" + nav + "</body></html>"
+                ),
+                "UTF-8",
+            ),
+        ).otherwise(
+            F.encode(
+                F.concat(
+                    F.lit("<html><body>" + nav + "<p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            )
+        ),
+    )
+    crawl_path = str(tmp_path / "anchor_crawl")
+    docs.write.parquet(crawl_path)
+    n_kept_pages = docs.filter(F.xxhash64("url") % 3 != 0).count()
+
+    out = str(tmp_path / "anchor_out")
+    anchors_dir = str(tmp_path / "anchors")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--respect-optout",
+            "--anchors-out", anchors_dir,
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    a = spark.read.parquet(anchors_dir)
+    assert a.count() == n_kept_pages  # exactly one nav anchor per surviving page
+    opted = {r["url"] for r in docs.filter(F.xxhash64("url") % 3 == 0).select("url").collect()}
+    assert not ({r["url"] for r in a.select("url").collect()} & opted)
+    assert a.filter((F.col("href") == "/x") & (F.col("anchor_text") == "Archive link")).count() == a.count()
+
+    # missing html column -> argparse usage error (SystemExit), no Spark job
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--input", crawl_path,
+                "--out", str(tmp_path / "never"),
+                "--html-col", "nope",
+                "--anchors-out", str(tmp_path / "never_a"),
+                "--local-cores", "8",
+            ]
+        )
