@@ -351,3 +351,51 @@ def test_compact_band_index(spark, tmp_path):
     # compacting again folds the new extension in
     res2 = compact_band_index(spark, out)
     assert res2["n_merged"] == 2
+
+
+def test_stream_hygiene_gates_match_batch(spark, corpus_path, tmp_path):
+    """The round-4g hygiene gates are stateless/broadcast-only, so they
+    compose into a readStream unchanged: opt-out filter + C4 cleaning +
+    per-lang thresholds over AvailableNow micro-batches must equal the
+    identical batch plan row for row (streaming parity for web_hygiene's
+    stateless subset)."""
+    from pyspark.sql import functions as F
+
+    from longqc_spark.operators.web import (
+        c4_clean,
+        per_lang_thresholds,
+        robots_optout_filter,
+    )
+
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "html",
+        F.when(
+            F.xxhash64("url") % 5 == 0,
+            F.encode(F.lit('<html><head><meta name="robots" content="noai"></head></html>'), "UTF-8"),
+        ).otherwise(F.col("html")),
+    )
+    d = str(tmp_path / "hyg_docs")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+
+    def gates(df):
+        out = robots_optout_filter(df, html_col="html")
+        out = per_lang_thresholds(
+            out, {"en": (50, 1_000_000, 0.9)}, default=(50, 1_000_000, 0.9)
+        )
+        return c4_clean(out, min_words=3, min_sentences=1).select("url", "text")
+
+    want = _norm(gates(spark.read.parquet(d)).toPandas())
+
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    sink = str(tmp_path / "hyg_sink")
+    q = (
+        gates(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "hyg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = _norm(spark.read.parquet(sink).toPandas())
+    pd.testing.assert_frame_equal(got, want)
