@@ -756,6 +756,66 @@ def q_anchor_extract(spark: SparkSession, sf: str) -> DataFrame:  # web: anchor-
     )
 
 
+def q_canonical_collapse(spark: SparkSession, sf: str) -> DataFrame:  # web: rel-canonical dedup
+    """rel-canonical collapse: doc_id groups of three play alias sets —
+    members 0 and 1 of each group DECLARE the same canonical link (member 1
+    with reversed attribute order and single quotes), member 2 declares
+    nothing and keeps its own fetch URL (which carries a tracking param the
+    syntactic fallback must strip). The oracle is GROUND TRUTH arithmetic:
+    survivors and their canonical identities are known from doc_id alone,
+    so the Spark-side extraction, coalesce, and min-key window must
+    reproduce them exactly — per-source survivor counts + an identity
+    checksum."""
+    from longqc_spark.operators.web import canonical_collapse
+
+    docs = _read(spark, sf, "documents")
+    grp = (F.col("doc_id") / 3).cast("bigint").cast("string")
+    link = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://c.example/p'),
+                grp,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<LINK HREF='https://c.example/p"),
+                grp,
+                F.lit("' REL=canonical>"),
+            ),
+        )
+        .otherwise(F.lit('<link rel="stylesheet" href="/s.css">'))
+    )
+    wrapped = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://host.example/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x"),
+        ).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head>"), link, F.lit("</head><body></body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out = canonical_collapse(wrapped, url_col="url", key_col="doc_id", html_col="html")
+    h = F.conv(
+        F.substring(F.md5(F.col("canonical_url").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum(h).cast("bigint").alias("identity_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_zlib_quality(spark: SparkSession, sf: str) -> DataFrame:  # text: compression signal
     """Compression-ratio quality signal rollup: per-source doc count, mean
     deflate ratio, and counts below/above the (0.3, 0.9) keep band — the
@@ -2917,11 +2977,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # mad_outliers/event_gaps rotated out; all were driver-green in r2/r3)
     "block_extract", "optout_filter", "lang_thresholds", "anchor_extract",
     # round-4g compression-ratio signal (rows-only by design — no deflate
-    # in DuckDB; anchor union_split rotated out, driver-green r2)
-    "zlib_quality",
+    # in DuckDB; anchor union_split rotated out, driver-green r2) and the
+    # rel-canonical collapse (ground-truth oracle; anchor anti_join
+    # rotated out, driver-green r2)
+    "zlib_quality", "canonical_collapse",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats",
-    "rule_fractions", "anti_join",
+    "rule_fractions",
     "exact_dedup", "incremental_dedup",
     "ngram_jaccard", "fuzzy_scrub", "decontaminate",
     "incremental_line_dedup", "fix_encoding",
@@ -3008,6 +3070,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optout_filter": q_optout_filter,
         "lang_thresholds": q_lang_thresholds,
         "anchor_extract": q_anchor_extract,
+        "canonical_collapse": q_canonical_collapse,
         "zlib_quality": q_zlib_quality,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
@@ -3719,6 +3782,30 @@ def oracle_sql() -> dict[str, str]:
             FROM cleaned
             WHERE length(t) >= 1
             GROUP BY source ORDER BY source
+        """,
+        "canonical_collapse": """
+            -- GROUND-TRUTH oracle: the declared canonicals are seeded by
+            -- doc_id arithmetic. Survivors: member 0 of each group always
+            -- wins its declared identity; member 1 survives only when its
+            -- group has no member 0 (never happens with doc_ids starting
+            -- at a multiple of 3, but the EXISTS keeps the oracle honest
+            -- at any id range); member 2 always survives with its own
+            -- tracking-stripped fetch URL.
+            WITH surv AS (
+                SELECT d.source,
+                       CASE WHEN d.doc_id % 3 = 2
+                            THEN 'https://host.example/' || CAST(d.doc_id AS VARCHAR)
+                            ELSE 'https://c.example/p' || CAST(d.doc_id // 3 AS VARCHAR)
+                       END AS canon
+                FROM documents d
+                WHERE d.doc_id % 3 IN (0, 2)
+                   OR (d.doc_id % 3 = 1 AND NOT EXISTS (
+                         SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1))
+            )
+            SELECT source, count(*) AS n_survivors,
+                   CAST(sum(CAST(('0x' || substr(md5(canon), 1, 8)) AS BIGINT))
+                        AS BIGINT) AS identity_checksum
+            FROM surv GROUP BY source ORDER BY source
         """,
         "lang_thresholds": """
             WITH thr AS (

@@ -907,3 +907,61 @@ def extract_anchors(
         "anchor_pos",
     )
     return out.filter(F.length("anchor_text") >= min_text_chars)
+
+
+# <link rel="canonical" href="..."> — attribute order varies in the wild;
+# both orders handled, any quoting; href captured up to quote/space/>.
+# Java∩RE2-compatible (mirrors into DuckDB for oracle parity).
+_REL_CANONICAL_RE = (
+    r"(?is)<link\b(?:[^>]*\brel\s*=\s*['\"]?canonical\b[^>]*"
+    r"\bhref\s*=\s*['\"]?([^'\"\s>]+)"
+    r"|[^>]*\bhref\s*=\s*['\"]?([^'\"\s>]+)['\"]?[^>]*"
+    r"\brel\s*=\s*['\"]?canonical\b)"
+)
+
+
+def declared_canonical_expr(df: DataFrame, html_col: str = "html") -> Column:
+    """The page's SELF-DECLARED canonical URL (``<link rel="canonical"
+    href=...>``), or NULL when absent — the strongest URL-identity signal a
+    crawl gets: the site itself says which of its alias URLs is the real
+    page, cutting across tracking params, mirrors, and pagination variants
+    that syntactic canonicalization can't see. Attribute order and quoting
+    both vary in the wild; both forms are matched. NULL html → NULL."""
+    s = F.regexp_replace(_html_string(df, html_col), _SCRIPT_STYLE_COMMENT_RE, " ")
+    rel_first = F.regexp_extract(s, _REL_CANONICAL_RE, 1)
+    href_first = F.regexp_extract(s, _REL_CANONICAL_RE, 2)
+    out = F.when(rel_first != "", rel_first).when(href_first != "", href_first)
+    return out  # otherwise NULL
+
+
+def canonical_collapse(
+    df: DataFrame,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """URL dedup that HONORS the page's declared canonical: the page
+    identity is ``coalesce(declared rel-canonical, syntactic canonical
+    url)``, one deterministic min-key winner per identity — so the
+    thousand tracking-URL aliases of one article collapse even when their
+    fetch URLs share no syntactic form, exactly as the site requested.
+    The identity is kept as ``canonical_url`` for lineage; rows with
+    neither a declared canonical nor a parseable URL pass through
+    uncollapsed (NULL-identity rule, same as :func:`url_dedup`).
+
+    Scale: one pure-map identity derivation fused into the scan, then the
+    same single hash-window shuffle as ``url_dedup`` — the declared
+    canonical ADDS no exchange, it only improves the key."""
+    ident = F.coalesce(
+        declared_canonical_expr(df, html_col), canonical_url_expr(url_col)
+    )
+    out = df.withColumn("canonical_url", ident)
+    keyed = out.filter(F.col("canonical_url").isNotNull())
+    nulls = out.filter(F.col("canonical_url").isNull())
+    w = Window.partitionBy("canonical_url").orderBy(key_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .unionByName(nulls)
+    )

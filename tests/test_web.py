@@ -577,3 +577,37 @@ def test_extract_anchors(spark):
     # min_text_chars=0 keeps the icon anchor too
     all_rows = extract_anchors(df, min_text_chars=0).collect()
     assert len(all_rows) == 5
+
+
+def test_declared_canonical_and_collapse(spark):
+    """rel-canonical: extracted in either attribute order/quoting,
+    stylesheet links never match, aliases sharing a declared canonical
+    collapse to the min-key winner even when their fetch URLs share no
+    syntactic form, and pages without a declaration fall back to the
+    syntactic canonical; no-identity rows pass through."""
+    from longqc_spark.operators.web import canonical_collapse, declared_canonical_expr
+
+    rows = [
+        # two aliases declaring the same canonical, attrs in both orders
+        (1, "https://a.com/article?utm_source=x", b'<html><head><link rel="canonical" href="https://a.com/article"></head></html>'),
+        (2, "https://mirror.net/arti-2", b"<html><head><LINK HREF='https://a.com/article' REL=canonical></head></html>"),
+        # stylesheet link must NOT count as a declaration
+        (3, "https://b.com/p", b'<html><head><link rel="stylesheet" href="/s.css"></head></html>'),
+        # same syntactic canonical as 3 (tracking param) -> collapses with it
+        (4, "https://b.com/p?gclid=g", b"<html><head></head></html>"),
+        # no url, no declaration -> passes through
+        (5, None, b"<html></html>"),
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, html binary")
+    decl = {r["doc_id"]: r["d"] for r in df.select("doc_id", declared_canonical_expr(df).alias("d")).collect()}
+    assert decl[1] == "https://a.com/article"
+    assert decl[2] == "https://a.com/article"
+    assert decl[3] is None and decl[5] is None and decl[6] is None
+
+    out = canonical_collapse(df)
+    kept = {r["doc_id"]: r["canonical_url"] for r in out.collect()}
+    assert sorted(kept) == [1, 3, 5, 6]
+    assert kept[1] == "https://a.com/article"
+    assert kept[3] == "https://b.com/p"
+    assert kept[5] is None and kept[6] is None
