@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup-urls", action="store_true",
                    help="web-hygiene stage 0: one row per canonical URL "
                         "(min-key winner; for single-snapshot inputs)")
+    p.add_argument("--dedup-urls-declared", action="store_true",
+                   help="like --dedup-urls, but the page identity HONORS "
+                        "the page's own <link rel=canonical> declaration "
+                        "(syntactic canonical as fallback) — collapses "
+                        "alias URLs that share no syntactic form (needs an "
+                        "html column: --html-col, or one named 'html')")
     p.add_argument("--domain-cap", type=int, default=None, metavar="N",
                    help="web-hygiene stage 0: cap each registered domain at "
                         "its N best-keyed docs")
@@ -269,6 +275,7 @@ def main(argv: list[str] | None = None) -> int:
         # a manifest written before they existed must still resume a
         # flagless run — bare defaults never invalidate pre-existing
         # resumes (same rule as clean_lines_min_sentences)
+        **({"dedup_urls_declared": True} if args.dedup_urls_declared else {}),
         **({"respect_optout": True} if args.respect_optout else {}),
         **(
             {
@@ -338,6 +345,7 @@ def main(argv: list[str] | None = None) -> int:
             collapse_snapshots=args.collapse_snapshots,
             ts_col=args.ts_col,
             dedup_urls=args.dedup_urls,
+            dedup_urls_declared=args.dedup_urls_declared,
             domain_cap_n=args.domain_cap,
             line_dedup_min_docs=args.line_dedup_min_docs,
             blocklist=bl,

@@ -59,6 +59,7 @@ def web_hygiene(
     collapse_snapshots: bool = False,
     ts_col: str = "warc_ts",
     dedup_urls: bool = False,
+    dedup_urls_declared: bool = False,
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
@@ -134,6 +135,20 @@ def web_hygiene(
         src = robots_optout_filter(src, html_col=oc)
     if collapse_snapshots:
         src = latest_crawl(src, url_col=key_col, ts_col=ts_col, key_col=key_col)
+    elif dedup_urls_declared:
+        # URL dedup honoring the page's <link rel=canonical> declaration
+        # (falls back to the syntactic canonical where absent) — same
+        # single shuffle as dedup_urls, stronger key.
+        from .operators.web import canonical_collapse
+
+        oc = html_col if html_col is not None else "html"
+        if oc not in src.columns:
+            raise ValueError(
+                "dedup_urls_declared reads <link rel=canonical> from the "
+                f"HTML column; no column {oc!r} in the input — pass "
+                "html_col or use dedup_urls"
+            )
+        src = canonical_collapse(src, url_col=key_col, key_col=key_col, html_col=oc)
     elif dedup_urls:
         src = url_dedup(src, url_col=key_col, key_col=key_col)
     if domain_cap_n is not None:
@@ -234,6 +249,7 @@ def curate(
     collapse_snapshots: bool = False,
     ts_col: str = "warc_ts",
     dedup_urls: bool = False,
+    dedup_urls_declared: bool = False,
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
@@ -331,6 +347,7 @@ def curate(
         collapse_snapshots=collapse_snapshots,
         ts_col=ts_col,
         dedup_urls=dedup_urls,
+        dedup_urls_declared=dedup_urls_declared,
         domain_cap_n=domain_cap_n,
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,

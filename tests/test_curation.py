@@ -282,3 +282,23 @@ def test_curate_respects_optout_and_lang_thresholds(spark, docs):
     n_in = obs["input"].get["n"]
     n_hyg = obs["hygiene"].get["n"]
     assert n_in == 40 and n_hyg == 32  # exactly the doc_id%5==0 pages dropped
+
+
+def test_web_hygiene_declared_canonical_dedup(spark):
+    """dedup_urls_declared: aliases declaring the same rel-canonical
+    collapse to one winner even with unrelated fetch URLs; missing html
+    column raises an actionable error."""
+    from longqc_spark.curation import web_hygiene
+
+    link = b'<html><head><link rel="canonical" href="https://c.ex/one"></head></html>'
+    rows = [
+        ("https://a.com/x?utm_source=1", link),
+        ("https://mirror.net/y", link),
+        ("https://b.com/z", b"<html></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = web_hygiene(df, dedup_urls_declared=True)
+    kept = sorted(r["url"] for r in out.collect())
+    assert kept == ["https://a.com/x?utm_source=1", "https://b.com/z"]
+    with pytest.raises(ValueError, match="html"):
+        web_hygiene(df.drop("html"), dedup_urls_declared=True)
