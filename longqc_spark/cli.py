@@ -192,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="byte-balanced shard ids in the curated export "
                         "(two-pass prefix sum over xxhash64(key))")
     p.add_argument("--anchors-out", default=None, metavar="DIR",
-                   help="export the anchor-text corpus (url, href, "
+                   help="export the anchor-text corpus (<key-col>, href, "
                         "anchor_text, anchor_pos — one row per <a> in page "
                         "order) extracted from the INPUT's html column to "
                         "this parquet dir; only pages that survive the "
@@ -235,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.pack_out and not args.curate_out:
         p.error("--pack-out packs the curated export and requires --curate-out")
+    if args.collapse_snapshots and (args.dedup_urls or args.dedup_urls_declared):
+        p.error(
+            "--collapse-snapshots already keeps one fetch per canonical URL; "
+            "combining it with --dedup-urls/--dedup-urls-declared would "
+            "silently skip the latter — pick one URL-identity stage"
+        )
+    if args.dedup_urls and args.dedup_urls_declared:
+        p.error("--dedup-urls-declared supersedes --dedup-urls — pass only one")
     _anchors_col = args.html_col if args.html_col else "html"
 
     if args.local_cores:
@@ -253,6 +261,12 @@ def main(argv: list[str] | None = None) -> int:
         p.error(
             f"--anchors-out extracts from the html column; no column "
             f"{_anchors_col!r} in the input — pass --html-col or drop the flag"
+        )
+    if args.dedup_urls_declared and _anchors_col not in docs.columns:
+        p.error(
+            f"--dedup-urls-declared reads <link rel=canonical> from the html "
+            f"column; no column {_anchors_col!r} in the input — pass "
+            f"--html-col or use --dedup-urls"
         )
     # hygiene flags reshape the input rows before lineage sees them, so they
     # are part of the checkpoint identity: a resume with different flags
@@ -382,6 +396,11 @@ def main(argv: list[str] | None = None) -> int:
         docs = cluster_keep_best(
             docs, pairs, args.payload_score_col, key_col=args.key_col
         )
+    if args.anchors_out:
+        # two consumers of the post-hygiene frame (the QC lineage run and
+        # the anchors export) — persist so the hygiene windows / dedup
+        # joins don't replay end-to-end for the second action
+        docs = docs.persist()
     manifest = run_qc_with_lineage(
         docs,
         args.out,
@@ -444,6 +463,7 @@ def main(argv: list[str] | None = None) -> int:
             url_col=args.key_col,
             min_text_chars=args.anchors_min_chars,
         ).write.mode("overwrite").parquet(args.anchors_out)
+        docs.unpersist()
         n_anchors = spark.read.parquet(args.anchors_out).count()
         print(f"anchors {n_anchors} rows → {args.anchors_out}", file=sys.stderr)
 

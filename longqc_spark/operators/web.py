@@ -40,7 +40,15 @@ def canonical_url_expr(col: str = "url") -> Column:
 
     Pure map — at 10^12 docs this fuses into the scan stage (no shuffle,
     stays in whole-stage codegen)."""
-    u = F.regexp_replace(F.col(col), r"#.*$", "")
+    return _canonicalize(F.col(col))
+
+
+def _canonicalize(u: Column) -> Column:
+    """The :func:`canonical_url_expr` normalization chain over an arbitrary
+    Column expression (shared with the declared-canonical identity path of
+    :func:`canonical_collapse`, so both identity sources live in one
+    normalized space)."""
+    u = F.regexp_replace(u, r"#.*$", "")
     u = F.regexp_replace(u, r"\?", "?&")
     u = F.regexp_replace(u, r"&(" + _TRACKING_PARAMS + r")=[^&]*", "")
     u = F.regexp_replace(u, r"\?&", "?")
@@ -912,21 +920,31 @@ def extract_anchors(
 # <link rel="canonical" href="..."> — attribute order varies in the wild;
 # both orders handled, any quoting; href captured up to quote/space/>.
 # Java∩RE2-compatible (mirrors into DuckDB for oracle parity).
+# rel is a space-separated TOKEN LIST per the HTML spec ("alternate
+# canonical" is valid), and attribute names can be hyphenated (data-rel=
+# must NOT match): the value alternatives accept a quoted token list
+# containing the word canonical or the bare unquoted token, and both
+# attribute names require a preceding whitespace so -rel/-href never match.
+_REL_VAL = r"(?:\"[^\"]*\bcanonical\b[^\"]*\"|'[^']*\bcanonical\b[^']*'|canonical\b)"
 _REL_CANONICAL_RE = (
-    r"(?is)<link\b(?:[^>]*\brel\s*=\s*['\"]?canonical\b[^>]*"
-    r"\bhref\s*=\s*['\"]?([^'\"\s>]+)"
-    r"|[^>]*\bhref\s*=\s*['\"]?([^'\"\s>]+)['\"]?[^>]*"
-    r"\brel\s*=\s*['\"]?canonical\b)"
+    r"(?is)<link\b(?:[^>]*\srel\s*=\s*" + _REL_VAL + r"[^>]*"
+    r"\shref\s*=\s*['\"]?([^'\"\s>]+)"
+    r"|[^>]*\shref\s*=\s*['\"]?([^'\"\s>]+)['\"]?[^>]*"
+    r"\srel\s*=\s*" + _REL_VAL + r")"
 )
 
 
 def declared_canonical_expr(df: DataFrame, html_col: str = "html") -> Column:
     """The page's SELF-DECLARED canonical URL (``<link rel="canonical"
-    href=...>``), or NULL when absent — the strongest URL-identity signal a
-    crawl gets: the site itself says which of its alias URLs is the real
-    page, cutting across tracking params, mirrors, and pagination variants
-    that syntactic canonicalization can't see. Attribute order and quoting
-    both vary in the wild; both forms are matched. NULL html → NULL."""
+    href=...>``), RAW as written, or NULL when absent — the strongest
+    URL-identity signal a crawl gets: the site itself says which of its
+    alias URLs is the real page, cutting across tracking params, mirrors,
+    and pagination variants that syntactic canonicalization can't see.
+    Attribute order and quoting both vary in the wild; both forms and
+    rel token lists ("alternate canonical") are matched; hyphenated
+    attributes (data-rel=) are not. NULL html → NULL. Callers that USE
+    the value as an identity must resolve + normalize it first — that is
+    :func:`canonical_collapse`'s job, not this extractor's."""
     s = F.regexp_replace(_html_string(df, html_col), _SCRIPT_STYLE_COMMENT_RE, " ")
     rel_first = F.regexp_extract(s, _REL_CANONICAL_RE, 1)
     href_first = F.regexp_extract(s, _REL_CANONICAL_RE, 2)
@@ -941,27 +959,42 @@ def canonical_collapse(
     html_col: str = "html",
 ) -> DataFrame:
     """URL dedup that HONORS the page's declared canonical: the page
-    identity is ``coalesce(declared rel-canonical, syntactic canonical
-    url)``, one deterministic min-key winner per identity — so the
-    thousand tracking-URL aliases of one article collapse even when their
-    fetch URLs share no syntactic form, exactly as the site requested.
+    identity is ``coalesce(resolved+normalized declared rel-canonical,
+    syntactic canonical url)``, one deterministic min-key winner per
+    identity — so the thousand tracking-URL aliases of one article
+    collapse even when their fetch URLs share no syntactic form, exactly
+    as the site requested.
+
+    The declared href is entity-unescaped, RESOLVED against the fetch URL
+    (absolute used as-is; ``//host/…`` gets the fetch scheme; ``/path``
+    gets the fetch origin; any other relative form is IGNORED — a bare
+    ``href="/"`` must not collapse every site's homepage into one global
+    identity), and then passed through the SAME normalization chain as
+    the syntactic fallback (:func:`canonical_url_expr`) so declared and
+    syntactic identities live in one normalized space — a declared
+    ``https://A.com/article/`` and an undeclared fetch of
+    ``https://a.com/article`` collapse as they should.
+
     The identity is kept as ``canonical_url`` for lineage; rows with
-    neither a declared canonical nor a parseable URL pass through
-    uncollapsed (NULL-identity rule, same as :func:`url_dedup`).
+    neither a usable declaration nor a parseable URL pass through
+    uncollapsed (NULL-identity rule — each rides its own surrogate window
+    key, same single-scan shape as :func:`snapshot_novelty`).
 
     Scale: one pure-map identity derivation fused into the scan, then the
     same single hash-window shuffle as ``url_dedup`` — the declared
     canonical ADDS no exchange, it only improves the key."""
-    ident = F.coalesce(
-        declared_canonical_expr(df, html_col), canonical_url_expr(url_col)
+    decl = _unescape_entities(declared_canonical_expr(df, html_col))
+    scheme = F.regexp_extract(F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    resolved = (
+        F.when(decl.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), decl)
+        .when(decl.startswith("//") & (scheme != ""), F.concat(scheme, F.lit(":"), decl))
+        .when(decl.startswith("/") & ~decl.startswith("//") & (origin != ""), F.concat(origin, decl))
+    )
+    ident = F.coalesce(_canonicalize(resolved), canonical_url_expr(url_col))
+    surrogate = F.coalesce(
+        ident, F.concat(F.lit("\x00null\x00"), F.col(key_col).cast("string"))
     )
     out = df.withColumn("canonical_url", ident)
-    keyed = out.filter(F.col("canonical_url").isNotNull())
-    nulls = out.filter(F.col("canonical_url").isNull())
-    w = Window.partitionBy("canonical_url").orderBy(key_col)
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .unionByName(nulls)
-    )
+    w = Window.partitionBy(surrogate).orderBy(key_col)
+    return out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -611,3 +611,40 @@ def test_declared_canonical_and_collapse(spark):
     assert kept[1] == "https://a.com/article"
     assert kept[3] == "https://b.com/p"
     assert kept[5] is None and kept[6] is None
+
+
+def test_declared_canonical_resolution_and_normalization(spark):
+    """The declared href only becomes an identity after RESOLUTION against
+    the fetch URL and the shared normalization chain: a bare href="/" is
+    per-site (never a global bucket), non-root relative hrefs are ignored,
+    protocol-relative hrefs take the fetch scheme, a declared URL with
+    case/slash/tracking noise collapses with its undeclared syntactic
+    twin, rel token lists count, data-rel never does."""
+    from longqc_spark.operators.web import canonical_collapse
+
+    def page(link):
+        return f"<html><head>{link}</head></html>".encode()
+
+    rows = [
+        # two sites both declaring href="/" -> two DISTINCT identities
+        (1, "https://a.com/home?utm_source=x", page('<link rel="canonical" href="/">')),
+        (2, "https://b.com/start", page('<link rel="canonical" href="/">')),
+        # non-root relative declaration ignored -> syntactic fallback
+        (3, "https://c.com/p?gclid=g", page('<link rel="canonical" href="foo.html">')),
+        # protocol-relative resolves with the fetch scheme; token list rel
+        (4, "https://d.com/alias", page('<link rel="alternate canonical" href="//d.com/real">')),
+        # declared with uppercase host + trailing slash + tracking param
+        # collapses with the undeclared syntactic twin below
+        (5, "https://e.com/art?ref=r", page('<link rel="canonical" href="https://E.com/art/?utm_campaign=c">')),
+        (6, "https://e.com/art", page("<html></html>")),
+        # data-rel is NOT a declaration
+        (7, "https://f.com/x", page('<link data-rel="canonical" href="https://evil.example/">')),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, html binary")
+    out = {r["doc_id"]: r["canonical_url"] for r in canonical_collapse(df).collect()}
+    assert out[1] == "https://a.com" and out[2] == "https://b.com"  # per-site roots
+    assert out[3] == "https://c.com/p"            # fallback, tracking stripped
+    assert out[4] == "https://d.com/real"         # scheme borrowed from fetch
+    assert 5 in out and 6 not in out              # declared+syntactic twins collapse
+    assert out[5] == "https://e.com/art"
+    assert out[7] == "https://f.com/x"            # evil identity never adopted
