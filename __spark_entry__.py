@@ -816,6 +816,63 @@ def q_canonical_collapse(spark: SparkSession, sf: str) -> DataFrame:  # web: rel
     )
 
 
+def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:  # web: title/meta extraction
+    """Page-metadata extraction: every document is rendered into a page
+    whose <title> carries an entity (&amp;) and whose description meta is
+    seeded by doc_id — name-first double-quoted for even ids,
+    content-first single-quoted for odd, ABSENT for ids % 5 == 0, plus a
+    keywords-meta decoy. The oracle is GROUND TRUTH (doc_id arithmetic, no
+    regex): extraction, attribute-order handling, entity unescape, and the
+    absent→NULL rule must all reproduce it exactly."""
+    from longqc_spark.operators.web import with_page_meta
+
+    docs = _read(spark, sf, "documents")
+    ids = F.col("doc_id").cast("string")
+    desc_meta = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<meta name="description" content="D '), ids, F.lit('">')),
+        )
+        .otherwise(
+            F.concat(F.lit("<META CONTENT='D "), ids, F.lit("' NAME=description>"))
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>T &amp; "),
+        ids,
+        F.lit('</title><meta name="keywords" content="decoy">'),
+        desc_meta,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    wrapped = docs.select("source", F.encode(html, "UTF-8").alias("html"))
+    meta = with_page_meta(wrapped)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("title"),
+                    F.lit("|"),
+                    F.coalesce(F.col("meta_description"), F.lit("~")),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        meta.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("meta_description").isNotNull()).alias("n_with_desc"),
+            F.sum(h).cast("bigint").alias("meta_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_zlib_quality(spark: SparkSession, sf: str) -> DataFrame:  # text: compression signal
     """Compression-ratio quality signal rollup: per-source doc count, mean
     deflate ratio, and counts below/above the (0.3, 0.9) keep band — the
@@ -2981,9 +3038,11 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # rel-canonical collapse (ground-truth oracle; anchor anti_join
     # rotated out, driver-green r2)
     "zlib_quality", "canonical_collapse",
+    # round-4g page-metadata extraction (ground-truth oracle; anchor
+    # rule_fractions rotated out — driver-green r2, F1-gated in pytest)
+    "page_meta",
     # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
     "length_stats",
-    "rule_fractions",
     "exact_dedup", "incremental_dedup",
     "ngram_jaccard", "fuzzy_scrub", "decontaminate",
     "incremental_line_dedup", "fix_encoding",
@@ -3071,6 +3130,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_thresholds": q_lang_thresholds,
         "anchor_extract": q_anchor_extract,
         "canonical_collapse": q_canonical_collapse,
+        "page_meta": q_page_meta,
         "zlib_quality": q_zlib_quality,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
@@ -3782,6 +3842,24 @@ def oracle_sql() -> dict[str, str]:
             FROM cleaned
             WHERE length(t) >= 1
             GROUP BY source ORDER BY source
+        """,
+        "page_meta": """
+            -- GROUND-TRUTH oracle: titles and descriptions are seeded by
+            -- doc_id arithmetic, so the expected extraction is known
+            -- without running any regex.
+            WITH expect AS (
+                SELECT source,
+                       'T & ' || CAST(doc_id AS VARCHAR) AS title,
+                       CASE WHEN doc_id % 5 = 0 THEN NULL
+                            ELSE 'D ' || CAST(doc_id AS VARCHAR) END AS meta_description
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(meta_description) AS n_with_desc,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                         title || '|' || coalesce(meta_description, '~')
+                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS meta_checksum
+            FROM expect GROUP BY source ORDER BY source
         """,
         "canonical_collapse": """
             -- GROUND-TRUTH oracle: the declared canonicals are seeded by

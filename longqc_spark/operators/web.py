@@ -998,3 +998,57 @@ def canonical_collapse(
     out = df.withColumn("canonical_url", ident)
     w = Window.partitionBy(surrogate).orderBy(key_col)
     return out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_META_DESC_RE = (
+    r"(?is)<meta\b(?:[^>]*\sname\s*=\s*['\"]?description\b[^>]*"
+    r"\scontent\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^'\"\s>]+))"
+    r"|[^>]*\scontent\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^'\"\s>]+))[^>]*"
+    r"\sname\s*=\s*['\"]?description\b)"
+)
+
+
+def page_meta_exprs(df: DataFrame, html_col: str = "html") -> dict[str, Column]:
+    """Page-metadata extraction: ``title`` (the <title> element's text,
+    tag-stripped / whitespace-normalized / entity-unescaped like block
+    text) and ``meta_description`` (the <meta name="description">
+    content, either attribute order, any quoting) — the two page-level
+    signals quality classifiers and SERP-style dedup keys lean on.
+    NULL html → NULL; absent element → NULL.
+
+    Returns {name: Column} so callers select exactly what they need; both
+    are pure JVM regexp maps that fuse into the scan (zero shuffle)."""
+    s = F.regexp_replace(_html_string(df, html_col), _SCRIPT_STYLE_COMMENT_RE, " ")
+    title_raw = F.regexp_extract(s, _TITLE_RE, 1)
+    title = _unescape_entities(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(title_raw, _INLINE_TAG_RE, " "), r"\s+", " "
+            )
+        )
+    )
+    # six capture groups: 1-3 = name-first (dquote/squote/bare), 4-6 =
+    # content-first; coalesce on the empty-string sentinel regexp_extract
+    # returns for a non-participating group
+    descs = [F.regexp_extract(s, _META_DESC_RE, i) for i in range(1, 7)]
+    desc_raw = None
+    for d in descs:
+        desc_raw = d if desc_raw is None else F.when(desc_raw != "", desc_raw).otherwise(d)
+    desc = _unescape_entities(F.trim(F.regexp_replace(desc_raw, r"\s+", " ")))
+    return {
+        "title": F.when(title != "", title),
+        "meta_description": F.when(desc != "", desc),
+    }
+
+
+def with_page_meta(
+    df: DataFrame, html_col: str = "html", prefix: str = ""
+) -> DataFrame:
+    """Annotate with ``title`` and ``meta_description`` (see
+    :func:`page_meta_exprs`); ``prefix`` namespaces the output columns."""
+    cols = page_meta_exprs(df, html_col)
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(prefix + name, c)
+    return out

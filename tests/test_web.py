@@ -648,3 +648,30 @@ def test_declared_canonical_resolution_and_normalization(spark):
     assert 5 in out and 6 not in out              # declared+syntactic twins collapse
     assert out[5] == "https://e.com/art"
     assert out[7] == "https://f.com/x"            # evil identity never adopted
+
+
+def test_page_meta_extraction(spark):
+    """title and meta-description: nested tags flattened + entities
+    unescaped in titles; description found in either attribute order and
+    any quoting; a NON-description meta never matches; absent element and
+    NULL html -> NULL."""
+    from longqc_spark.operators.web import with_page_meta
+
+    rows = [
+        (1, b"<html><head><title>Big &amp; <b>bold</b>  news</title>"
+            b'<meta name="description" content="A short summary."></head></html>'),
+        (2, b"<html><head><META CONTENT='reversed order' NAME=description>"
+            b"</head><body></body></html>"),
+        (3, b'<html><head><meta name="keywords" content="not this">'
+            b"<title></title></head></html>"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, html binary")
+    got = {
+        r["id"]: (r["title"], r["meta_description"])
+        for r in with_page_meta(df).collect()
+    }
+    assert got[1] == ("Big & bold news", "A short summary.")
+    assert got[2] == (None, "reversed order")
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
