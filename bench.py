@@ -65,6 +65,9 @@ BENCH_QUERIES = (
     "optout_filter",
     "lang_thresholds",
     "anchor_extract",
+    "canonical_collapse",
+    "page_meta",
+    "zlib_quality",
 )
 
 
