@@ -896,6 +896,156 @@ def q_zlib_quality(spark: SparkSession, sf: str) -> DataFrame:  # text: compress
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:  # S3/S4: WARC container codec
+    """WARC (ISO 28500) container round-trip: each Arrow batch of documents
+    is encoded into an in-memory ``.warc.gz`` (per-record gzip members —
+    the Common Crawl framing) and split + decoded back, all executor-side
+    in one narrow mapInPandas stage (``longqc_spark/warc.py``). Per-host
+    rollup with a checksum over (url, WARC-Date epoch, HTTP status,
+    payload-md5), so record framing, the gzip member walk, the HTTP
+    unwrap, WARC-Date parsing and byte-exact payload recovery are all
+    verified against a plain-SQL oracle that never sees a WARC byte.
+    Reference analog: whole-container record scans (fast5 dirs,
+    lq_nanopore.py; bam via pysam, lq_coverage) — the multi-record binary
+    container transplanted to the web-native format."""
+    from longqc_spark.warc import warc_roundtrip
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    enc_in = docs.select(
+        F.concat(
+            F.lit("https://"),
+            "source",
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("doc_id")).cast("bigint").alias("ts_epoch"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = warc_roundtrip(enc_in)
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("url"),
+                    F.col("ts_epoch").cast("string"),
+                    F.col("http_status").cast("string"),
+                    F.md5("payload"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        out.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum(h).cast("bigint").alias("warc_checksum"),
+        )
+        .orderBy("host")
+    )
+
+
+def _graph_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic link-graph corpus: every document becomes a page on
+    host ``h{doc_id % 16}.example``; each text line links to host
+    ``h{md5(line) % 16}.example`` (href carries the 6-hex line digest), a
+    nav ``href="/"`` anchor resolves to the page's own host, and a
+    script-embedded decoy anchor to a REAL host (h0) must not leak —
+    extract_anchors' script-stripping is load-bearing for the counts."""
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    host_k = (F.col("doc_id") % 16).cast("string")
+
+    def _line_anchor(l):
+        digest6 = F.substring(F.md5(l.cast("binary")), 1, 6)
+        k = (F.conv(digest6, 16, 10).cast("bigint") % 16).cast("string")
+        return F.concat(
+            F.lit('<p><a href="https://h'),
+            k,
+            F.lit(".example/l/"),
+            digest6,
+            F.lit('">'),
+            l,
+            F.lit("</a></p>"),
+        )
+
+    body = F.array_join(F.transform(F.split("text", r"\n"), _line_anchor), "")
+    html = F.concat(
+        F.lit(
+            '<html><head><script>var a="<a href=https://h0.example/zzz>decoy'
+            '</a>";</script></head><body><div id="nav"><a href="/">Home</a></div>'
+        ),
+        body,
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://h"), host_k, F.lit(".example/d/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:  # graph: host link edges
+    """Host→host link-edge extraction (operators/graph.py): absolute,
+    protocol-relative and relative hrefs all resolve to destination hosts,
+    self-loops dropped, script decoys excluded. Per-source-host rollup of
+    distinct out-hosts, total link multiplicity, and a checksum over
+    (dst_host, n_links) — the oracle recomputes the expected edges from
+    the seeding arithmetic without parsing any HTML."""
+    from longqc_spark.operators.graph import host_link_edges
+
+    edges = host_link_edges(_graph_pages(spark, sf))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("dst_host"), F.col("n_links").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        edges.groupBy("src_host")
+        .agg(
+            F.count(F.lit(1)).alias("out_hosts"),
+            F.sum("n_links").cast("bigint").alias("total_links"),
+            F.sum(h).cast("bigint").alias("edge_checksum"),
+        )
+        .orderBy("src_host")
+    )
+
+
+def q_host_rank(spark: SparkSession, sf: str) -> DataFrame:  # graph: PageRank centrality
+    """PageRank host centrality — the link-graph quality prior (the CC
+    host webgraph use case): distinct host edges (self-loops KEPT — the
+    nav anchor guarantees every crawled host has out-degree ≥ 1, so no
+    dangling mass by construction), restricted to the crawled-host
+    subgraph, 8 damped power iterations at d=0.85. The DuckDB oracle runs
+    the SAME recurrence as a recursive CTE — an independent engine's
+    fixed-point agreeing to 6 decimals on every host."""
+    from longqc_spark.operators.graph import host_link_edges, pagerank
+
+    edges = (
+        host_link_edges(_graph_pages(spark, sf), drop_self=False)
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    srcs = edges.select(F.col("src_host").alias("dst_host")).distinct()
+    crawled = edges.join(srcs, "dst_host", "semi")
+    ranks = pagerank(crawled, iters=8)
+    return ranks.select("host", F.round("rank", 6).alias("rank")).orderBy("host")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3041,10 +3191,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # round-4g page-metadata extraction (ground-truth oracle; anchor
     # rule_fractions rotated out — driver-green r2, F1-gated in pytest)
     "page_meta",
-    # driver-green anchors: core stats + dedup + sampling (r1/r2-green)
-    "length_stats",
+    # round-4h WARC container round-trip + host link graph + PageRank
+    # (ground-truth / recursive-CTE oracles; anchors ngram_jaccard,
+    # length_stats, fuzzy_scrub rotated out — all driver-green r2/r3)
+    "warc_roundtrip", "link_graph", "host_rank",
+    # driver-green anchors: core dedup (r2/r3-green)
     "exact_dedup", "incremental_dedup",
-    "ngram_jaccard", "fuzzy_scrub", "decontaminate",
+    "decontaminate",
     "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
@@ -3132,6 +3285,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": q_canonical_collapse,
         "page_meta": q_page_meta,
         "zlib_quality": q_zlib_quality,
+        "warc_roundtrip": q_warc_roundtrip,
+        "link_graph": q_link_graph,
+        "host_rank": q_host_rank,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -3860,6 +4016,101 @@ def oracle_sql() -> dict[str, str]:
                          title || '|' || coalesce(meta_description, '~')
                        ), 1, 8)) AS BIGINT)) AS BIGINT) AS meta_checksum
             FROM expect GROUP BY source ORDER BY source
+        """,
+        "warc_roundtrip": """
+            -- GROUND-TRUTH oracle: the WARC blob is encode(x) of known
+            -- rows, so decode(encode(x)) must reproduce them; the oracle
+            -- recomputes the expected rollup without seeing a WARC byte.
+            WITH rec AS (
+                SELECT source || '.example' AS host,
+                       'https://' || source || '.example/doc/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       1700000000 + doc_id AS ts_epoch,
+                       200 AS http_status,
+                       octet_length(encode(text)) AS n_bytes,
+                       md5(text) AS pmd5
+                FROM documents
+                WHERE text IS NOT NULL
+            )
+            SELECT host,
+                   count(*) AS n_records,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                         url || '|' || CAST(ts_epoch AS VARCHAR) || '|'
+                             || CAST(http_status AS VARCHAR) || '|' || pmd5
+                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS warc_checksum
+            FROM rec GROUP BY host ORDER BY host
+        """,
+        "link_graph": """
+            -- GROUND-TRUTH oracle: edges are seeded by line-digest
+            -- arithmetic (line → h{md5%16}) plus the nav self anchor, so
+            -- the expected graph is known without parsing any HTML.
+            WITH pages AS (
+                SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.example' AS src,
+                       text
+                FROM documents WHERE text IS NOT NULL
+            ), all_edges AS (
+                SELECT src,
+                       'h' || CAST(CAST(('0x' || substr(md5(l), 1, 6)) AS BIGINT) % 16
+                             AS VARCHAR) || '.example' AS dst
+                FROM (SELECT src, unnest(string_split(text, chr(10))) AS l
+                      FROM pages) t
+                UNION ALL
+                SELECT src, src FROM pages  -- the nav "/" anchor
+            ), e AS (
+                SELECT src AS src_host, dst AS dst_host, count(*) AS n_links
+                FROM all_edges WHERE src <> dst GROUP BY src, dst
+            )
+            SELECT src_host,
+                   count(*) AS out_hosts,
+                   CAST(sum(n_links) AS BIGINT) AS total_links,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                         dst_host || '|' || CAST(n_links AS VARCHAR)
+                       ), 1, 8)) AS BIGINT)) AS BIGINT) AS edge_checksum
+            FROM e GROUP BY src_host ORDER BY src_host
+        """,
+        "host_rank": """
+            -- Independent fixed-point: the SAME damped power iteration as
+            -- a recursive CTE over the ground-truth edge seeding. Every
+            -- crawled host self-links (nav anchor) so no dangling mass.
+            WITH RECURSIVE
+            pages AS (
+                SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.example' AS src,
+                       text
+                FROM documents WHERE text IS NOT NULL
+            ), all_edges AS (
+                SELECT src,
+                       'h' || CAST(CAST(('0x' || substr(md5(l), 1, 6)) AS BIGINT) % 16
+                             AS VARCHAR) || '.example' AS dst
+                FROM (SELECT src, unnest(string_split(text, chr(10))) AS l
+                      FROM pages) t
+                UNION ALL
+                SELECT src, src FROM pages
+            ), e AS (
+                SELECT DISTINCT src, dst FROM all_edges
+                WHERE dst IN (SELECT src FROM all_edges)
+            ), outd AS (
+                SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+            ), nodes AS (
+                SELECT DISTINCT src AS h FROM e
+            ), pr(it, host, r) AS (
+                SELECT 0, h, 1.0 / (SELECT count(*) FROM nodes) FROM nodes
+                UNION ALL
+                SELECT it + 1, host,
+                       0.15 / (SELECT count(*) FROM nodes)
+                           + 0.85 * coalesce(s, 0.0)
+                FROM (
+                    SELECT any_value(p.it) AS it, nd.h AS host,
+                           sum(p.r / o.d) AS s
+                    FROM nodes nd
+                    LEFT JOIN e ON e.dst = nd.h
+                    LEFT JOIN pr p ON p.host = e.src
+                    LEFT JOIN outd o ON o.src = e.src
+                    GROUP BY nd.h
+                ) step
+                WHERE it < 8
+            )
+            SELECT host, round(r, 6) AS rank FROM pr WHERE it = 8 ORDER BY host
         """,
         "canonical_collapse": """
             -- GROUND-TRUTH oracle: the declared canonicals are seeded by
