@@ -1046,6 +1046,63 @@ def q_host_rank(spark: SparkSession, sf: str) -> DataFrame:  # graph: PageRank c
     return ranks.select("host", F.round("rank", 6).alias("rank")).orderBy("host")
 
 
+def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: RFC 9309 crawl consent
+    """RFC 9309 robots.txt gate (operators/robots.py): even-k hosts (k%5≠3)
+    publish a robots body with a ccbot-specific block (must be IGNORED by
+    the '*' caller), a Disallow/Allow longest-match pair (/d/1 vs /d/12)
+    and a wildcard-anchored Disallow (/*9$); other hosts publish nothing.
+    Per-host rollup of page count, allowed count, and a checksum over the
+    allowed doc_ids. GROUND-TRUTH oracle: the expected decision is pure
+    doc_id-digit arithmetic — blocked iff the id starts with 1 (not 12) or
+    ends with 9 (not starting 12), on a ruled host — so group selection,
+    precedence, tie-break, wildcard and anchor semantics are all pinned."""
+    from longqc_spark.operators.robots import parse_robots_rules, robots_gate
+
+    docs = _read(spark, sf, "documents")
+    k = F.col("doc_id") % 16
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), k.cast("string"), F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    body = (
+        "User-agent: ccbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /d/1   # longest-match vs the Allow below\n"
+        "Allow: /d/12\nDisallow: /*9$\nDisallow:\n"
+        "Sitemap: https://x.example/s.xml\n"
+    )
+    robots = (
+        docs.select(k.alias("k"))
+        .distinct()
+        .filter((F.col("k") % 2 == 0) & (F.col("k") % 5 != 3))
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            F.lit(body).alias("robots_txt"),
+        )
+    )
+    rules = parse_robots_rules(robots, user_agent="*")
+    gated = robots_gate(pages, rules, keep="both")
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        gated.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_if(F.col("robots_allowed")).alias("n_allowed"),
+            F.sum(F.when(F.col("robots_allowed"), h).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("allowed_checksum"),
+        )
+        .orderBy("host")
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3195,9 +3252,11 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # (ground-truth / recursive-CTE oracles; anchors ngram_jaccard,
     # length_stats, fuzzy_scrub rotated out — all driver-green r2/r3)
     "warc_roundtrip", "link_graph", "host_rank",
+    # round-4h RFC 9309 robots gate (ground-truth oracle; anchor
+    # decontaminate rotated out — driver-green r3)
+    "robots_gate",
     # driver-green anchors: core dedup (r2/r3-green)
     "exact_dedup", "incremental_dedup",
-    "decontaminate",
     "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
@@ -3288,6 +3347,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "link_graph": q_link_graph,
         "host_rank": q_host_rank,
+        "robots_gate": q_robots_gate,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4040,6 +4100,35 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(http_status AS VARCHAR) || '|' || pmd5
                        ), 1, 8)) AS BIGINT)) AS BIGINT) AS warc_checksum
             FROM rec GROUP BY host ORDER BY host
+        """,
+        "robots_gate": """
+            -- GROUND-TRUTH oracle: the robots bodies are seeded so the
+            -- expected decision is doc_id-digit arithmetic; no robots
+            -- parsing happens here. Ruled host: k even and k%5<>3.
+            -- Blocked iff id starts '1' (and not '12') or ends '9' (and
+            -- not starting '12' — the Allow /d/12 outranks /*9$ by
+            -- length). Unruled hosts allow everything.
+            WITH pages AS (
+                SELECT doc_id,
+                       doc_id % 16 AS k,
+                       'h' || CAST(doc_id % 16 AS VARCHAR) || '.example' AS host,
+                       CAST(doc_id AS VARCHAR) AS ds
+                FROM documents
+            ), dec AS (
+                SELECT host, doc_id,
+                       NOT ( (k % 2 = 0 AND k % 5 <> 3)
+                             AND ( (ds LIKE '1%' AND ds NOT LIKE '12%')
+                                   OR (ds LIKE '%9' AND ds NOT LIKE '12%') )
+                           ) AS allowed
+                FROM pages
+            )
+            SELECT host,
+                   count(*) AS n_pages,
+                   count(*) FILTER (WHERE allowed) AS n_allowed,
+                   CAST(sum(CASE WHEN allowed THEN
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS allowed_checksum
+            FROM dec GROUP BY host ORDER BY host
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

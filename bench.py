@@ -68,6 +68,10 @@ BENCH_QUERIES = (
     "canonical_collapse",
     "page_meta",
     "zlib_quality",
+    # round-4h WARC container + host graph
+    "warc_roundtrip",
+    "link_graph",
+    "host_rank",
 )
 
 
