@@ -68,10 +68,11 @@ BENCH_QUERIES = (
     "canonical_collapse",
     "page_meta",
     "zlib_quality",
-    # round-4h WARC container + host graph
+    # round-4h WARC container + host graph + robots gate
     "warc_roundtrip",
     "link_graph",
     "host_rank",
+    "robots_gate",
 )
 
 
