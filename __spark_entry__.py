@@ -1103,6 +1103,50 @@ def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: RFC 9309 c
     )
 
 
+def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:  # web: CDXJ index round-trip
+    """CDX(J) crawl-index round-trip (operators/cdx.py): four URL shapes
+    per doc_id exercise the SURT canonicalizer (www-strip + query-param
+    sort, non-default port kept after host reversal, :443 + userinfo +
+    fragment dropped, empty path -> '/'), each formatted as a CDXJ line
+    and parsed back. GROUND-TRUTH oracle: the expected urlkey is pure
+    doc_id arithmetic, so SURT semantics and the line format are pinned
+    end-to-end, and the ts epoch survives the 14-digit timestamp format."""
+    from longqc_spark.operators.cdx import format_cdx_line, parse_cdx_lines
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    k, h = d % 4, (d % 7).cast("string")
+    ds = d.cast("string")
+    url = (
+        F.when(k == 0, F.concat(F.lit("HTTP://WWW.H"), h, F.lit(".COM/p/"), ds,
+                                F.lit("?b=2&a=1")))
+        .when(k == 1, F.concat(F.lit("https://a.h"), h, F.lit(".org:8080/"), ds))
+        .when(k == 2, F.concat(F.lit("https://u:p@h"), h, F.lit(".net:443/x/"),
+                               ds, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://h"), h, F.lit(".io")))
+    )
+    captures = docs.select(
+        url.alias("url"),
+        (F.lit(1700000000) + d).alias("ts_epoch"),
+        F.lit("text/html").alias("mime"),
+        (F.lit(200) + k.cast("int")).alias("status"),
+        ds.alias("digest"),
+        d.alias("length"),
+    )
+    lines = captures.select(format_cdx_line().alias("value"))
+    return (
+        parse_cdx_lines(lines)
+        .select(
+            "urlkey",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            "status",
+            F.col("length").alias("rec_len"),
+            "digest",
+        )
+        .orderBy("rec_len")
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3253,10 +3297,12 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # length_stats, fuzzy_scrub rotated out — all driver-green r2/r3)
     "warc_roundtrip", "link_graph", "host_rank",
     # round-4h RFC 9309 robots gate (ground-truth oracle; anchor
-    # decontaminate rotated out — driver-green r3)
-    "robots_gate",
+    # decontaminate rotated out — driver-green r3) and the CDXJ index
+    # round-trip (ground-truth SURT oracle; anchor exact_dedup rotated
+    # out — driver-green r3)
+    "robots_gate", "cdx_index",
     # driver-green anchors: core dedup (r2/r3-green)
-    "exact_dedup", "incremental_dedup",
+    "incremental_dedup",
     "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
@@ -3348,6 +3394,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "host_rank": q_host_rank,
         "robots_gate": q_robots_gate,
+        "cdx_index": q_cdx_index,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4129,6 +4176,28 @@ def oracle_sql() -> dict[str, str]:
                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                               AS BIGINT) ELSE 0 END) AS BIGINT) AS allowed_checksum
             FROM dec GROUP BY host ORDER BY host
+        """,
+        "cdx_index": """
+            -- GROUND-TRUTH oracle: the four URL shapes are seeded so the
+            -- expected SURT urlkey is doc_id arithmetic; no URL parsing
+            -- happens here. k=0: www+query-sort; k=1: port kept after
+            -- host reversal; k=2: userinfo/:443/fragment dropped;
+            -- k=3: empty path -> '/'.
+            SELECT CASE doc_id % 4
+                     WHEN 0 THEN 'com,h' || CAST(doc_id % 7 AS VARCHAR)
+                                 || ')/p/' || CAST(doc_id AS VARCHAR)
+                                 || '?a=1&b=2'
+                     WHEN 1 THEN 'org,h' || CAST(doc_id % 7 AS VARCHAR)
+                                 || ',a:8080)/' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'net,h' || CAST(doc_id % 7 AS VARCHAR)
+                                 || ')/x/' || CAST(doc_id AS VARCHAR)
+                     ELSE 'io,h' || CAST(doc_id % 7 AS VARCHAR) || ')/'
+                   END AS urlkey,
+                   CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch,
+                   CAST(200 + doc_id % 4 AS INTEGER) AS status,
+                   CAST(doc_id AS BIGINT) AS rec_len,
+                   CAST(doc_id AS VARCHAR) AS digest
+            FROM documents ORDER BY rec_len
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

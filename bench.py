@@ -73,6 +73,7 @@ BENCH_QUERIES = (
     "link_graph",
     "host_rank",
     "robots_gate",
+    "cdx_index",
 )
 
 
