@@ -1147,6 +1147,35 @@ def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:  # web: CDXJ index r
     )
 
 
+def q_etld1_domains(spark: SparkSession, sf: str) -> DataFrame:  # web: public-suffix eTLD+1
+    """Public-suffix registrable-domain extraction (operators/psl.py):
+    five host shapes per doc_id exercise the PSL algorithm — plain TLD,
+    longest-match (co.uk over uk), wildcard (*.ck), exception (!www.ck)
+    and the implicit-* fallback for an unlisted TLD. GROUND-TRUTH
+    oracle: the expected (public_suffix, registrable_domain) pair is
+    pure doc_id arithmetic, so match precedence and the eTLD+1 grain
+    are pinned per document."""
+    from longqc_spark.operators.psl import (
+        PSL_MINI, parse_psl_rules, with_registrable_domain,
+    )
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    k, h = d % 5, (d % 7).cast("string")
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://a.b.s"), h, F.lit(".com/x")))
+        .when(k == 1, F.concat(F.lit("https://x.s"), h, F.lit(".co.uk/")))
+        .when(k == 2, F.concat(F.lit("https://b"), h, F.lit(".foo.ck/")))
+        .when(k == 3, F.lit("https://sub.www.ck/"))
+        .otherwise(F.concat(F.lit("https://t"), h, F.lit(".example/")))
+    )
+    rules = parse_psl_rules(spark, PSL_MINI)
+    out = with_registrable_domain(docs.select("doc_id", url.alias("url")), rules)
+    return out.select(
+        "doc_id", "host", "public_suffix", "registrable_domain"
+    ).orderBy("doc_id")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3299,10 +3328,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # round-4h RFC 9309 robots gate (ground-truth oracle; anchor
     # decontaminate rotated out — driver-green r3) and the CDXJ index
     # round-trip (ground-truth SURT oracle; anchor exact_dedup rotated
-    # out — driver-green r3)
-    "robots_gate", "cdx_index",
-    # driver-green anchors: core dedup (r2/r3-green)
-    "incremental_dedup",
+    # out — driver-green r3) and the PSL eTLD+1 extractor (ground-truth
+    # oracle; anchor incremental_dedup rotated out — driver-green r3)
+    "robots_gate", "cdx_index", "etld1_domains",
     "incremental_line_dedup", "fix_encoding",
     # (asof_join/range_join/attribution_join rotated out for the three
     # crawl-snapshot queries; collect_set/moving_avg/sessionize for
@@ -3395,6 +3423,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "robots_gate": q_robots_gate,
         "cdx_index": q_cdx_index,
+        "etld1_domains": q_etld1_domains,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4198,6 +4227,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id AS BIGINT) AS rec_len,
                    CAST(doc_id AS VARCHAR) AS digest
             FROM documents ORDER BY rec_len
+        """,
+        "etld1_domains": """
+            -- GROUND-TRUTH oracle: the five host shapes are seeded so
+            -- the expected PSL outcome is doc_id arithmetic; no suffix
+            -- matching happens here. k=0 plain TLD, k=1 longest match,
+            -- k=2 wildcard *.ck, k=3 exception !www.ck, k=4 implicit *.
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'a.b.s' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                     WHEN 1 THEN 'x.s' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                     WHEN 2 THEN 'b' || CAST(doc_id % 7 AS VARCHAR) || '.foo.ck'
+                     WHEN 3 THEN 'sub.www.ck'
+                     ELSE 't' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                   END AS host,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'com'
+                     WHEN 1 THEN 'co.uk'
+                     WHEN 2 THEN 'foo.ck'
+                     WHEN 3 THEN 'ck'
+                     ELSE 'example'
+                   END AS public_suffix,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 's' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                     WHEN 1 THEN 's' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                     WHEN 2 THEN 'b' || CAST(doc_id % 7 AS VARCHAR) || '.foo.ck'
+                     WHEN 3 THEN 'www.ck'
+                     ELSE 't' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                   END AS registrable_domain
+            FROM documents ORDER BY doc_id
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

@@ -74,6 +74,7 @@ BENCH_QUERIES = (
     "host_rank",
     "robots_gate",
     "cdx_index",
+    "etld1_domains",
 )
 
 
