@@ -1176,6 +1176,36 @@ def q_etld1_domains(spark: SparkSession, sf: str) -> DataFrame:  # web: public-s
     ).orderBy("doc_id")
 
 
+def q_mirror_hosts(spark: SparkSession, sf: str) -> DataFrame:  # web: mirror-site detection
+    """Mirror-site detection (operators/mirror.py): hosts h{k} and
+    h{k+8} share the content digest of every even 16-doc group (odd
+    groups get per-doc unique digests), and a 'bp' boilerplate digest
+    rides on all 16 hosts to exercise the document-frequency guard
+    (>4 hosts → cut). FULL SQL oracle: the digest-bucket self-join,
+    guard, set sizes, containment and Jaccard are replicated 1:1 in
+    DuckDB, so the pair math is value-pinned."""
+    from longqc_spark.operators.mirror import mirror_pairs
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    g = F.expr("doc_id div 16")
+    host = F.concat(F.lit("h"), (d % 16).cast("string"))
+    digest = F.when(
+        g % 2 == 0,
+        F.md5(
+            F.concat(g.cast("string"), F.lit("-"), (d % 8).cast("string")).cast(
+                "binary"
+            )
+        ),
+    ).otherwise(F.concat(F.lit("u"), d.cast("string")))
+    pages = docs.select(host.alias("host"), digest.alias("digest")).unionByName(
+        docs.select(host.alias("host"), F.lit("bp").alias("digest"))
+    )
+    return mirror_pairs(
+        pages, min_shared=2, min_containment=0.5, max_hosts=4
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3424,6 +3454,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "cdx_index": q_cdx_index,
         "etld1_domains": q_etld1_domains,
+        "mirror_hosts": q_mirror_hosts,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4256,6 +4287,46 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 't' || CAST(doc_id % 7 AS VARCHAR) || '.example'
                    END AS registrable_domain
             FROM documents ORDER BY doc_id
+        """,
+        "mirror_hosts": """
+            -- 1:1 replica of the mirror detector's relational plan:
+            -- distinct (host,digest) page sets + 'bp' boilerplate on all
+            -- hosts, document-frequency guard (>4 hosts), digest self-join
+            -- with host_a < host_b, containment/Jaccard vs post-guard set
+            -- sizes.
+            WITH hd AS (
+                SELECT DISTINCT
+                       'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                       CASE WHEN (doc_id // 16) % 2 = 0
+                            THEN md5(CAST(doc_id // 16 AS VARCHAR) || '-'
+                                     || CAST(doc_id % 8 AS VARCHAR))
+                            ELSE 'u' || CAST(doc_id AS VARCHAR) END AS digest
+                FROM documents
+                UNION
+                SELECT DISTINCT 'h' || CAST(doc_id % 16 AS VARCHAR), 'bp'
+                FROM documents
+            ), hd2 AS (
+                SELECT * FROM hd WHERE digest NOT IN (
+                    SELECT digest FROM hd GROUP BY digest HAVING count(*) > 4
+                )
+            ), sizes AS (
+                SELECT host, count(*) AS sz FROM hd2 GROUP BY host
+            ), shared AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       count(*) AS shared
+                FROM hd2 a JOIN hd2 b
+                  ON a.digest = b.digest AND a.host < b.host
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT host_a, host_b, shared,
+                   sa.sz AS size_a, sb.sz AS size_b,
+                   round(shared / least(sa.sz, sb.sz), 6) AS containment,
+                   round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
+            WHERE shared / least(sa.sz, sb.sz) >= 0.5
+            ORDER BY containment DESC, host_a, host_b
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

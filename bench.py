@@ -75,6 +75,7 @@ BENCH_QUERIES = (
     "robots_gate",
     "cdx_index",
     "etld1_domains",
+    "mirror_hosts",
 )
 
 

@@ -96,6 +96,15 @@ def main(argv: list[str] | None = None) -> int:
                         "(syntactic canonical as fallback) — collapses "
                         "alias URLs that share no syntactic form (needs an "
                         "html column: --html-col, or one named 'html')")
+    p.add_argument("--collapse-mirrors", action="store_true",
+                   help="web-hygiene stage 0: detect host pairs whose "
+                        "text-digest page sets overlap >=50%% (after the "
+                        "boilerplate guard) and drop the lexicographically "
+                        "larger host of each pair wholesale")
+    p.add_argument("--mirror-min-containment", type=float, default=0.5,
+                   metavar="C",
+                   help="mirror call threshold: shared pages / smaller "
+                        "host's page-set size (default 0.5)")
     p.add_argument("--domain-cap", type=int, default=None, metavar="N",
                    help="web-hygiene stage 0: cap each registered domain at "
                         "its N best-keyed docs")
@@ -360,6 +369,8 @@ def main(argv: list[str] | None = None) -> int:
             ts_col=args.ts_col,
             dedup_urls=args.dedup_urls,
             dedup_urls_declared=args.dedup_urls_declared,
+            collapse_mirrors=args.collapse_mirrors,
+            mirror_min_containment=args.mirror_min_containment,
             domain_cap_n=args.domain_cap,
             line_dedup_min_docs=args.line_dedup_min_docs,
             blocklist=bl,

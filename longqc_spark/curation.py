@@ -60,6 +60,10 @@ def web_hygiene(
     ts_col: str = "warc_ts",
     dedup_urls: bool = False,
     dedup_urls_declared: bool = False,
+    collapse_mirrors: bool = False,
+    mirror_min_shared: int = 2,
+    mirror_min_containment: float = 0.5,
+    mirror_max_hosts: int = 16,
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
@@ -151,6 +155,36 @@ def web_hygiene(
         src = canonical_collapse(src, url_col=key_col, key_col=key_col, html_col=oc)
     elif dedup_urls:
         src = url_dedup(src, url_col=key_col, key_col=key_col)
+    if collapse_mirrors:
+        # After URL-grain dedup (page sets should reflect deduped pages)
+        # and BEFORE the domain cap — a mirror must not consume cap quota
+        # for content its original already holds. Needs text digests, so
+        # extraction-deferred html inputs must extract first. The pairs
+        # subtree re-reads the hygiene prefix once (pairs output is tiny
+        # and broadcast back; see mirror_collapse).
+        from .operators.mirror import mirror_collapse, mirror_pairs
+        from .operators.psl import host_expr
+
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "collapse_mirrors digests the TEXT column; with an "
+                "extraction-deferred html_col run extraction first or drop "
+                "the flag"
+            )
+        tagged = src.withColumn("_mhost", host_expr(key_col)).withColumn(
+            "_mdigest", F.md5(F.col(text_col).cast("binary"))
+        )
+        pairs = mirror_pairs(
+            tagged,
+            host_col="_mhost",
+            digest_col="_mdigest",
+            min_shared=mirror_min_shared,
+            min_containment=mirror_min_containment,
+            max_hosts=mirror_max_hosts,
+        )
+        src = mirror_collapse(tagged, pairs, host_col="_mhost").drop(
+            "_mhost", "_mdigest"
+        )
     if domain_cap_n is not None:
         src = domain_cap(src, cap=domain_cap_n, url_col=key_col, key_col=key_col)
     if fix_encoding_passes is not None:
@@ -250,6 +284,10 @@ def curate(
     ts_col: str = "warc_ts",
     dedup_urls: bool = False,
     dedup_urls_declared: bool = False,
+    collapse_mirrors: bool = False,
+    mirror_min_shared: int = 2,
+    mirror_min_containment: float = 0.5,
+    mirror_max_hosts: int = 16,
     domain_cap_n: int | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
@@ -277,7 +315,11 @@ def curate(
        snapshot collapse
        (``collapse_snapshots`` — newest ``ts_col`` fetch per canonical URL
        wins) or URL dedup (``dedup_urls`` — min-key winner, for
-       single-snapshot inputs), then per-domain representation cap
+       single-snapshot inputs), then mirror-site collapse
+       (``collapse_mirrors`` — hosts whose text-digest page sets overlap
+       past ``mirror_min_containment`` lose their lexicographically
+       larger member wholesale; see ``operators.mirror``), then
+       per-domain representation cap
        (``domain_cap_n``), then per-language adaptive thresholds
        (``lang_thresholds`` / ``lang_default`` / ``lang_col``), then C4
        line-level heuristic cleaning
@@ -348,6 +390,10 @@ def curate(
         ts_col=ts_col,
         dedup_urls=dedup_urls,
         dedup_urls_declared=dedup_urls_declared,
+        collapse_mirrors=collapse_mirrors,
+        mirror_min_shared=mirror_min_shared,
+        mirror_min_containment=mirror_min_containment,
+        mirror_max_hosts=mirror_max_hosts,
         domain_cap_n=domain_cap_n,
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,
