@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "c4_clean block_extract fix_encoding latest_crawl blocklist neardup keep_best pack_seqs "
+        "c4_clean block_extract fix_encoding latest_crawl mirror blocklist neardup keep_best pack_seqs "
         "pack_rows neardup_keep_best curate_full scrub_spans skew) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
@@ -442,6 +442,37 @@ def main() -> None:
             "sec": round(best, 1),
             "docs_per_sec": round(args.docs / best),
             "n_kept": n_kept,
+        }
+
+    # -- mirror-site detection at corpus scale: 40k hosts arranged as 20k
+    # perfect mirror pairs (each site's pages split by page-number parity
+    # across host -0/-1, digest keyed by the halved page number so the two
+    # hosts share every digest), PLUS a 5% boilerplate flood concentrated
+    # on 100 digests that land on ~all hosts — without the document-
+    # frequency guard those 100 keys alone would emit ~10^11 join pairs;
+    # with it the self-join stays ~1 pair-row per corpus doc. --
+    if want("mirror"):
+        from longqc_spark.operators.mirror import mirror_pairs
+
+        pages = docs.selectExpr(
+            "concat('h', pmod(xxhash64(url), 20000), '-', "
+            f"pmod(pmod(xxhash64(url), {args.docs}) div 20000, 2)) AS host",
+            "CASE WHEN pmod(xxhash64(url, 5), 20) = 0 "
+            "THEN concat('bp', pmod(xxhash64(url), 100)) "
+            "ELSE md5(concat(pmod(xxhash64(url), 20000), '-', "
+            f"(pmod(xxhash64(url), {args.docs}) div 20000) div 2)) END AS digest",
+        )
+        best = float("inf")
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_pairs = mirror_pairs(
+                pages, min_shared=2, min_containment=0.5, max_hosts=16
+            ).count()
+            best = min(best, time.time() - t0)
+        out["mirror_pairs"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_pairs": n_pairs,
         }
 
     # -- cross-run NEAR-dup at corpus scale: the committed run is 1/2 of the
