@@ -1206,6 +1206,72 @@ def q_mirror_hosts(spark: SparkSession, sf: str) -> DataFrame:  # web: mirror-si
     )
 
 
+def q_sitemap_coverage(spark: SparkSession, sf: str) -> DataFrame:  # web: sitemap vs crawl
+    """Sitemap parse + crawl-coverage join (operators/sitemap.py): each
+    doc contributes one <url> block (entity-escaped loc + lastmod day
+    seeded by doc_id); the crawl fetched the d%3!=0 docs on 2024-03-10,
+    so a page is stale iff its lastmod day exceeds 10. GROUND-TRUTH
+    oracle: listed/crawled/stale counts per host are doc_id arithmetic,
+    pinning the block regex, entity unescape, W3C date parse, and the
+    coverage/staleness join."""
+    from longqc_spark.operators.sitemap import (
+        parse_sitemap_entries, sitemap_coverage,
+    )
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    k = (d % 8).cast("string")
+    day = F.lpad((d % 20 + 1).cast("string"), 2, "0")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), k, F.lit("/p/"),
+        d.cast("string"), F.lit("&amp;v</loc><lastmod>2024-03-"), day,
+        F.lit("</lastmod></url></urlset>"),
+    )
+    sm = docs.select(F.concat(F.lit("h"), k).alias("host"), xml.alias("xml"))
+    crawled = docs.filter(d % 3 != 0).select(
+        F.concat(
+            F.lit("https://h"), k, F.lit("/p/"), d.cast("string"), F.lit("&v")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-03-10")).alias("warc_ts"),
+    )
+    return sitemap_coverage(parse_sitemap_entries(sm), crawled)
+
+
+def q_soft404_drop(spark: SparkSession, sf: str) -> DataFrame:  # web: soft-404 filter
+    """Soft-404 + host-error-template filter (operators/soft404.py):
+    d%10<3 docs all land on host h0 with ONE shared digest (the error
+    template — ≥5 URLs at every test scale), d%10==3 carries an error
+    title, d%10==4 a short 'page not found' body; the rest are clean
+    pages on h1..h7 with unique digests. GROUND-TRUTH oracle: the
+    survivor set is exactly d%10>=5, pinning the phrase regex, the
+    short-body gate, and the per-host template threshold."""
+    from longqc_spark.operators.soft404 import soft404_filter
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    m = d % 10
+    tpl = m < 3
+    host = F.when(tpl, F.lit("h0")).otherwise(
+        F.concat(F.lit("h"), (d % 7 + 1).cast("string"))
+    )
+    pages = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://x/p/"), d.cast("string")).alias("url"),
+        F.when(tpl, F.lit("tpl")).otherwise(
+            F.concat(F.lit("u"), d.cast("string"))
+        ).alias("digest"),
+        F.when(m == 3, F.lit("404 Not Found")).otherwise(F.lit("A Page")).alias(
+            "title"
+        ),
+        F.when(m == 4, F.lit("Sorry, page not found."))
+        .otherwise(F.concat(F.lit("regular content "), d.cast("string")))
+        .alias("text"),
+    )
+    kept = soft404_filter(pages, min_urls=5)
+    return kept.select("doc_id", "host").orderBy("doc_id")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3455,6 +3521,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "etld1_domains": q_etld1_domains,
         "mirror_hosts": q_mirror_hosts,
+        "sitemap_coverage": q_sitemap_coverage,
+        "soft404_drop": q_soft404_drop,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4327,6 +4395,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.host = host_b
             WHERE shared / least(sa.sz, sb.sz) >= 0.5
             ORDER BY containment DESC, host_a, host_b
+        """,
+        "sitemap_coverage": """
+            -- GROUND-TRUTH oracle: every doc is listed in its host's
+            -- sitemap; the crawl fetched d%3<>0 docs on 2024-03-10, and
+            -- lastmod day = 1 + d%20, so stale iff crawled AND d%20>=10.
+            -- No XML parsing happens here.
+            SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+                   count(*) AS n_listed,
+                   count(*) FILTER (WHERE doc_id % 3 <> 0) AS n_crawled,
+                   round(count(*) FILTER (WHERE doc_id % 3 <> 0)
+                         / count(*), 6) AS coverage,
+                   count(*) FILTER (WHERE doc_id % 3 <> 0
+                                    AND doc_id % 20 >= 10) AS n_stale
+            FROM documents GROUP BY doc_id % 8 ORDER BY host
+        """,
+        "soft404_drop": """
+            -- GROUND-TRUTH oracle: dropped = template docs (d%10<3, one
+            -- shared digest on h0), error-title docs (d%10=3) and
+            -- short-error-body docs (d%10=4); survivors are d%10>=5.
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 7 + 1 AS VARCHAR) AS host
+            FROM documents WHERE doc_id % 10 >= 5 ORDER BY doc_id
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

@@ -76,6 +76,8 @@ BENCH_QUERIES = (
     "cdx_index",
     "etld1_domains",
     "mirror_hosts",
+    "sitemap_coverage",
+    "soft404_drop",
 )
 
 
