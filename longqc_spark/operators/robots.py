@@ -170,3 +170,30 @@ def robots_gate(
     if keep == "denied":
         return out.filter(~F.col("robots_allowed")).drop("robots_allowed")
     return out
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` declarations from robots bodies → one ``(host,
+    sitemap_url)`` row each — the discovery step that feeds
+    ``operators.sitemap`` (fetch the declared URLs, parse with
+    ``parse_sitemap_entries`` / ``parse_sitemap_index``, then join the
+    crawl with ``sitemap_coverage``). RFC 9309 §2.3: the key is
+    case-insensitive, the value is an absolute URL, and the line lives
+    OUTSIDE any user-agent group, so this is a pure line extract — all
+    JVM (split + filter + regexp), no Python, no shuffle. Comment tails
+    are stripped; blank values dropped; duplicate declarations kept
+    once per host."""
+    line = F.explode(F.split(F.col(txt_col), r"\r?\n")).alias("_line")
+    url = F.regexp_extract(
+        F.regexp_replace(F.col("_line"), r"#.*$", ""),
+        r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$",
+        1,
+    )
+    return (
+        robots.select(host_col, line)
+        .select(host_col, url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+        .dropDuplicates([host_col, "sitemap_url"])
+    )

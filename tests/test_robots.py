@@ -141,3 +141,25 @@ def test_robots_gate_keep_validation(spark):
     pages = spark.createDataFrame([("https://h.example/",)], "url string")
     with pytest.raises(ValueError, match="keep"):
         robots_gate(pages, _rules(spark), keep="nope")
+
+
+def test_robots_sitemaps_extract(spark):
+    from longqc_spark.operators.robots import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://ex.com/s1.xml\n"
+        "SITEMAP:https://ex.com/s2.xml  # comment tail\n"
+        "sitemap: https://ex.com/s1.xml\n"   # duplicate
+        "Sitemap:\n"                          # blank value dropped
+        "NotASitemap: https://ex.com/no.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("ex.com", body), ("empty.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    rows = robots_sitemaps(df).orderBy("sitemap_url").collect()
+    assert [(r["host"], r["sitemap_url"]) for r in rows] == [
+        ("ex.com", "https://ex.com/s1.xml"),
+        ("ex.com", "https://ex.com/s2.xml"),
+    ]
