@@ -1272,6 +1272,31 @@ def q_soft404_drop(spark: SparkSession, sf: str) -> DataFrame:  # web: soft-404 
     return kept.select("doc_id", "host").orderBy("doc_id")
 
 
+def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:  # web: fetch scheduling
+    """Crawl-frontier scheduling (operators/frontier.py): every doc's
+    URL is discovered twice with different scores (max wins), docs with
+    d%4==0 are already crawled (anti-joined away), and each host gets a
+    10-URL budget filled by priority with an md5 tiebreak. FULL SQL
+    oracle: the dedup-max, seen-set anti-join, and the windowed budget
+    selection are replicated 1:1 in DuckDB."""
+    from longqc_spark.operators.frontier import frontier_next
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 16).cast("string"), F.lit(".com/p/"),
+        d.cast("string"),
+    )
+    cands = docs.select(url.alias("url"), (d % 5).cast("double").alias("s"))
+    cands = cands.unionByName(
+        docs.select(url.alias("url"), (d % 7).cast("double").alias("s"))
+    )
+    crawled = docs.filter(d % 4 == 0).select(url.alias("url"))
+    return frontier_next(
+        cands, crawled, score_col="s", per_host_budget=10
+    ).orderBy("host", "fetch_rank")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3523,6 +3548,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "sitemap_coverage": q_sitemap_coverage,
         "soft404_drop": q_soft404_drop,
+        "crawl_frontier": q_crawl_frontier,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4417,6 +4443,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'h' || CAST(doc_id % 7 + 1 AS VARCHAR) AS host
             FROM documents WHERE doc_id % 10 >= 5 ORDER BY doc_id
+        """,
+        "crawl_frontier": """
+            -- 1:1 replica of the scheduler: best score per discovered
+            -- URL (the two discovery rows per doc collapse to
+            -- GREATEST(d%5, d%7)), crawled docs (d%4=0) anti-joined,
+            -- then a per-host budget of 10 by priority desc with an
+            -- md5(url) tiebreak.
+            WITH cand AS (
+                SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.com' AS host,
+                       'https://h' || CAST(doc_id % 16 AS VARCHAR)
+                           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       CAST(GREATEST(doc_id % 5, doc_id % 7) AS DOUBLE)
+                           AS priority
+                FROM documents WHERE doc_id % 4 <> 0
+            ), ranked AS (
+                SELECT host, url, priority,
+                       CAST(row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY priority DESC, md5(url), url
+                       ) AS INTEGER) AS fetch_rank
+                FROM cand
+            )
+            SELECT host, url, priority, fetch_rank
+            FROM ranked WHERE fetch_rank <= 10
+            ORDER BY host, fetch_rank
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     "mirror_hosts",
     "sitemap_coverage",
     "soft404_drop",
+    "crawl_frontier",
 )
 
 
