@@ -1297,6 +1297,34 @@ def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:  # web: fetch s
     ).orderBy("host", "fetch_rank")
 
 
+def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:  # web: per-host line strip
+    """Host-scoped boilerplate stripping (web.host_boilerplate_strip):
+    every page of host h{d%8} carries its NAV line, ~75% carry the FOOT
+    line, ~50% the PROMO line, plus one unique BODY line; at
+    min_frac=0.6 NAV and FOOT are stripped, PROMO and BODY survive.
+    FULL SQL oracle: the distinct-line counts, per-host page counts,
+    fraction threshold, min-pages guard and in-order reassembly are
+    replicated 1:1 in DuckDB (full-text compare)."""
+    from longqc_spark.operators.web import host_boilerplate_strip
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    k = (d % 8).cast("string")
+    text = F.concat(
+        F.lit("NAV-"), k, F.lit("\n"),
+        F.when(d % 2 == 0, F.concat(F.lit("PROMO-"), k, F.lit("\n"))).otherwise(
+            F.lit("")
+        ),
+        F.lit("BODY "), d.cast("string"),
+        F.when(d % 4 < 3, F.concat(F.lit("\nFOOT-"), k)).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("h"), k).alias("host"), text.alias("text")
+    )
+    out = host_boilerplate_strip(pages, min_frac=0.6, min_pages=4)
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3549,6 +3577,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "soft404_drop": q_soft404_drop,
         "crawl_frontier": q_crawl_frontier,
+        "host_boilerplate": q_host_boilerplate,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4468,6 +4497,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, url, priority, fetch_rank
             FROM ranked WHERE fetch_rank <= 10
             ORDER BY host, fetch_rank
+        """,
+        "host_boilerplate": """
+            -- 1:1 replica of the host-scoped line stripper: distinct
+            -- lines per doc, per-(host,line) doc counts vs the host's
+            -- page count, frac>=0.6 with a 4-page guard, in-order
+            -- reassembly of the survivors.
+            WITH docs0 AS (
+                SELECT doc_id AS d,
+                       'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+                       'NAV-' || CAST(doc_id % 8 AS VARCHAR) || chr(10)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN 'PROMO-' || CAST(doc_id % 8 AS VARCHAR)
+                                    || chr(10) ELSE '' END
+                       || 'BODY ' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 4 < 3
+                               THEN chr(10) || 'FOOT-'
+                                    || CAST(doc_id % 8 AS VARCHAR)
+                               ELSE '' END AS text
+                FROM documents
+            ), dl AS (
+                SELECT DISTINCT d, host,
+                       unnest(string_split(text, chr(10))) AS l
+                FROM docs0
+            ), np AS (
+                SELECT host, count(*) AS np FROM docs0 GROUP BY host
+            ), heavy AS (
+                SELECT dl.host, l
+                FROM dl JOIN np USING (host)
+                GROUP BY dl.host, l, np.np
+                HAVING np.np >= 4 AND count(*) >= np.np * 0.6
+            ), hl AS (
+                SELECT host, list(l) AS hls FROM heavy GROUP BY host
+            )
+            SELECT d AS doc_id,
+                   array_to_string(
+                       list_filter(
+                           string_split(text, chr(10)),
+                           x -> NOT list_contains(coalesce(hls, []), x)
+                       ), chr(10)) AS text
+            FROM docs0 LEFT JOIN hl USING (host)
+            ORDER BY doc_id
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

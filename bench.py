@@ -79,6 +79,7 @@ BENCH_QUERIES = (
     "sitemap_coverage",
     "soft404_drop",
     "crawl_frontier",
+    "host_boilerplate",
 )
 
 

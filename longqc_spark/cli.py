@@ -123,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--clean-lines-min-sentences", type=int, default=3, metavar="S",
                    help="page gate for --clean-lines: minimum sentences "
                         "(terminal-punct count) surviving line cleaning")
+    p.add_argument("--host-boilerplate-frac", type=float, default=None,
+                   metavar="FRAC",
+                   help="web-hygiene stage 0: strip lines appearing on "
+                        ">=FRAC of a host's own pages (site chrome: nav/"
+                        "footer), before the global line rule; hosts with "
+                        "<4 pages untouched")
     p.add_argument("--line-dedup-min-docs", type=int, default=None, metavar="K",
                    help="web-hygiene stage 0: C4-style global line dedup — "
                         "drop lines occurring in >= K distinct docs "
@@ -372,6 +378,7 @@ def main(argv: list[str] | None = None) -> int:
             collapse_mirrors=args.collapse_mirrors,
             mirror_min_containment=args.mirror_min_containment,
             domain_cap_n=args.domain_cap,
+            host_boilerplate_frac=args.host_boilerplate_frac,
             line_dedup_min_docs=args.line_dedup_min_docs,
             blocklist=bl,
             fix_encoding_passes=args.fix_encoding,

@@ -65,6 +65,7 @@ def web_hygiene(
     mirror_min_containment: float = 0.5,
     mirror_max_hosts: int = 16,
     domain_cap_n: int | None = None,
+    host_boilerplate_frac: float | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
     fix_encoding_passes: int | None = None,
@@ -237,6 +238,27 @@ def web_hygiene(
             min_words=clean_lines_min_words,
             min_sentences=clean_lines_min_sentences,
         )
+    if host_boilerplate_frac is not None:
+        # Site chrome (per-host nav/footer lines) strips BEFORE the global
+        # line rule: host-local boilerplate is self-normalizing (a frac of
+        # the host's own pages) and removing it first keeps the global
+        # counts about genuinely cross-site lines.
+        from .operators.psl import host_expr
+        from .operators.web import host_boilerplate_strip
+
+        if html_col is not None and text_col not in src.columns:
+            raise ValueError(
+                "host_boilerplate_frac rewrites the TEXT column; with an "
+                "extraction-deferred html_col run extraction first or drop "
+                "the flag"
+            )
+        src = host_boilerplate_strip(
+            src.withColumn("_bhost", host_expr(key_col)),
+            host_col="_bhost",
+            text_col=text_col,
+            key_col=key_col,
+            min_frac=host_boilerplate_frac,
+        ).drop("_bhost")
     if line_dedup_min_docs is not None:
         if html_col is not None and text_col not in src.columns:
             raise ValueError(
@@ -289,6 +311,7 @@ def curate(
     mirror_min_containment: float = 0.5,
     mirror_max_hosts: int = 16,
     domain_cap_n: int | None = None,
+    host_boilerplate_frac: float | None = None,
     line_dedup_min_docs: int | None = None,
     blocklist: DataFrame | None = None,
     fix_encoding_passes: int | None = None,
@@ -395,6 +418,7 @@ def curate(
         mirror_min_containment=mirror_min_containment,
         mirror_max_hosts=mirror_max_hosts,
         domain_cap_n=domain_cap_n,
+        host_boilerplate_frac=host_boilerplate_frac,
         line_dedup_min_docs=line_dedup_min_docs,
         blocklist=blocklist,
         fix_encoding_passes=fix_encoding_passes,

@@ -330,6 +330,22 @@ def _drop_heavy_lines(
         .groupBy(key_col)
         .agg(F.collect_list("_lh").alias("_heavy"))
     )
+    return _rewrite_drop_doc_heavy(df, doc_heavy, text_col, key_col, sep_re, sep)
+
+
+def _rewrite_drop_doc_heavy(
+    df: DataFrame,
+    doc_heavy: DataFrame,
+    text_col: str,
+    key_col: str,
+    sep_re: str,
+    sep: str,
+) -> DataFrame:
+    """The rewrite half of heavy-line removal: ``doc_heavy`` is
+    ``(key, _heavy: array<line_md5>)`` for docs that have any line to
+    drop; everything else passes through untouched (shared by the global
+    and the host-scoped strippers so the NULL/empty policy cannot
+    drift)."""
     return (
         df.join(doc_heavy, key_col, "left")
         # NULL text stays NULL (a missing payload is not an empty page); a
@@ -355,6 +371,74 @@ def _drop_heavy_lines(
         )
         .drop("_heavy")
     )
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_frac: float = 0.5,
+    min_pages: int = 4,
+    sep: str = "\n",
+) -> DataFrame:
+    """HOST-scoped boilerplate-line removal: drop a line from a host's
+    pages when it appears on at least ``min_frac`` of that host's pages
+    (hosts with fewer than ``min_pages`` pages are left alone — a
+    2-page host would call half its content boilerplate). The host-local
+    complement of :func:`corpus_line_dedup`: a site's own header, nav
+    and footer lines repeat on most of ITS pages while staying below
+    any global ``min_docs`` threshold on a big corpus — and conversely
+    a fractional per-host rule is self-normalizing (no absolute count
+    to retune as a host grows).
+
+    Same scale shape as the global rule (and the same map-side
+    machinery): line text never shuffles — 16-byte md5 line hashes are
+    deduped within the doc map-side, counted per (host, hash) with
+    plain partial-agg counts, thresholded against the host's page count
+    (one small host-grain aggregate), and removed by a map-side array
+    filter. NULL text/host rows pass through untouched.
+
+    Reference analog: the per-sample (not per-run) adapter/overrep cut
+    of ``lq_utils.py:141-196`` — the contaminant is defined relative to
+    its OWN group's frequency, not the corpus's.
+    """
+    if not 0 < min_frac <= 1:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    sep_re = _sep_regex(sep)
+    lines = df.where(F.col(host_col).isNotNull()).select(
+        F.col(host_col),
+        F.col(key_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.col(text_col), sep_re),
+                    lambda l: F.md5(l.cast("binary")),
+                )
+            )
+        ).alias("_lh"),
+    )
+    pages = (
+        df.where(F.col(host_col).isNotNull() & F.col(text_col).isNotNull())
+        .groupBy(host_col)
+        .agg(F.count(F.lit(1)).alias("_np"))
+    )
+    heavy = (
+        lines.groupBy(host_col, "_lh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .join(pages, host_col)
+        .where(
+            (F.col("_np") >= min_pages)
+            & (F.col("_nd") >= F.col("_np") * min_frac)
+        )
+        .select(host_col, "_lh")
+    )
+    doc_heavy = (
+        lines.join(heavy, [host_col, "_lh"])
+        .groupBy(key_col)
+        .agg(F.collect_list("_lh").alias("_heavy"))
+    )
+    return _rewrite_drop_doc_heavy(df, doc_heavy, text_col, key_col, sep_re, sep)
 
 
 def line_doc_counts(
