@@ -82,7 +82,7 @@ def main() -> None:
         default=None,
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
-        "c4_clean block_extract fix_encoding latest_crawl mirror blocklist neardup keep_best pack_seqs "
+        "c4_clean block_extract fix_encoding latest_crawl mirror host_boilerplate blocklist neardup keep_best pack_seqs "
         "pack_rows neardup_keep_best curate_full scrub_spans skew) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
@@ -442,6 +442,45 @@ def main() -> None:
             "sec": round(best, 1),
             "docs_per_sec": round(args.docs / best),
             "n_kept": n_kept,
+        }
+
+    # -- host-scoped boilerplate strip at corpus scale: 40k hosts (~100
+    # pages each), every page wrapped in its host's NAV/FOOT chrome lines
+    # (stripped: on 100% of the host's pages) plus a parity PROMO line
+    # (kept: 50% < the 0.6 threshold). Same heavy class as
+    # corpus_line_dedup — every line hashed twice — but grouped per host. --
+    if want("host_boilerplate"):
+        from longqc_spark.operators.web import host_boilerplate_strip
+
+        hostn = F.pmod(F.xxhash64("url"), F.lit(40_000)).cast("string")
+        wrapped = docs.select(
+            "url",
+            F.concat(F.lit("h"), hostn).alias("host"),
+            F.concat(
+                F.lit("NAV chrome for host "), hostn, F.lit("\n"),
+                F.when(
+                    F.pmod(F.xxhash64("url", F.lit(11)), F.lit(2)) == 0,
+                    F.concat(F.lit("PROMO banner "), hostn, F.lit("\n")),
+                ).otherwise(F.lit("")),
+                F.col("text"),
+                F.lit("\nFOOT legal "), hostn,
+            ).alias("text"),
+        )
+        best, dropped = float("inf"), 0
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            dropped = (
+                host_boilerplate_strip(
+                    wrapped, key_col="url", min_frac=0.6, min_pages=4
+                )
+                .agg(F.sum(F.length("text"))).collect()[0][0]
+            )
+            best = min(best, time.time() - t0)
+        in_chars = wrapped.agg(F.sum(F.length("text"))).collect()[0][0]
+        out["host_boilerplate"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "chars_dropped": int(in_chars - dropped),
         }
 
     # -- mirror-site detection at corpus scale: 40k hosts arranged as 20k
