@@ -45,6 +45,7 @@ def frontier_next(
     url_col: str = "url",
     score_col: str | None = None,
     per_host_budget: int = 10,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Next fetch batch → ``(host, url, priority, fetch_rank)``.
 
@@ -53,7 +54,15 @@ def frontier_next(
     schedulable and are dropped). ``crawled``: URLs already fetched
     (exact anti-join; pass None for a cold start). ``score_col``:
     higher = sooner; absent scores rank 0.0. ``fetch_rank`` is the
-    1-based position within the host's budget."""
+    1-based position within the host's budget.
+
+    ``host_budgets``: optional ``(host, budget int)`` overrides —
+    broadcast (one row per host with a declared policy; everyone else
+    gets ``per_host_budget``). Derive it from ``Crawl-delay`` as
+    ``budget = cycle_seconds / crawl_delay_s`` via
+    ``robots.robots_crawl_delays`` to turn the site's requested
+    cadence into a per-cycle cap; a budget ≤ 0 schedules nothing for
+    that host."""
     score = (
         F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))
         if score_col
@@ -69,11 +78,21 @@ def frontier_next(
     if crawled is not None:
         seen = crawled.select(F.col(url_col).alias("url"))
         cand = cand.join(seen, "url", "left_anti")
+    budget = F.lit(per_host_budget)
+    if host_budgets is not None:
+        cand = cand.join(
+            F.broadcast(
+                host_budgets.select("host", F.col("budget").alias("_budget"))
+            ),
+            "host",
+            "left",
+        )
+        budget = F.coalesce(F.col("_budget"), F.lit(per_host_budget))
     w = Window.partitionBy("host").orderBy(
         F.desc("priority"), F.md5(F.col("url").cast("binary")), F.col("url")
     )
     return (
         cand.withColumn("fetch_rank", F.row_number().over(w))
-        .where(F.col("fetch_rank") <= per_host_budget)
+        .where(F.col("fetch_rank") <= budget)
         .select("host", "url", "priority", "fetch_rank")
     )

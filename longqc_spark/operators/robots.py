@@ -197,3 +197,33 @@ def robots_sitemaps(
         .where(F.col("sitemap_url") != "")
         .dropDuplicates([host_col, "sitemap_url"])
     )
+
+
+def robots_crawl_delays(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """``Crawl-delay:`` declarations → ``(host, crawl_delay_s double)``,
+    the MAXIMUM across the body when several groups declare one (the
+    conservative read: honor the slowest cadence any group asks
+    for). Crawl-delay is not in RFC 9309 — it is a de-facto extension
+    and group-scoped in the wild; collapsing to a per-host min avoids
+    re-running the full group matcher for a value this scheduler only
+    uses as a budget scale (see ``frontier.frontier_next`` host_budgets).
+    Non-numeric values are ignored; line extract is all JVM."""
+    line = F.explode(F.split(F.col(txt_col), r"\r?\n")).alias("_line")
+    val = F.regexp_extract(
+        F.regexp_replace(F.col("_line"), r"#.*$", ""),
+        r"(?i)^\s*crawl-delay\s*:\s*([0-9]+(?:\.[0-9]+)?)\s*$",
+        1,
+    )
+    return (
+        robots.select(host_col, line)
+        # ANSI mode: cast('') throws — nullify the non-match sentinel first
+        .select(
+            host_col,
+            F.when(val == "", None).otherwise(val).cast("double").alias("_d"),
+        )
+        .where(F.col("_d").isNotNull())
+        .groupBy(host_col)
+        .agg(F.max("_d").alias("crawl_delay_s"))
+    )

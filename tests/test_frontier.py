@@ -62,3 +62,51 @@ def test_deterministic_batch(spark):
 def test_cold_start_no_crawled(spark):
     cands = spark.createDataFrame([("https://x.io/a",)], "url string")
     assert frontier_next(cands, None).count() == 1
+
+
+def test_host_budget_overrides(spark):
+    cands = spark.createDataFrame(
+        [(f"https://slow.com/p{i}",) for i in range(10)]
+        + [(f"https://normal.com/p{i}",) for i in range(10)]
+        + [(f"https://banned.com/p{i}",) for i in range(3)],
+        "url string",
+    )
+    budgets = spark.createDataFrame(
+        [("slow.com", 2), ("banned.com", 0)], "host string, budget int"
+    )
+    out = frontier_next(
+        cands, None, per_host_budget=5, host_budgets=budgets
+    ).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["slow.com"]) == 2
+    assert len(by_host["normal.com"]) == 5  # default budget
+    assert "banned.com" not in by_host
+
+
+def test_crawl_delay_to_budget_chain(spark):
+    from pyspark.sql import functions as F
+
+    from longqc_spark.operators.robots import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.com", "User-agent: *\nCrawl-delay: 30\n"
+                         "User-agent: x\nCrawl-delay: 10  # max wins\n"),
+            ("bad.com", "Crawl-delay: soon\n"),  # non-numeric ignored
+        ],
+        "host string, robots_txt string",
+    )
+    delays = robots_crawl_delays(robots)
+    assert {(r["host"], r["crawl_delay_s"]) for r in delays.collect()} == {
+        ("slow.com", 30.0)
+    }
+    budgets = delays.select(
+        "host", F.floor(F.lit(60.0) / F.col("crawl_delay_s")).cast("int").alias("budget")
+    )
+    cands = spark.createDataFrame(
+        [(f"https://slow.com/p{i}",) for i in range(10)], "url string"
+    )
+    out = frontier_next(cands, None, per_host_budget=9, host_budgets=budgets)
+    assert out.count() == 2  # 60s cycle / 30s delay
