@@ -1325,6 +1325,31 @@ def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:  # web: per-h
     return out.select("doc_id", "text").orderBy("doc_id")
 
 
+def q_anchor_targets(spark: SparkSession, sf: str) -> DataFrame:  # web: target-side anchors
+    """Anchor-target rollup (web.anchor_targets): each doc links twice
+    (a modular 'Anchor {d%3}' to one of 50 targets, a constant 'Alt' to
+    one of 7), so targets accumulate competing anchor texts with count
+    ties. FULL SQL oracle: the per-text counts, deterministic top-text
+    tie-break (count desc, binary text desc), distinct-source counts
+    and the min_sources gate are replicated 1:1 in DuckDB."""
+    from longqc_spark.operators.web import anchor_targets
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    a1 = docs.select(
+        F.concat(F.lit("p"), ds).alias("url"),
+        F.concat(F.lit("https://t/"), (d % 50).cast("string")).alias("href"),
+        F.concat(F.lit("Anchor "), (d % 3).cast("string")).alias("anchor_text"),
+    )
+    a2 = docs.select(
+        F.concat(F.lit("p"), ds).alias("url"),
+        F.concat(F.lit("https://t/"), (d % 7).cast("string")).alias("href"),
+        F.lit("Alt").alias("anchor_text"),
+    )
+    return anchor_targets(a1.unionByName(a2), min_sources=2).orderBy("href")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3578,6 +3603,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_drop": q_soft404_drop,
         "crawl_frontier": q_crawl_frontier,
         "host_boilerplate": q_host_boilerplate,
+        "anchor_targets": q_anchor_targets,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4538,6 +4564,37 @@ def oracle_sql() -> dict[str, str]:
                        ), chr(10)) AS text
             FROM docs0 LEFT JOIN hl USING (host)
             ORDER BY doc_id
+        """,
+        "anchor_targets": """
+            -- 1:1 replica of the target rollup: per-(href,text) counts,
+            -- top text by (count desc, binary text desc), target-grain
+            -- anchor/distinct-source counts, min_sources >= 2.
+            WITH a AS (
+                SELECT 'p' || CAST(doc_id AS VARCHAR) AS src,
+                       'https://t/' || CAST(doc_id % 50 AS VARCHAR) AS href,
+                       'Anchor ' || CAST(doc_id % 3 AS VARCHAR) AS text
+                FROM documents
+                UNION ALL
+                SELECT 'p' || CAST(doc_id AS VARCHAR),
+                       'https://t/' || CAST(doc_id % 7 AS VARCHAR), 'Alt'
+                FROM documents
+            ), pt AS (
+                SELECT href, text, count(*) AS n FROM a GROUP BY href, text
+            ), top AS (
+                SELECT href, n AS top_text_n, text AS top_text,
+                       row_number() OVER (
+                           PARTITION BY href ORDER BY n DESC, text DESC
+                       ) AS rn
+                FROM pt
+            ), tg AS (
+                SELECT href, count(*) AS n_anchors,
+                       count(DISTINCT src) AS n_sources
+                FROM a GROUP BY href
+            )
+            SELECT tg.href, n_anchors, n_sources, top_text_n, top_text
+            FROM tg JOIN top USING (href)
+            WHERE rn = 1 AND n_sources >= 2
+            ORDER BY tg.href
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

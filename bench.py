@@ -80,6 +80,7 @@ BENCH_QUERIES = (
     "soft404_drop",
     "crawl_frontier",
     "host_boilerplate",
+    "anchor_targets",
 )
 
 

@@ -1136,3 +1136,57 @@ def with_page_meta(
     for name, c in cols.items():
         out = out.withColumn(prefix + name, c)
     return out
+
+
+def anchor_targets(
+    anchors: DataFrame,
+    href_col: str = "href",
+    text_col: str = "anchor_text",
+    src_col: str = "url",
+    min_sources: int = 1,
+) -> DataFrame:
+    """Target-side rollup of an anchor corpus (:func:`extract_anchors`
+    output): per linked-to ``href`` → ``(href, n_anchors, n_sources,
+    top_text, top_text_n)`` where ``top_text`` is the most common anchor
+    string pointing at the target (count ties broken by binary text order, so the
+    rollup is deterministic) — the MassiveWeb TARGET view: what the web
+    collectively calls a page, usable as a training caption or a
+    retrieval label for documents that were never fetched.
+
+    ``n_sources`` counts distinct linking pages; self-referential rows
+    with a NULL href are dropped. Two keyed aggregates (text-grain then
+    target-grain) — both partial-aggregating counts; no joins.
+
+    Reference analog: the per-target pileup rollup of the reference's
+    coverage join (``lqmap.c:140-205`` — many query reads voting on one
+    target region), with anchor strings as the votes."""
+    a = anchors.where(F.col(href_col).isNotNull())
+    per_text = a.groupBy(href_col, text_col).agg(F.count(F.lit(1)).alias("_n"))
+    top = per_text.groupBy(href_col).agg(
+        F.max(
+            F.struct(
+                F.col("_n"),
+                # struct max: count first, then binary text order — on
+                # equal counts the lexicographically LAST text wins,
+                # a deterministic (re-run-stable) tie-break
+                F.col(text_col),
+            )
+        ).alias("_top")
+    )
+    per_target = a.groupBy(href_col).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.count_distinct(F.col(src_col)).alias("n_sources"),
+    )
+    # both sides are keyed on href — same hash partitioning, no extra
+    # exchange beyond the two aggregates themselves
+    return (
+        per_target.join(top, href_col)
+        .select(
+            href_col,
+            F.col("n_anchors").cast("bigint").alias("n_anchors"),
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            F.col("_top._n").cast("bigint").alias("top_text_n"),
+            F.col(f"_top.{text_col}").alias("top_text"),
+        )
+        .where(F.col("n_sources") >= min_sources)
+    )

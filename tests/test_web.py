@@ -675,3 +675,41 @@ def test_page_meta_extraction(spark):
     assert got[2] == (None, "reversed order")
     assert got[3] == (None, None)
     assert got[4] == (None, None)
+
+
+def test_anchor_targets_rollup(spark):
+    from longqc_spark.operators.web import anchor_targets
+
+    rows = [
+        ("p1", "https://t/a", "Target A"),
+        ("p1", "https://t/a", "Target A"),   # same page, twice
+        ("p2", "https://t/a", "Target A"),
+        ("p2", "https://t/a", "click here"),
+        ("p3", "https://t/b", "B"),
+        ("p3", None, "no href"),             # dropped
+    ]
+    anchors = spark.createDataFrame(
+        rows, "url string, href string, anchor_text string"
+    )
+    got = {r["href"]: r for r in anchor_targets(anchors).collect()}
+    a = got["https://t/a"]
+    assert (a["n_anchors"], a["n_sources"]) == (4, 2)  # distinct linking pages
+    assert (a["top_text"], a["top_text_n"]) == ("Target A", 3)
+    b = got["https://t/b"]
+    assert (b["n_anchors"], b["top_text"]) == (1, "B")
+    assert None not in got
+    # min_sources filters singletons
+    assert set(
+        r["href"] for r in anchor_targets(anchors, min_sources=2).collect()
+    ) == {"https://t/a"}
+
+
+def test_anchor_targets_tie_break(spark):
+    from longqc_spark.operators.web import anchor_targets
+
+    anchors = spark.createDataFrame(
+        [("p1", "https://t/x", "alpha"), ("p2", "https://t/x", "beta")],
+        "url string, href string, anchor_text string",
+    )
+    (row,) = anchor_targets(anchors).collect()
+    assert row["top_text"] == "beta"  # equal counts: binary-largest text
