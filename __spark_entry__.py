@@ -1350,6 +1350,41 @@ def q_anchor_targets(spark: SparkSession, sf: str) -> DataFrame:  # web: target-
     return anchor_targets(a1.unionByName(a2), min_sources=2).orderBy("href")
 
 
+def q_snapshot_churn(spark: SparkSession, sf: str) -> DataFrame:  # web: crawl change rate
+    """Per-host snapshot churn (web.snapshot_churn): the re-crawl drops
+    every 5th URL, rewrites every 3rd digest, and adds an extra page
+    per 7th doc, so each host sees refetches, changes, additions and
+    disappearances. FULL SQL oracle: the full-outer URL join and every
+    count, including the NULL-churn-when-no-refetch rule, replicated
+    1:1 in DuckDB."""
+    from longqc_spark.operators.web import snapshot_churn
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (d % 8).cast("string"), F.lit(".com/p/"), ds
+    )
+    old = docs.select(
+        url.alias("url"), F.concat(F.lit("v"), ds).alias("digest")
+    )
+    new = docs.filter(d % 5 != 0).select(
+        url.alias("url"),
+        F.when(d % 3 == 0, F.concat(F.lit("w"), ds))
+        .otherwise(F.concat(F.lit("v"), ds))
+        .alias("digest"),
+    ).unionByName(
+        docs.filter(d % 7 == 0).select(
+            F.concat(
+                F.lit("https://h"), (d % 8).cast("string"),
+                F.lit(".com/extra"), ds,
+            ).alias("url"),
+            F.concat(F.lit("x"), ds).alias("digest"),
+        )
+    )
+    return snapshot_churn(old, new)
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3604,6 +3639,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "host_boilerplate": q_host_boilerplate,
         "anchor_targets": q_anchor_targets,
+        "snapshot_churn": q_snapshot_churn,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4595,6 +4631,49 @@ def oracle_sql() -> dict[str, str]:
             FROM tg JOIN top USING (href)
             WHERE rn = 1 AND n_sources >= 2
             ORDER BY tg.href
+        """,
+        "snapshot_churn": """
+            -- 1:1 replica of the churn rollup: full-outer URL join of
+            -- the two seeded snapshots, per-host counts, churn =
+            -- changed/refetched (NULL when no refetch).
+            WITH o AS (
+                SELECT 'https://h' || CAST(doc_id % 8 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS u,
+                       'v' || CAST(doc_id AS VARCHAR) AS dg
+                FROM documents
+            ), n0 AS (
+                SELECT 'https://h' || CAST(doc_id % 8 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS u,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'w' || CAST(doc_id AS VARCHAR)
+                            ELSE 'v' || CAST(doc_id AS VARCHAR) END AS dg
+                FROM documents WHERE doc_id % 5 <> 0
+                UNION ALL
+                SELECT 'https://h' || CAST(doc_id % 8 AS VARCHAR)
+                       || '.com/extra' || CAST(doc_id AS VARCHAR),
+                       'x' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 7 = 0
+            ), j AS (
+                SELECT coalesce(o.u, n0.u) AS u, o.dg AS dgo, n0.dg AS dgn
+                FROM o FULL OUTER JOIN n0 ON o.u = n0.u
+            ), g AS (
+                SELECT regexp_extract(u, '^https://([^/]+)/', 1) AS host,
+                       count(*) FILTER (WHERE dgo IS NOT NULL) AS n_old,
+                       count(*) FILTER (WHERE dgn IS NOT NULL) AS n_new,
+                       count(*) FILTER (WHERE dgo IS NOT NULL
+                                        AND dgn IS NOT NULL) AS n_refetched,
+                       count(*) FILTER (WHERE dgo IS NOT NULL
+                                        AND dgn IS NOT NULL
+                                        AND dgo <> dgn) AS n_changed,
+                       count(*) FILTER (WHERE dgo IS NULL) AS n_added,
+                       count(*) FILTER (WHERE dgn IS NULL) AS n_gone
+                FROM j GROUP BY 1
+            )
+            SELECT host, n_old, n_new, n_refetched, n_changed, n_added,
+                   n_gone,
+                   CASE WHEN n_refetched > 0
+                        THEN round(n_changed / n_refetched, 6) END AS churn
+            FROM g ORDER BY host
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

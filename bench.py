@@ -81,6 +81,7 @@ BENCH_QUERIES = (
     "crawl_frontier",
     "host_boilerplate",
     "anchor_targets",
+    "snapshot_churn",
 )
 
 

@@ -1190,3 +1190,58 @@ def anchor_targets(
         )
         .where(F.col("n_sources") >= min_sources)
     )
+
+
+def snapshot_churn(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Per-host churn between two crawl snapshots → ``(host, n_old,
+    n_new, n_refetched, n_changed, n_added, n_gone, churn)``.
+
+    ``churn`` = changed ÷ re-fetched (NULL when nothing was re-fetched)
+    — the empirical page-change rate that sets a host's re-crawl
+    cadence (high churn → schedule sooner via
+    ``frontier.frontier_next`` priorities; near-zero churn → the host's
+    snapshot can be trusted across crawls, and ``latest_crawl``'s
+    newest-wins collapse loses nothing). ``n_added``/``n_gone`` are the
+    URL-set deltas — the growth/decay complement the novelty metric
+    tracks corpus-wide.
+
+    One full-outer join keyed by URL + one host aggregate. Duplicate
+    URLs within a snapshot should be collapsed first (``latest_crawl``)
+    — the join is URL-identity; NULL urls are dropped (no identity to
+    compare)."""
+    from .psl import host_expr
+
+    o = old.where(F.col(url_col).isNotNull()).select(
+        F.col(url_col).alias("_u"), F.col(digest_col).alias("_do")
+    )
+    n = new.where(F.col(url_col).isNotNull()).select(
+        F.col(url_col).alias("_u"), F.col(digest_col).alias("_dn")
+    )
+    j = o.join(n, "_u", "full_outer").select(
+        host_expr("_u").alias("host"), "_do", "_dn"
+    )
+    both = F.col("_do").isNotNull() & F.col("_dn").isNotNull()
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count_if(F.col("_do").isNotNull()).alias("n_old"),
+            F.count_if(F.col("_dn").isNotNull()).alias("n_new"),
+            F.count_if(both).alias("n_refetched"),
+            F.count_if(both & (F.col("_do") != F.col("_dn"))).alias("n_changed"),
+            F.count_if(F.col("_do").isNull()).alias("n_added"),
+            F.count_if(F.col("_dn").isNull()).alias("n_gone"),
+        )
+        .withColumn(
+            "churn",
+            F.when(
+                F.col("n_refetched") > 0,
+                F.round(F.col("n_changed") / F.col("n_refetched"), 6),
+            ),
+        )
+        .orderBy("host")
+    )

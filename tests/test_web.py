@@ -713,3 +713,43 @@ def test_anchor_targets_tie_break(spark):
     )
     (row,) = anchor_targets(anchors).collect()
     assert row["top_text"] == "beta"  # equal counts: binary-largest text
+
+
+def test_snapshot_churn(spark):
+    from longqc_spark.operators.web import snapshot_churn
+
+    old = spark.createDataFrame(
+        [
+            ("https://a.com/1", "d1"),
+            ("https://a.com/2", "d2"),
+            ("https://a.com/3", "d3"),   # gone in new
+            ("https://b.com/x", "bx"),
+            (None, "zz"),                # no identity -> dropped
+        ],
+        "url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("https://a.com/1", "d1"),       # unchanged
+            ("https://a.com/2", "d2-new"),   # changed
+            ("https://a.com/4", "d4"),       # added
+            ("https://b.com/x", "bx"),
+        ],
+        "url string, digest string",
+    )
+    rows = {r["host"]: r for r in snapshot_churn(old, new).collect()}
+    a = rows["a.com"]
+    assert (a["n_old"], a["n_new"], a["n_refetched"]) == (3, 3, 2)
+    assert (a["n_changed"], a["n_added"], a["n_gone"]) == (1, 1, 1)
+    assert a["churn"] == 0.5
+    b = rows["b.com"]
+    assert b["churn"] == 0.0 and b["n_refetched"] == 1
+
+
+def test_snapshot_churn_no_refetch(spark):
+    from longqc_spark.operators.web import snapshot_churn
+
+    old = spark.createDataFrame([("https://a.com/1", "d1")], "url string, digest string")
+    new = spark.createDataFrame([("https://a.com/2", "d2")], "url string, digest string")
+    (row,) = snapshot_churn(old, new).collect()
+    assert row["churn"] is None and row["n_added"] == 1 and row["n_gone"] == 1
