@@ -1385,6 +1385,42 @@ def q_snapshot_churn(spark: SparkSession, sf: str) -> DataFrame:  # web: crawl c
     return snapshot_churn(old, new)
 
 
+def q_script_check(spark: SparkSession, sf: str) -> DataFrame:  # text: lang/script sanity
+    """Script-consistency gate (text.script_consistency): each doc gets
+    2*(d%4+1) Latin letters and 2*(d%3) Cyrillic letters, with lang
+    'en'/'ru' by parity and an unknown 'xx' every 5th doc. GROUND-TRUTH
+    oracle: the script fraction is pure arithmetic (no regex runs in
+    DuckDB), pinning the per-script counts, the letters-only
+    denominator, the strict < threshold, and all three NULL rules."""
+    from longqc_spark.operators.text import script_consistency
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    lang = F.when(d % 5 == 4, F.lit("xx")).otherwise(
+        F.when(d % 2 == 0, F.lit("en")).otherwise(F.lit("ru"))
+    )
+    pages = docs.select(
+        "doc_id",
+        lang.alias("lang"),
+        F.concat(
+            F.expr("repeat('ab ', CAST(doc_id % 4 + 1 AS INT))"),
+            F.expr("repeat('гд', CAST(doc_id % 3 AS INT))"),
+        ).alias("text"),
+    )
+    return (
+        script_consistency(pages, min_frac=0.5)
+        .select(
+            "doc_id",
+            "lang",
+            "script_frac",
+            # nullable-bool pandas repr differs between engines (None vs
+            # NaN object); a nullable INT lands as float64 NaN on both
+            F.col("script_mismatch").cast("int").alias("script_mismatch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3640,6 +3676,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "anchor_targets": q_anchor_targets,
         "snapshot_churn": q_snapshot_churn,
+        "script_check": q_script_check,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4674,6 +4711,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_refetched > 0
                         THEN round(n_changed / n_refetched, 6) END AS churn
             FROM g ORDER BY host
+        """,
+        "script_check": """
+            -- GROUND-TRUTH oracle: latin letters = 2*(d%4+1), cyrillic
+            -- = 2*(d%3); frac is the declared script's share of letters,
+            -- NULL for the unknown 'xx' lang; mismatch = frac < 0.5
+            -- (strict). No regex runs here.
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 4 THEN 'xx'
+                            WHEN doc_id % 2 = 0 THEN 'en'
+                            ELSE 'ru' END AS lang,
+                       2 * (doc_id % 4 + 1) AS lat,
+                       2 * (doc_id % 3) AS cyr
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'xx' THEN NULL
+                        WHEN lang = 'en'
+                            THEN round(lat / (lat + cyr), 6)
+                        ELSE round(cyr / (lat + cyr), 6) END AS script_frac,
+                   CAST(CASE WHEN lang = 'xx' THEN NULL
+                        WHEN lang = 'en'
+                            THEN round(lat / (lat + cyr), 6) < 0.5
+                        ELSE round(cyr / (lat + cyr), 6) < 0.5
+                   END AS INT) AS script_mismatch
+            FROM t ORDER BY doc_id
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

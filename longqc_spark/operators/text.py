@@ -997,3 +997,78 @@ def compression_ratio(
         return s.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+# Unicode ranges per writing system (the big contiguous blocks; enough to
+# catch lang/script disagreement, which is block-level by nature).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "぀-ヿ㐀-䶿一-鿿가-힯",
+}
+
+# ISO 639-1 → expected script for the languages the QC pipeline's langid
+# emits; anything absent falls back to "no expectation" (mismatch NULL).
+LANG_SCRIPT: dict[str, str] = {
+    "en": "latin", "de": "latin", "fr": "latin", "es": "latin",
+    "it": "latin", "pt": "latin", "nl": "latin", "pl": "latin",
+    "ru": "cyrillic", "uk": "cyrillic", "bg": "cyrillic",
+    "el": "greek", "ar": "arabic", "fa": "arabic", "hi": "devanagari",
+    "zh": "cjk", "ja": "cjk", "ko": "cjk",
+}
+
+
+def script_char_count(text_col: str, script: str):
+    """Chars of ``text_col`` inside ``script``'s Unicode ranges — a JVM
+    strip-and-measure (no per-char Python)."""
+    ranges = SCRIPT_RANGES[script]
+    return F.length(
+        F.regexp_replace(F.col(text_col), f"[^{ranges}]", "")
+    )
+
+
+def script_consistency(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Declared-language vs script-composition check → input +
+    ``(script_frac, script_mismatch)``.
+
+    ``script_frac`` = chars in the language's expected script ÷ letter
+    chars overall (``\\p{L}`` — digits/punctuation/space don't vote);
+    ``script_mismatch`` = frac < ``min_frac``. Both NULL when the
+    language has no script expectation (not in :data:`LANG_SCRIPT`),
+    the text is NULL, or it contains no letters — an empty page is not
+    evidence of mislabeling.
+
+    The standard langid sanity gate: n-gram language IDs confidently
+    mislabel short or mixed pages, but a page claiming ``ru`` that is
+    90% Latin letters is wrong regardless of the classifier's
+    confidence. Pure scan-fused column expressions: one regexp strip
+    per script present in the mapping plus one ``\\p{L}`` strip — no
+    shuffle, no Python.
+
+    Reference analog: the GC-content sanity histogram
+    (``lq_nanopore.py`` GC stats) — a cheap composition statistic that
+    flags records whose declared identity and measured composition
+    disagree."""
+    letters = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}]", ""))
+    expected = None
+    for lang, script in LANG_SCRIPT.items():
+        hit = script_char_count(text_col, script)
+        expected = (
+            F.when(F.col(lang_col) == lang, hit)
+            if expected is None
+            else expected.when(F.col(lang_col) == lang, hit)
+        )
+    frac = F.when(
+        letters > 0, F.round(expected / letters, 6)
+    )  # NULL: unknown lang (expected NULL), no letters, or NULL text
+    return df.withColumn("script_frac", frac).withColumn(
+        "script_mismatch", F.col("script_frac") < F.lit(min_frac)
+    )
