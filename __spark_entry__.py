@@ -1421,6 +1421,57 @@ def q_script_check(spark: SparkSession, sf: str) -> DataFrame:  # text: lang/scr
     )
 
 
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:  # IR: BM25 retrieval
+    """Okapi BM25 top-10 for the bag {dup, vector, merge} over documents —
+    the decontamination-lookup / data-selection retrieval primitive
+    (ir.bm25_topk). 'dup' is the corpus's one rare term (df≈5% of docs), so
+    idf weighting visibly reorders the hits. Oracle: the identical formula
+    in DuckDB SQL over the same whitespace-token contract; zero-token docs
+    kept in the avgdl denominator on both sides."""
+    from longqc_spark.operators.ir import bm25_topk
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return bm25_topk(docs, ["dup", "vector", "merge"], k=10)
+
+
+def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:  # IR: per-doc key terms
+    """Per-document top-3 TF-IDF key terms (ir.tfidf_topk_terms) with the
+    document-frequency band guard doing real work on this corpus: min_df=2
+    keeps the rare 'dup' term, max_df_frac=0.78 cuts the most boilerplate
+    terms (df > 0.78·N) before scoring — the stopword cut and the
+    heavy-hitter/skew guard in one predicate. Restricted to doc_id < 100
+    to keep the driver compare small; ties broken by term on both engines."""
+    from longqc_spark.operators.ir import tfidf_topk_terms
+
+    docs = _read(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 100)
+    )
+    return tfidf_topk_terms(docs, k=3, min_df=2, max_df_frac=0.78).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def q_host_entropy(spark: SparkSession, sf: str) -> DataFrame:  # web: host diversity
+    """Shannon entropy of each host's content-digest distribution
+    (ir.host_digest_entropy): hosts are seeded h{doc_id%16}.example (the
+    link_graph arrangement) and every 7th doc's text is overwritten with a
+    shared template so some hosts serve duplicate payloads — entropy and
+    the size-normalized diversity ratio drop exactly there. md5 digests so
+    the DuckDB oracle reproduces the distribution bit-exactly."""
+    from longqc_spark.operators.ir import host_digest_entropy
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 16).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("parked domain template page")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    return host_digest_entropy(pages, min_pages=2)
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3677,6 +3728,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_targets": q_anchor_targets,
         "snapshot_churn": q_snapshot_churn,
         "script_check": q_script_check,
+        "bm25_search": q_bm25_search,
+        "tfidf_terms": q_tfidf_terms,
+        "host_entropy": q_host_entropy,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4737,6 +4791,109 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(cyr / (lat + cyr), 6) < 0.5
                    END AS INT) AS script_mismatch
             FROM t ORDER BY doc_id
+        """,
+        "bm25_search": r"""
+            -- Okapi BM25, same token contract (non-empty lower() \s+ splits)
+            -- and the Lucene idf ln(1 + (N-df+0.5)/(df+0.5)); k1=1.2 b=0.75.
+            -- dl computed via len() so zero-token docs stay in avgdl.
+            WITH d AS (
+                SELECT doc_id,
+                       array_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), dl AS (
+                SELECT doc_id, len(toks) AS dl FROM d
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+                SELECT doc_id, tk, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tk FROM d)
+                WHERE tk IN ('dup', 'vector', 'merge')
+                GROUP BY doc_id, tk
+            ), dfreq AS (
+                SELECT tk, count(*) AS df FROM tf GROUP BY tk
+            ), contrib AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                         AS c
+                FROM tf JOIN dfreq f USING (tk)
+                        JOIN dl USING (doc_id)
+                        CROSS JOIN stats s
+            )
+            SELECT doc_id, round(sum(c), 6) AS score,
+                   count(*) AS n_terms_hit
+            FROM contrib GROUP BY doc_id
+            ORDER BY round(sum(c), 6) DESC, doc_id LIMIT 10
+        """,
+        "tfidf_terms": r"""
+            -- smoothed tf-idf: tf * (ln((1+N)/(1+df)) + 1); df band
+            -- [2, 0.78*N]; top-3 per doc, ties by term. The doc_id < 100
+            -- subset IS the corpus (N and df computed over it), matching
+            -- the Spark plan's filter-before-stats placement.
+            WITH d AS (
+                SELECT doc_id,
+                       array_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL AND doc_id < 100
+            ), tf AS (
+                SELECT doc_id, tk AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tk FROM d)
+                GROUP BY doc_id, tk
+            ), nd AS (
+                SELECT count(*) AS n_docs FROM d
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), banded AS (
+                SELECT f.term, f.df FROM dfreq f CROSS JOIN nd
+                WHERE f.df >= 2 AND f.df <= n_docs * 0.78
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, b.df,
+                       tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + b.df)) + 1.0)
+                         AS raw_score
+                FROM tf JOIN banded b USING (term) CROSS JOIN nd
+            ), ranked AS (
+                SELECT doc_id, term, tf, df, round(raw_score, 6) AS score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY round(raw_score, 6) DESC,
+                                                   term)
+                         AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score, rank
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "host_entropy": """
+            -- H(host) = log2(N) - sum(n*log2(n))/N over md5-digest groups;
+            -- every 7th doc's payload replaced by the shared template
+            WITH pages AS (
+                SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.example'
+                         AS host,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'parked domain template page'
+                            ELSE text END AS text
+                FROM documents WHERE text IS NOT NULL
+            ), per_digest AS (
+                SELECT host, md5(text) AS digest, count(*) AS n
+                FROM pages GROUP BY host, digest
+            ), agg AS (
+                SELECT host,
+                       sum(n) AS n_pages,
+                       count(*) AS n_distinct,
+                       sum(n * ln(n)) / ln(2) AS sum_nlogn
+                FROM per_digest GROUP BY host
+            )
+            SELECT host,
+                   CAST(n_pages AS BIGINT) AS n_pages,
+                   n_distinct,
+                   round(ln(n_pages)/ln(2) - sum_nlogn / n_pages, 6)
+                     AS entropy_bits,
+                   CASE WHEN n_pages > 1 THEN
+                     round((ln(n_pages)/ln(2) - sum_nlogn / n_pages)
+                           / (ln(n_pages)/ln(2)), 6)
+                   END AS diversity
+            FROM agg WHERE n_pages >= 2 ORDER BY host
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

@@ -82,6 +82,11 @@ BENCH_QUERIES = (
     "host_boilerplate",
     "anchor_targets",
     "snapshot_churn",
+    "script_check",
+    # round-4j IR / corpus-forensics operators
+    "bm25_search",
+    "tfidf_terms",
+    "host_entropy",
 )
 
 
