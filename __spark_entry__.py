@@ -1472,6 +1472,33 @@ def q_host_entropy(spark: SparkSession, sf: str) -> DataFrame:  # web: host dive
     return host_digest_entropy(pages, min_pages=2)
 
 
+def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:  # web: 3xx chain collapse
+    """Redirect-chain resolution by pointer doubling
+    (redirects.resolve_redirects): fetches are seeded into 6-URL blocks
+    u{6k}→u{6k+1}→…→u{6k+5}; every 5th block closes into a 6-cycle
+    (u{6k+5}→u{6k}), the rest terminate at u{6k+5}. With max_hops=4 the
+    block heads (5 hops) and every cycle member come back
+    resolved=false — both unresolved paths exercised — while hops 1–4
+    resolve with exact counts. Oracle: a hop-bounded recursive CTE
+    walks the SAME edges one hop at a time, proving the log-round
+    doubling composition equals the sequential walk."""
+    from longqc_spark.operators.redirects import resolve_redirects
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    fwd = docs.filter(d % 6 != 5).select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.lit(301).alias("status"),
+        F.concat(F.lit("u"), (d + 1).cast("string")).alias("location"),
+    )
+    back = docs.filter(d % 30 == 5).select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.lit(302).alias("status"),
+        F.concat(F.lit("u"), (d - 5).cast("string")).alias("location"),
+    )
+    return resolve_redirects(fwd.unionByName(back), max_hops=4).orderBy("url")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3731,6 +3758,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "tfidf_terms": q_tfidf_terms,
         "host_entropy": q_host_entropy,
+        "redirect_resolve": q_redirect_resolve,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4894,6 +4922,38 @@ def oracle_sql() -> dict[str, str]:
                            / (ln(n_pages)/ln(2)), 6)
                    END AS diversity
             FROM agg WHERE n_pages >= 2 ORDER BY host
+        """,
+        "redirect_resolve": """
+            -- Sequential hop-at-a-time walk over the seeded 3xx edges
+            -- (hop-bounded so the cycle blocks terminate the recursion);
+            -- a source is resolved iff a non-redirecting URL is reached
+            -- within max_hops=4. Proves the pointer-doubling composition
+            -- equals the one-hop walk.
+            WITH RECURSIVE e AS (
+                SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                       'u' || CAST(doc_id + 1 AS VARCHAR) AS dst
+                FROM documents WHERE doc_id % 6 <> 5
+                UNION ALL
+                SELECT 'u' || CAST(doc_id AS VARCHAR),
+                       'u' || CAST(doc_id - 5 AS VARCHAR)
+                FROM documents WHERE doc_id % 30 = 5
+            ), walk(src, cur, hops) AS (
+                SELECT src, dst, 1 FROM e
+                UNION ALL
+                SELECT w.src, e2.dst, w.hops + 1
+                FROM walk w JOIN e e2 ON w.cur = e2.src
+                WHERE w.hops < 4
+            ), term AS (
+                SELECT w.src, w.cur, w.hops
+                FROM walk w LEFT JOIN e ON w.cur = e.src
+                WHERE e.src IS NULL
+            )
+            SELECT s.src AS url, t.cur AS terminal_url,
+                   CAST(t.hops AS BIGINT) AS hops,
+                   t.src IS NOT NULL AS resolved
+            FROM (SELECT DISTINCT src FROM e) s
+            LEFT JOIN term t ON s.src = t.src
+            ORDER BY url
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest
