@@ -1499,6 +1499,36 @@ def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:  # web: 3xx c
     return resolve_redirects(fwd.unionByName(back), max_hops=4).orderBy("url")
 
 
+def q_crawler_traps(spark: SparkSession, sf: str) -> DataFrame:  # web: URL-template explosion
+    """Crawler-trap detection (web.crawler_traps): every 4th doc mints a
+    calendar/session URL ``/cal/{d}?sess=s{d}&v=2`` (param order flipped
+    on alternating 8-blocks to exercise the name-sort normalization)
+    serving ONE shared template digest per host, the rest are articles
+    ``/art/{d}`` with distinct digests — so the ``/cal/N?sess&v``
+    skeletons are traps and the ``/art/N`` skeletons pass. GROUND-TRUTH
+    oracle: the skeleton, both counts, the ratio, and the <= trap rule
+    are pure doc_id arithmetic (no regex runs in DuckDB)."""
+    from longqc_spark.operators.web import crawler_traps
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = F.concat(F.lit("https://h"), (d % 8).cast("string"), F.lit(".com"))
+    qstr = F.when(
+        F.expr("(doc_id div 8) % 2 = 0"),
+        F.concat(F.lit("?sess=s"), ds, F.lit("&v=2")),
+    ).otherwise(F.concat(F.lit("?v=2&sess=s"), ds))
+    url = F.when(
+        d % 4 == 0, F.concat(h, F.lit("/cal/"), ds, qstr)
+    ).otherwise(F.concat(h, F.lit("/art/"), ds))
+    dg = F.when(d % 4 == 0, F.concat(F.lit("tpl"), (d % 8).cast("string"))).otherwise(
+        F.concat(F.lit("v"), ds)
+    )
+    return crawler_traps(
+        docs.select(url.alias("url"), dg.alias("digest")), min_urls=10
+    ).orderBy("skeleton")
+
+
 def q_incremental_line_dedup(spark: SparkSession, sf: str) -> DataFrame:  # web: cross-run line rule
     """Cross-run GLOBAL line dedup: a committed prior run (doc_id % 3 == 0,
     as line-count state from line_doc_counts) plus a new batch (the rest);
@@ -3759,6 +3789,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "host_entropy": q_host_entropy,
         "redirect_resolve": q_redirect_resolve,
+        "crawler_traps": q_crawler_traps,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4954,6 +4985,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT src FROM e) s
             LEFT JOIN term t ON s.src = t.src
             ORDER BY url
+        """,
+        "crawler_traps": """
+            -- GROUND-TRUTH oracle: the skeleton each seeded URL folds to
+            -- is known by arithmetic (digits -> N, param names sorted),
+            -- as are both counts: /cal docs share one digest per host,
+            -- /art docs are all distinct. Trap rule <= 0.2 replicated.
+            WITH rows_ AS (
+                SELECT CASE WHEN doc_id % 4 = 0
+                            THEN 'h' || CAST(doc_id % 8 AS VARCHAR)
+                                 || '.com/cal/N?sess&v'
+                            ELSE 'h' || CAST(doc_id % 8 AS VARCHAR)
+                                 || '.com/art/N' END AS skeleton,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'tpl' || CAST(doc_id % 8 AS VARCHAR)
+                            ELSE 'v' || CAST(doc_id AS VARCHAR) END AS dg
+                FROM documents
+            ), g AS (
+                SELECT skeleton, count(*) AS n_urls,
+                       count(DISTINCT dg) AS n_digests
+                FROM rows_ GROUP BY skeleton
+            )
+            SELECT skeleton, n_urls, n_digests,
+                   round(n_digests / n_urls, 6) AS content_ratio,
+                   n_digests / n_urls <= 0.2 AS is_trap
+            FROM g WHERE n_urls >= 10 ORDER BY skeleton
         """,
         "link_graph": """
             -- GROUND-TRUTH oracle: edges are seeded by line-digest

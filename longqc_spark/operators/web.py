@@ -1245,3 +1245,109 @@ def snapshot_churn(
         )
         .orderBy("host")
     )
+
+
+def url_skeleton_expr(col: str = "url") -> Column:
+    """The URL's TEMPLATE identity — host + path with every digit run
+    folded to ``N`` + the SORTED query-param NAME set (values dropped) —
+    so ``/cal/2024?sess=a9`` and ``/cal/2025?sess=k2`` share one
+    skeleton. This is the grain at which crawler traps live: a calendar
+    or session-ID pattern mints unbounded distinct URLs from one
+    template while serving near-identical content. Pure JVM
+    regexp/array chain (scan-fused, each step mirrors 1:1 into DuckDB
+    for oracle parity); NULL for hostless/NULL input."""
+    u = F.col(col)
+    host = host_expr(col)
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[a-z]+://[^/?#]+([^?#]*)", 1), r"[0-9]+", "N"
+    )
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    names = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.split(q, "&"), lambda x: F.regexp_replace(x, "=.*$", "")
+            )
+        ),
+        "&",
+    )
+    skel = F.concat(
+        host, path, F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), names))
+    )
+    return F.when(host.isNull(), None).otherwise(skel)
+
+
+def crawler_traps(
+    df: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_urls: int = 10,
+    max_content_ratio: float = 0.2,
+) -> DataFrame:
+    """Detect URL-template explosions → ``(skeleton, n_urls, n_digests,
+    content_ratio, is_trap)``, one row per skeleton with ``>= min_urls``
+    distinct URLs.
+
+    A trap skeleton mints many distinct URLs that serve few distinct
+    payloads (``content_ratio = n_digests / n_urls <=
+    max_content_ratio``): session-ID params, calendar pages, print/sort
+    permutations. Feed the trap rows to :func:`trap_filter` to cut the
+    pattern out of the frontier — the classic crawl defense, applied
+    corpus-side from the evidence the crawl already paid for.
+
+    Three CASCADING partial-agg shuffles on narrowing grains
+    (skeleton+url → skeleton+digest → skeleton), deliberately NOT
+    ``countDistinct`` twice in one agg (that plans an Expand that
+    doubles the shuffle volume). Duplicate fetches of one URL collapse
+    to their min digest first, so re-crawls don't inflate counts."""
+    g = (
+        df.select(
+            url_skeleton_expr(url_col).alias("skeleton"),
+            F.col(url_col).alias("_u"),
+            F.col(digest_col).alias("_d"),
+        )
+        .where(F.col("skeleton").isNotNull())
+        .groupBy("skeleton", "_u")
+        .agg(F.min("_d").alias("_d"))
+    )
+    gd = g.groupBy("skeleton", "_d").agg(F.count("*").alias("_nu"))
+    return (
+        gd.groupBy("skeleton")
+        .agg(
+            F.sum("_nu").alias("n_urls"),
+            F.count("*").alias("n_digests"),
+        )
+        .where(F.col("n_urls") >= min_urls)
+        .select(
+            "skeleton",
+            "n_urls",
+            "n_digests",
+            F.round(F.col("n_digests") / F.col("n_urls"), 6).alias("content_ratio"),
+            (F.col("n_digests") / F.col("n_urls") <= max_content_ratio).alias(
+                "is_trap"
+            ),
+        )
+    )
+
+
+def trap_filter(
+    df: DataFrame,
+    traps: DataFrame,
+    url_col: str = "url",
+    keep_trapped: bool = False,
+) -> DataFrame:
+    """Cut every URL whose skeleton is a detected trap (``is_trap``
+    rows of :func:`crawler_traps`) — the frontier/corpus gate that stops
+    a calendar or session-ID pattern from eating the crawl budget.
+    Broadcast-able anti-join on the skeleton (trap tables are tiny —
+    template-grain, not URL-grain); ``keep_trapped=True`` returns the
+    flagged slice instead (audit view). NULL-skeleton rows (hostless
+    input) pass through the anti-join untouched, matching every other
+    hygiene gate's NULL-identity rule."""
+    t = traps.where(F.col("is_trap")).select(F.col("skeleton").alias("_t_skel"))
+    keyed = df.withColumn("_skel", url_skeleton_expr(url_col))
+    out = keyed.join(
+        F.broadcast(t),
+        keyed["_skel"] == t["_t_skel"],
+        "semi" if keep_trapped else "anti",
+    )
+    return out.drop("_skel")
