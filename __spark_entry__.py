@@ -3706,6 +3706,122 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
 assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 
 
+def q_charset_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: encoding sniff
+    """WHATWG-style charset sniffing (web.charset_sniff) over html bytes
+    built from doc_id: d%6 picks UTF-8 BOM + matching meta / a LATIN1
+    alias label / a UTF-16LE BOM contradicting a utf-8 meta (conflict) /
+    an http-equiv Content-Type declaration / a meta utf-16 label (the
+    spec remaps it to utf-8) / no signal at all (windows-1252 default).
+    GROUND-TRUTH oracle: every output is pure d%6 arithmetic — the BOM
+    detection, label normalization, UTF-16 remap, precedence and the
+    conflict rule are all pinned without DuckDB parsing anything."""
+    from longqc_spark.operators.web import charset_sniff
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    m = d % 6
+    bom = (
+        F.when(m == 0, F.lit("ï»¿"))  # UTF-8 BOM bytes
+        .when(m == 2, F.lit("ÿþ"))  # UTF-16LE BOM bytes
+        .otherwise(F.lit(""))
+    )
+    head = (
+        F.when(m == 0, F.lit('<head><meta charset="utf-8">'))
+        .when(m == 1, F.lit("<head><meta charset=LATIN1>"))
+        .when(m == 2, F.lit('<head><meta charset="utf-8">'))
+        .when(
+            m == 3,
+            F.lit(
+                '<head><meta http-equiv="Content-Type" '
+                "content=\"text/html; charset=Shift_JIS\">"
+            ),
+        )
+        .when(m == 4, F.lit("<head><meta charset='utf-16'>"))
+        .otherwise(F.lit("<head><title>plain</title>"))
+    )
+    html = F.encode(
+        F.concat(
+            bom, F.lit("<html>"), head, F.lit("</head><body>x</body></html>")
+        ),
+        "ISO-8859-1",
+    )
+    return (
+        charset_sniff(docs.select("doc_id", html.alias("html")))
+        .select(
+            "doc_id",
+            "bom_charset",
+            "meta_charset",
+            "charset",
+            # nullable-bool → nullable-int for stable cross-engine dtype
+            F.col("charset_conflict").cast("int").alias("charset_conflict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:  # corpus health: Zipf law
+    """Corpus-level Zipf rank-frequency OLS fit (text.zipf_fit) over the
+    documents vocabulary: one token-count shuffle, TakeOrdered top-200,
+    rank/ln/OLS on the bounded result. Oracle: identical arithmetic in
+    DuckDB (row_number ties broken by token on both engines; covar_pop/
+    var_pop/corr; 6dp rounding)."""
+    from longqc_spark.operators.text import zipf_fit
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return zipf_fit(docs, text_col="text", k=200)
+
+
+def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:  # multimodal dedup, rows-only
+    """Perceptual image near-dup (multimodal.image_near_pairs): dhash64
+    over REAL-decoded BMP payloads, then the SimHash chunk-banded hamming
+    join — the LAION-style image-dedup path. The synth corpus plants a
+    near-identical copy (one pixel nudged) of every 4th image plus an
+    exact byte-dup of every 8th; unrelated images sit ~32 bits apart, so
+    max_hamming=6 separates cleanly. Rows-only by design (no image decode
+    in DuckDB); pinned by golden hash + a Spark-vs-direct-numpy equality
+    test in tests/test_multimodal.py."""
+    import numpy as np
+
+    from longqc_spark.operators.multimodal import (
+        encode_bmp,
+        image_near_pairs,
+        synth_media_table,
+    )
+
+    base = synth_media_table(spark, n=256).filter(F.col("kind") == "image")
+
+    def plant(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "declared_mime": []}
+            for mid, payload in zip(pdf.media_id, pdf.payload):
+                rows["media_id"].append(mid)
+                rows["kind"].append("image")
+                rows["payload"].append(bytes(payload))
+                rows["declared_mime"].append("image/bmp")
+                if mid % 4 == 0:
+                    from longqc_spark.operators.multimodal import decode_bmp
+
+                    img = decode_bmp(bytes(payload)).copy()
+                    img[0, 0] = (img[0, 0].astype(np.int64) + 40) % 256
+                    rows["media_id"].append(mid + 100000)
+                    rows["kind"].append("image")
+                    rows["payload"].append(encode_bmp(img))
+                    rows["declared_mime"].append("image/bmp")
+                if mid % 8 == 0:
+                    rows["media_id"].append(mid + 200000)
+                    rows["kind"].append("image")
+                    rows["payload"].append(bytes(payload))
+                    rows["declared_mime"].append("image/bmp")
+            yield pd.DataFrame(rows)
+
+    media = base.mapInPandas(plant, schema=base.schema)
+    return image_near_pairs(media, max_hamming=6, n_chunks=8).orderBy(
+        "key_a", "key_b"
+    )
+
+
 def _window_order(d: dict) -> dict:
     out = {k: d[k] for k in _DRIVER_WINDOW_FIRST if k in d}
     out.update({k: v for k, v in d.items() if k not in out})
@@ -3790,6 +3906,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_entropy": q_host_entropy,
         "redirect_resolve": q_redirect_resolve,
         "crawler_traps": q_crawler_traps,
+        # round-4j: charset sniff gate, Zipf corpus-health fit, perceptual
+        # image near-dup (rows-only) — round-5 driver-window candidates
+        "charset_gate": q_charset_gate,
+        "zipf_fit": q_zipf_fit,
+        "image_neardup": q_image_neardup,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -4850,6 +4971,55 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(cyr / (lat + cyr), 6) < 0.5
                    END AS INT) AS script_mismatch
             FROM t ORDER BY doc_id
+        """,
+        "charset_gate": """
+            -- GROUND-TRUTH oracle: the html bytes are built from d%6, so
+            -- BOM detection (m 0/2), label normalization (LATIN1 →
+            -- windows-1252), the WHATWG meta UTF-16 → utf-8 remap (m 4),
+            -- BOM > meta precedence (m 2), the windows-1252 default (m 5)
+            -- and the conflict rule are all pure arithmetic here.
+            WITH t AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+            SELECT doc_id,
+                   CASE WHEN m = 0 THEN 'utf-8'
+                        WHEN m = 2 THEN 'utf-16le' END AS bom_charset,
+                   CASE WHEN m = 0 THEN 'utf-8'
+                        WHEN m = 1 THEN 'windows-1252'
+                        WHEN m = 2 THEN 'utf-8'
+                        WHEN m = 3 THEN 'shift_jis'
+                        WHEN m = 4 THEN 'utf-8' END AS meta_charset,
+                   CASE WHEN m = 0 THEN 'utf-8'
+                        WHEN m = 1 THEN 'windows-1252'
+                        WHEN m = 2 THEN 'utf-16le'
+                        WHEN m = 3 THEN 'shift_jis'
+                        WHEN m = 4 THEN 'utf-8'
+                        ELSE 'windows-1252' END AS charset,
+                   CAST(m = 2 AS INT) AS charset_conflict
+            FROM t ORDER BY doc_id
+        """,
+        "zipf_fit": r"""
+            -- identical arithmetic: token counts, top-200 by (cnt DESC,
+            -- tok) — the same tie-break Spark's TakeOrdered uses — then
+            -- OLS of ln(cnt) on ln(rank), 6dp rounding
+            WITH toks AS (
+                SELECT unnest(array_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ), counts AS (
+                SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), topk AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+                FROM counts ORDER BY cnt DESC, tok LIMIT 200
+            ), xy AS (
+                SELECT ln(rnk) AS x, ln(cnt) AS y FROM topk
+            )
+            SELECT count(*) AS n_terms,
+                   round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+                   round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
+                       AS intercept,
+                   round(pow(corr(x, y), 2), 6) AS r2
+            FROM xy
         """,
         "bm25_search": r"""
             -- Okapi BM25, same token contract (non-empty lower() \s+ splits)

@@ -405,3 +405,94 @@ def sample_frames(
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(compute, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-dup (LAION-style image dedup)
+# ---------------------------------------------------------------------------
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of an RGB image: integer Rec.601 luma →
+    9x8 nearest-neighbor downscale → horizontal-gradient sign bits.
+
+    All-integer arithmetic (fixed-point luma, integer index resize), so the
+    hash is bit-identical across platforms/BLAS builds — the property a
+    distributed dedup key must have. Hamming distance between dhashes is
+    the standard perceptual-near-dup metric (small crops / noise / light
+    recompression move few bits; unrelated images differ in ~32).
+    Reference analog: per-read fingerprint for duplicate detection
+    (``lq_mask.py`` low-complexity masks as content signatures)."""
+    px = img.astype(np.int64)
+    luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    small = resize_image(luma, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(64)
+    val = np.left_shift(
+        bits.astype(np.uint64), np.arange(64, dtype=np.uint64)
+    ).sum(dtype=np.uint64)
+    return int(val.view(np.int64))  # two's-complement wrap into Spark's long
+
+
+def image_dhash(
+    media: DataFrame,
+    key_col: str = "media_id",
+    payload_col: str = "payload",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Image rows → (key, dhash int64), Arrow-batched ``mapInPandas``.
+
+    Caller filters to image rows (``kind == 'image'``); BMP payloads decode
+    for REAL, foreign formats raise at the codec boundary unless
+    ``fake_decode``. Scale posture: one decode pass, no shuffle — the hash
+    fuses into the scan; pair generation happens downstream on the 8-byte
+    hash only, never the pixels."""
+    out_schema = T.StructType(
+        [media.schema[key_col], T.StructField("dhash", T.LongType())]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = np.fromiter(
+                (
+                    dhash64(decode_image(bytes(p), fake=fake_decode))
+                    for p in pdf[payload_col]
+                ),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            yield pd.DataFrame({key_col: pdf[key_col].to_numpy(), "dhash": hashes})
+
+    return media.select(key_col, payload_col).mapInPandas(compute, schema=out_schema)
+
+
+def image_near_pairs(
+    media: DataFrame,
+    key_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+    max_bucket: int | None = None,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Perceptual image near-dup: dhash64 per image, then the SAME
+    chunk-banded hamming join the text SimHash path uses
+    (``dedup.simhash_near_pairs`` — pigeonhole recall 1.0 for
+    ``max_hamming <= n_chunks - 1``, ``max_bucket`` flood guard included).
+    → (key_a, key_b, hamming).
+
+    The pixels never cross a shuffle: the join operates on 8-byte hashes,
+    so a 100 TB image corpus dedups over an ~n_images x 8B exchange."""
+    from .dedup import simhash_near_pairs
+
+    sigs = image_dhash(media, key_col, payload_col, fake_decode).withColumnRenamed(
+        "dhash", "simhash"
+    )
+    return simhash_near_pairs(
+        sigs,
+        key_col=key_col,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_bucket=max_bucket,
+    )

@@ -1072,3 +1072,51 @@ def script_consistency(
     return df.withColumn("script_frac", frac).withColumn(
         "script_mismatch", F.col("script_frac") < F.lit(min_frac)
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", k: int = 200
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the classic
+    corpus-health check (natural language sits near slope -1 on the
+    log-log rank/frequency line; machine-generated or template-flooded
+    corpora bend away from it, so a drifting slope/r² between crawl
+    snapshots is an early spam alarm, the corpus-level complement of the
+    per-doc repetition rules).
+
+    → one row: n_terms, slope, intercept, r2 (OLS of ln(count) on
+    ln(rank) over the top-``k`` terms, ties broken by token so rank order
+    is engine-independent; outputs rounded to 6dp).
+
+    Scale posture: one partial-agg token-count shuffle (the same exchange
+    every vocab pass pays), then ``TakeOrdered`` for the top-k — no global
+    sort of the vocabulary; the rank window runs on the k-row (driver-
+    bounded, default 200) result, not the corpus. Reference analog: the
+    rank-shaped read-length distribution fit (``lq_gamma.py`` via
+    ``fits.py``), lifted to vocabulary statistics."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(k)
+    # single-partition window over <= k rows — bounded by construction
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = topk.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    # try_divide: a degenerate corpus (every count equal → zero y-variance,
+    # or k=1 → zero x-variance) yields NULL, matching SQL corr()'s NULL
+    # instead of an ANSI divide-by-zero
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
+    r2 = F.try_divide(
+        F.pow(F.covar_pop("x", "y"), 2), F.var_pop("x") * F.var_pop("y")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -1351,3 +1351,106 @@ def trap_filter(
         "semi" if keep_trapped else "anti",
     )
     return out.drop("_skel")
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing (WHATWG-style BOM + <meta> prescan)
+# ---------------------------------------------------------------------------
+
+# The WHATWG encoding-sniffing algorithm, restricted to the parts that are
+# decidable from the payload alone: (1) a BOM wins over everything;
+# (2) otherwise a <meta charset=...> / <meta http-equiv=content-type
+# content="...charset=..."> declaration inside the first 1024 bytes;
+# (3) otherwise the windows-1252 web default. Labels normalize per the
+# Encoding Standard (latin1/iso-8859-1/ascii are windows-1252 labels;
+# utf8 is a utf-8 label), and a UTF-16 label found by the META prescan is
+# remapped to utf-8 (the spec's "if charset is a UTF-16 encoding, set
+# charset to UTF-8" rule — readable ASCII markup proves the page is not
+# actually UTF-16). Everything is a JVM regexp/CASE chain over the
+# latin1-decoded byte prefix: zero shuffle, fuses into the scan.
+_BOM_UTF8 = "\u00ef\u00bb\u00bf"  # EF BB BF seen through latin1
+_BOM_UTF16BE = "\u00fe\u00ff"  # FE FF
+_BOM_UTF16LE = "\u00ff\u00fe"  # FF FE
+# one regex covers both declaration shapes: the prescan looks for a charset=
+# token anywhere inside a <meta ...> tag (the http-equiv form carries it
+# inside the content attribute's value)
+_META_CHARSET_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?\s*([a-zA-Z0-9._:\-]+)"""
+
+# Encoding Standard label → canonical name (the subset that appears in web
+# corpora; unknown labels pass through lowercased so the audit column shows
+# what was declared)
+_CHARSET_LABELS = {
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "cp1252": "windows-1252",
+    "x-user-defined": "windows-1252",
+}
+
+
+def _normalize_charset(c: Column) -> Column:
+    c = F.lower(c)
+    out = c
+    for label, canon in _CHARSET_LABELS.items():
+        out = F.when(c == label, F.lit(canon)).otherwise(out)
+    # META prescan UTF-16 remap (BOM-declared UTF-16 is NOT remapped)
+    return F.when(
+        out.isin("utf-16", "utf-16le", "utf-16be"), F.lit("utf-8")
+    ).otherwise(out)
+
+
+def charset_sniff_exprs(
+    df: DataFrame, html_col: str = "html", prescan_bytes: int = 1024
+) -> dict[str, Column]:
+    """{bom_charset, meta_charset, charset, charset_conflict} columns.
+
+    ``charset`` follows BOM > meta > windows-1252 default;
+    ``charset_conflict`` flags pages whose BOM and meta declaration
+    disagree (the mislabeled-page signal a re-decode pass keys on).
+    NULL html → all NULL."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[html_col].dataType, T.BinaryType):
+        s = F.decode(F.col(html_col), "ISO-8859-1")  # lossless byte→char
+    else:
+        s = F.col(html_col).cast("string")
+    head = F.substring(s, 1, prescan_bytes)
+    bom = (
+        F.when(head.startswith(_BOM_UTF8), "utf-8")
+        .when(head.startswith(_BOM_UTF16BE), "utf-16be")
+        .when(head.startswith(_BOM_UTF16LE), "utf-16le")
+    )
+    meta_raw = F.regexp_extract(head, _META_CHARSET_RE, 1)
+    meta = F.when(meta_raw != "", _normalize_charset(meta_raw))
+    charset = F.when(
+        F.col(html_col).isNotNull(),
+        F.coalesce(bom, meta, F.lit("windows-1252")),
+    )
+    conflict = F.when(
+        F.col(html_col).isNotNull(),
+        bom.isNotNull() & meta.isNotNull() & (bom != meta),
+    )
+    return {
+        "bom_charset": bom,
+        "meta_charset": meta,
+        "charset": charset,
+        "charset_conflict": conflict,
+    }
+
+
+def charset_sniff(
+    df: DataFrame, html_col: str = "html", prescan_bytes: int = 1024
+) -> DataFrame:
+    """Annotate with the :func:`charset_sniff_exprs` columns — the
+    fetch-side encoding gate that runs BEFORE text extraction (a page
+    decoded with the wrong charset poisons every downstream stat, the
+    same reason the mojibake repair pass exists at the text layer)."""
+    out = df
+    for name, c in charset_sniff_exprs(df, html_col, prescan_bytes).items():
+        out = out.withColumn(name, c)
+    return out

@@ -257,16 +257,12 @@ _GOLDEN_SF001 = {
     "media_frames": (85, "2a9b05232581451f"),
     "ccsynth_source": (4, "34b14c5532134246"),
     "lm_stats": (5, "b6e78b0ccc228aed"),
-    # VERDICT r3 item 6: every rows-only registry query carries a pin so a
-    # silent behavior change fails tests even without a DuckDB oracle
-    # (deterministic seeds make these stable).
     "langid_docs": (1, "8da0ad4dcf82556d"),
-    "minhash_lsh": (28, "6922dfeb94595690"),
-    "simhash": (1688, "6f4bbaf909242932"),
-    "lsh_topk": (60, "a3b53d9cc3cf0022"),
-    "ivf_topk": (30, "6584b4905fb1811b"),
     "zlib_quality": (20, "fb1f8b407b042073"),
     "incremental_neardup": (20, "1e7a2086dfd2d335"),
+    # round-4j: perceptual image near-dup — all 44 planted pairs (22 jitter
+    # copies, 11 exact dups, 11 transitive), zero spurious
+    "image_neardup": (44, "1b3fbd3ad9d6839e"),
 }
 
 
