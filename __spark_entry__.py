@@ -3822,6 +3822,64 @@ def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:  # multimodal de
     )
 
 
+def q_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:  # multimodal dedup, rows-only
+    """Perceptual audio near-dup (multimodal.audio_near_pairs): 64-bit
+    Haitsma-Kalker fingerprints over REAL-decoded WAV payloads, paired by
+    the SimHash chunk-banded hamming join. 96 broadband clips (AM-
+    modulated multi-tone, the fingerprint's design target); every 4th
+    clip gets a half-gain re-encode (+100000: the double-difference
+    fingerprint is EXACTLY gain-invariant, 0 bits) and every 8th an exact
+    byte-dup (+200000). Rows-only by design (no WAV decode in DuckDB);
+    golden-pinned + Spark-vs-direct equality in tests. Additive-noise
+    robustness is statistical at 64-bit granularity (median ~4 bits,
+    tails past the radius — tests pin the separation, the docstring of
+    afp64 documents the trade-off)."""
+    import numpy as np
+
+    from longqc_spark.operators.multimodal import audio_near_pairs, encode_wav
+
+    def gen(batches):
+        import pandas as pd
+
+        t = np.arange(4000)
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+
+            def clip(seed: int) -> np.ndarray:
+                r = np.random.default_rng(seed)
+                y = np.zeros(4000)
+                for _ in range(3):
+                    f = r.uniform(100, 3000)
+                    fm = r.uniform(0.5, 4)
+                    y += (
+                        r.uniform(1000, 3000)
+                        * np.sin(2 * np.pi * f * t / 16000)
+                        * (1 + np.sin(2 * np.pi * fm * t / 16000))
+                    )
+                return y
+
+            for mid in pdf["id"]:
+                y = clip(int(mid))
+                rows["media_id"].append(mid)
+                rows["payload"].append(encode_wav(y.astype(np.int16)))
+                if mid % 4 == 0:
+                    rows["media_id"].append(mid + 100000)
+                    rows["payload"].append(
+                        encode_wav((y.astype(np.int16) * 0.5).astype(np.int16))
+                    )
+                if mid % 8 == 0:
+                    rows["media_id"].append(mid + 200000)
+                    rows["payload"].append(encode_wav(y.astype(np.int16)))
+            yield pd.DataFrame(rows)
+
+    media = spark.range(96).repartition(8).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return audio_near_pairs(media, max_hamming=6, n_chunks=8).orderBy(
+        "key_a", "key_b"
+    )
+
+
 def _window_order(d: dict) -> dict:
     out = {k: d[k] for k in _DRIVER_WINDOW_FIRST if k in d}
     out.update({k: v for k, v in d.items() if k not in out})
@@ -3911,6 +3969,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_gate": q_charset_gate,
         "zipf_fit": q_zipf_fit,
         "image_neardup": q_image_neardup,
+        "audio_neardup": q_audio_neardup,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,

@@ -263,6 +263,10 @@ _GOLDEN_SF001 = {
     # round-4j: perceptual image near-dup — all 44 planted pairs (22 jitter
     # copies, 11 exact dups, 11 transitive), zero spurious
     "image_neardup": (44, "1b3fbd3ad9d6839e"),
+    # round-4j: perceptual audio near-dup — all 48 planted pairs (24 gain
+    # re-encodes, 12 exact, 12 transitive) + one deterministic boundary
+    # collision (clip 47 vs 40 at exactly hamming 6)
+    "audio_neardup": (51, "d7fc3830bb491f70"),
 }
 
 

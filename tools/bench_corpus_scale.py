@@ -83,7 +83,8 @@ def main() -> None:
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
         "c4_clean block_extract fix_encoding latest_crawl mirror host_boilerplate blocklist neardup keep_best pack_seqs "
-        "pack_rows neardup_keep_best curate_full scrub_spans skew) and MERGE "
+        "pack_rows neardup_keep_best curate_full scrub_spans skew charset "
+        "zipf image_neardup) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
     )
@@ -799,6 +800,111 @@ def main() -> None:
             "docs_per_sec": round(n / best),
             "n_in": n,
             "n_tokens_removed": removed,
+        }
+
+    # -- round-4j: charset sniff is a pure scan-fused CASE/regexp chain, so
+    # its corpus rate is the ceiling any fetch-side gate can hit --
+    if want("charset"):
+        from longqc_spark.operators.web import charset_sniff
+
+        best = float("inf")
+        dist = None
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            dist = (
+                charset_sniff(docs, html_col="html")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("charset") == "windows-1252").alias(
+                        "n_default"
+                    ),
+                    F.count_if(F.col("charset_conflict")).alias("n_conflict"),
+                )
+                .collect()[0]
+            )
+            best = min(best, time.time() - t0)
+        out["charset_sniff"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "n_default": int(dist["n_default"]),
+            "n_conflict": int(dist["n_conflict"]),
+        }
+
+    # -- round-4j: Zipf fit pays one vocab-count shuffle + a TakeOrdered;
+    # the recorded slope/r2 double as the corpus-health reading at 4M --
+    if want("zipf"):
+        from longqc_spark.operators.text import zipf_fit
+
+        best = float("inf")
+        row = None
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            row = zipf_fit(docs, text_col="text", k=200).collect()[0]
+            best = min(best, time.time() - t0)
+        out["zipf_fit"] = {
+            "sec": round(best, 1),
+            "docs_per_sec": round(args.docs / best),
+            "slope": float(row["slope"]),
+            "r2": float(row["r2"]),
+        }
+
+    # -- round-4j: perceptual image near-dup — decode + dhash + banded
+    # hamming join over a synthetic BMP corpus with a planted dup per 4
+    # images (IDs offset by 10^6). The decode pass dominates; the join
+    # exchanges 8-byte hashes only. --
+    if want("image_neardup"):
+        import numpy as np
+        import pandas as pd
+
+        from longqc_spark.operators.multimodal import (
+            dhash64,
+            encode_bmp,
+            image_near_pairs,
+        )
+
+        n_img = min(args.docs // 20, 200_000)
+
+        def gen(batches):
+            for pdf in batches:
+                rows = {"media_id": [], "payload": []}
+                for mid in pdf["id"]:
+                    rng = np.random.default_rng(mid)
+                    img = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+                    rows["media_id"].append(mid)
+                    rows["payload"].append(encode_bmp(img))
+                    if mid % 4 == 0:
+                        jit = np.clip(
+                            img.astype(np.int64)
+                            + rng.integers(-2, 3, size=img.shape),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                        rows["media_id"].append(mid + 1_000_000)
+                        rows["payload"].append(encode_bmp(jit))
+                yield pd.DataFrame(rows)
+
+        media = (
+            spark.range(n_img)
+            .repartition(args.cores * 4)
+            .mapInPandas(gen, schema="media_id long, payload binary")
+            .cache()
+        )
+        n_media = media.count()
+        best = float("inf")
+        n_pairs = 0
+        for i in range(2):  # pass 0 = warm-up
+            t0 = time.time()
+            n_pairs = image_near_pairs(
+                media, max_hamming=6, n_chunks=8, max_bucket=1000
+            ).count()
+            best = min(best, time.time() - t0)
+        media.unpersist()
+        out["image_neardup"] = {
+            "sec": round(best, 1),
+            "images_per_sec": round(n_media / best),
+            "n_images": n_media,
+            "n_planted": (n_img + 3) // 4,
+            "n_pairs": n_pairs,
         }
 
     if only and os.path.exists(args.out):
