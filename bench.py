@@ -87,6 +87,11 @@ BENCH_QUERIES = (
     "bm25_search",
     "tfidf_terms",
     "host_entropy",
+    # round-4j charset sniff / Zipf fit / perceptual media near-dup
+    "charset_gate",
+    "zipf_fit",
+    "image_neardup",
+    "audio_neardup",
 )
 
 

@@ -471,8 +471,8 @@ def image_near_pairs(
     media: DataFrame,
     key_col: str = "media_id",
     payload_col: str = "payload",
-    max_hamming: int = 6,
-    n_chunks: int = 8,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
     max_bucket: int | None = None,
     fake_decode: bool = False,
 ) -> DataFrame:
@@ -483,7 +483,15 @@ def image_near_pairs(
     → (key_a, key_b, hamming).
 
     The pixels never cross a shuffle: the join operates on 8-byte hashes,
-    so a 100 TB image corpus dedups over an ~n_images x 8B exchange."""
+    so a 100 TB image corpus dedups over an ~n_images x 8B exchange.
+
+    Radius/scale trade-off (measured at 250k images, BENCH_CORPUS):
+    the default 16-bit chunks (n_chunks=4, radius 3) keep buckets tiny at
+    ANY corpus size (65536 values per chunk position) at 99.9% recall on
+    a +-2-jitter perturbation; n_chunks=8 widens the radius to 6 but its
+    8-bit chunk values collide ~n/256 per bucket — quadratic candidates
+    past ~10^5 images — so pair it with ``max_bucket`` when used at
+    scale."""
     from .dedup import simhash_near_pairs
 
     sigs = image_dhash(media, key_col, payload_col, fake_decode).withColumnRenamed(
@@ -557,13 +565,15 @@ def audio_near_pairs(
     media: DataFrame,
     key_col: str = "media_id",
     payload_col: str = "payload",
-    max_hamming: int = 6,
-    n_chunks: int = 8,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual audio near-dup: afp64 per clip, then the SimHash
     chunk-banded hamming join (``dedup.simhash_near_pairs``) — identical
-    machinery to :func:`image_near_pairs`, third payload modality.
+    machinery to :func:`image_near_pairs`, third payload modality, same
+    radius/bucket-width trade-off (n_chunks=8 for radius 6 needs
+    ``max_bucket`` past ~10^5 clips).
     → (key_a, key_b, hamming)."""
     from .dedup import simhash_near_pairs
 

@@ -894,9 +894,10 @@ def main() -> None:
         n_pairs = 0
         for i in range(2):  # pass 0 = warm-up
             t0 = time.time()
-            n_pairs = image_near_pairs(
-                media, max_hamming=6, n_chunks=8, max_bucket=1000
-            ).count()
+            # the scale-default config: 16-bit chunks keep buckets tiny at
+            # any size (the 8-bit/radius-6 variant needs max_bucket past
+            # ~10^5 images — see the operator docstring)
+            n_pairs = image_near_pairs(media, max_hamming=3, n_chunks=4).count()
             best = min(best, time.time() - t0)
         media.unpersist()
         out["image_neardup"] = {
