@@ -3880,6 +3880,46 @@ def q_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:  # multimodal de
     )
 
 
+def q_ece_calibration(spark: SparkSession, sf: str) -> DataFrame:  # monitoring: reliability
+    """Reliability diagram + ECE (relational.calibration_bins) for a
+    deliberately OVERCONFIDENT scorer: score = hash-folded length in
+    [0,1) spread over every bin, true
+    keep-probability = score² (so high bins over-claim and the gap/ece
+    columns are non-trivially positive), label drawn by doc_id arithmetic.
+    Oracle: identical binning/means/ECE arithmetic in DuckDB."""
+    from longqc_spark.operators.relational import calibration_bins
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # spread scores across all 10 bins: a multiplicative hash of the
+    # length folded into [0,1)
+    s = F.pmod(F.length("text") * 37, 2000) / F.lit(2000.0)
+    label = (F.pmod(F.col("doc_id") * 7919, 1000) / 1000.0) < (s * s)
+    return calibration_bins(
+        docs.select(s.alias("score"), label.alias("label")),
+        "score",
+        "label",
+        n_bins=10,
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:  # monitoring: KS drift
+    """Two-sample Kolmogorov-Smirnov drift (web.ks_drift) between even-id
+    and odd-id snapshot halves, the odd half shifted +0.05 on every 5th
+    doc — a 20%-mass location shift the sup-norm statistic must see.
+    Oracle: the full quantize→CDF→sup pipeline replicated in DuckDB SQL
+    (same 3dp grid, same full-outer CDF walk)."""
+    from longqc_spark.operators.web import ks_drift
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = F.col("doc_id")
+    val = F.length("text") / F.lit(1000.0)
+    ref = docs.filter(d % 2 == 0).select(val.alias("v"))
+    cur = docs.filter(d % 2 == 1).select(
+        F.when(d % 5 == 0, val + 0.05).otherwise(val).alias("v")
+    )
+    return ks_drift(ref, cur, "v", precision=3)
+
+
 def _window_order(d: dict) -> dict:
     out = {k: d[k] for k in _DRIVER_WINDOW_FIRST if k in d}
     out.update({k: v for k, v in d.items() if k not in out})
@@ -3970,6 +4010,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "image_neardup": q_image_neardup,
         "audio_neardup": q_audio_neardup,
+        "ece_calibration": q_ece_calibration,
+        "ks_drift": q_ks_drift,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -5054,6 +5096,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'windows-1252' END AS charset,
                    CAST(m = 2 AS INT) AS charset_conflict
             FROM t ORDER BY doc_id
+        """,
+        "ece_calibration": """
+            -- identical arithmetic: 10 equal-width bins over [0,1] with
+            -- edge clamping, per-bin mean score vs empirical keep rate,
+            -- ece_term = gap * n / total; 6dp rounding
+            WITH t AS (
+                SELECT (length(text) * 37 % 2000) / 2000.0 AS score,
+                       (doc_id * 7919 % 1000) / 1000.0
+                           < pow((length(text) * 37 % 2000) / 2000.0, 2)
+                           AS label
+                FROM documents WHERE text IS NOT NULL
+            ), b AS (
+                SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9)
+                           AS bin,
+                       count(*) AS n,
+                       avg(score) AS ms,
+                       avg(CASE WHEN label THEN 1 ELSE 0 END) AS fp
+                FROM t GROUP BY 1
+            )
+            SELECT bin,
+                   round(bin / 10.0, 6) AS lo,
+                   round((bin + 1) / 10.0, 6) AS hi,
+                   n,
+                   round(ms, 6) AS mean_score,
+                   round(fp, 6) AS frac_pos,
+                   round(abs(ms - fp), 6) AS gap,
+                   round(abs(ms - fp) * n / (SELECT sum(n) FROM b), 6)
+                       AS ece_term
+            FROM b ORDER BY bin
+        """,
+        "ks_drift": """
+            -- the full quantize -> per-side counts -> full-outer grid ->
+            -- cumulative CDFs -> sup gap pipeline, replicated
+            WITH r AS (
+                SELECT round(length(text) / 1000.0, 3) AS v
+                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+            ), c AS (
+                SELECT round(CASE WHEN doc_id % 5 = 0
+                                  THEN length(text) / 1000.0 + 0.05
+                                  ELSE length(text) / 1000.0 END, 3) AS v
+                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+            ), ga AS (
+                SELECT v, count(*) AS na FROM r GROUP BY v
+            ), gb AS (
+                SELECT v, count(*) AS nb FROM c GROUP BY v
+            ), grid AS (
+                SELECT coalesce(ga.v, gb.v) AS v,
+                       coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+                FROM ga FULL OUTER JOIN gb ON ga.v = gb.v
+            ), cdf AS (
+                SELECT sum(na) OVER (ORDER BY v) AS ca,
+                       sum(nb) OVER (ORDER BY v) AS cb,
+                       sum(na) OVER () AS ta,
+                       sum(nb) OVER () AS tb
+                FROM grid
+            )
+            SELECT round(max(abs(ca * 1.0 / ta - cb * 1.0 / tb)), 6) AS ks,
+                   CAST(max(ta) AS BIGINT) AS n_ref,
+                   CAST(max(tb) AS BIGINT) AS n_cur
+            FROM cdf
         """,
         "zipf_fit": r"""
             -- identical arithmetic: token counts, top-200 by (cnt DESC,

@@ -92,6 +92,8 @@ BENCH_QUERIES = (
     "zipf_fit",
     "image_neardup",
     "audio_neardup",
+    "ece_calibration",
+    "ks_drift",
 )
 
 

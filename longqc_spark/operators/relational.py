@@ -671,3 +671,62 @@ def pack_sequence_rows(
         )
 
     return finish(assemble)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + ECE for a [0,1]-probability quality scorer
+    against boolean reference labels — the CALIBRATION complement of
+    ``classification_curve`` (which measures discrimination): a scorer
+    whose 0.9-bin keeps only 60% true positives is lying about its
+    confidence, and downstream threshold choices inherit the lie.
+
+    Equal-width bins over [0,1] (out-of-range scores clamp into the edge
+    bins, the same visibility rule as ``score_drift``); per bin:
+    ``(bin, lo, hi, n, mean_score, frac_pos, gap, ece_term)`` with
+    ``sum(ece_term)`` = Expected Calibration Error (Naeini et al. 2015).
+    NULL scores carry no confidence statement and are filtered; NULL
+    labels count as negative (the keep/drop contract's F10 rule). Floats
+    rounded to 6 dp for cross-engine hash parity.
+
+    Scale: ONE partial-agg shuffle of ≤ ``n_bins`` rows (the bin id is a
+    scan-fused CASE), then a ≤ n_bins-row window for the global-count
+    denominator — no second input pass. Reference analog: the per-batch
+    QC accuracy summaries (``lq_nanopore.py:294-314``) graded against the
+    labeler."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    binned = (
+        df.filter(s.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(s).alias("_ms"),
+            F.avg(F.coalesce(F.col(label_col).cast("int"), F.lit(0))).alias("_fp"),
+        )
+    )
+    w = Window.partitionBy()  # ≤ n_bins rows — bounded by construction
+    gap = F.abs(F.col("_ms") - F.col("_fp"))
+    return (
+        binned.withColumn("_total", F.sum("n").over(w))
+        .select(
+            "bin",
+            F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("lo"),
+            F.round((F.col("bin") + 1) / F.lit(float(n_bins)), 6).alias("hi"),
+            "n",
+            F.round(F.col("_ms"), 6).alias("mean_score"),
+            F.round(F.col("_fp"), 6).alias("frac_pos"),
+            F.round(gap, 6).alias("gap"),
+            F.round(gap * F.col("n") / F.col("_total"), 6).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )

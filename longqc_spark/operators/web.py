@@ -1454,3 +1454,66 @@ def charset_sniff(
     for name, c in charset_sniff_exprs(df, html_col, prescan_bytes).items():
         out = out.withColumn(name, c)
     return out
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    precision: int = 3,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two snapshots'
+    metric distributions — the distribution-free drift alarm that
+    complements :func:`score_drift`'s binned PSI (PSI needs a bin grid
+    and misses within-bin shape changes; KS is the sup-norm CDF gap, so
+    it catches any distributional move and has known critical values:
+    reject same-distribution at α=0.05 when
+    ``ks > 1.358*sqrt((n1+n2)/(n1*n2))``).
+
+    → one row ``(ks, n_ref, n_cur)``; ``ks`` rounded to 6 dp.
+
+    Values are quantized to ``precision`` decimals first — that bounds
+    the distinct-value grid the CDFs are evaluated on (≤ range·10^p
+    points), which is (a) the standard practice for KS on continuous
+    scores at scale and (b) what makes the single global window here
+    BOUNDED: the per-side counts shuffle is partial-agg (≤ grid-size
+    rows), and the cumulative-sum window runs over the grid, never the
+    corpus. Exact on the quantized values (no sketch): the sup over grid
+    points equals the sup over all reals for step CDFs with jumps only at
+    grid points. NULLs carry no distribution mass and are filtered."""
+    v = F.round(F.col(value_col).cast("double"), precision)
+    a = ref.filter(v.isNotNull()).select(v.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = cur.filter(v.isNotNull()).select(v.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    grid = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return (
+        grid.select(
+            F.sum("na").over(w).alias("ca"),
+            F.sum("nb").over(w).alias("cb"),
+            F.sum("na").over(wt).alias("ta"),
+            F.sum("nb").over(wt).alias("tb"),
+        )
+        .agg(
+            # try_divide: an empty side yields NULL ks, not a divide error
+            F.round(
+                F.max(
+                    F.abs(
+                        F.try_divide(F.col("ca"), F.col("ta"))
+                        - F.try_divide(F.col("cb"), F.col("tb"))
+                    )
+                ),
+                6,
+            ).alias("ks"),
+            F.max("ta").alias("n_ref"),
+            F.max("tb").alias("n_cur"),
+        )
+    )
