@@ -3880,6 +3880,50 @@ def q_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:  # multimodal de
     )
 
 
+def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:  # multimodal dedup, rows-only
+    """Perceptual video near-dup (multimodal.video_near_pairs): dhash per
+    sampled frame (REAL LQCV decode), frame-level chunk-band hamming join,
+    scene-level min_frames rollup. 48 videos; every 3rd gets a per-frame
+    ±2-jitter copy (+100000), every 6th an exact byte-dup (+200000).
+    Rows-only by design; golden-pinned + per-frame Spark-vs-direct
+    equality in tests/test_video_neardup.py."""
+    import numpy as np
+
+    from longqc_spark.operators.multimodal import encode_video, video_near_pairs
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(int(mid))
+                frames = rng.integers(0, 256, size=(8, 24, 32, 3), dtype=np.uint8)
+                rows["media_id"].append(mid)
+                rows["payload"].append(encode_video(frames))
+                if mid % 3 == 0:
+                    r2 = np.random.default_rng(int(mid) + 7)
+                    jit = np.clip(
+                        frames.astype(np.int64)
+                        + r2.integers(-2, 3, size=frames.shape),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    rows["media_id"].append(mid + 100000)
+                    rows["payload"].append(encode_video(jit))
+                if mid % 6 == 0:
+                    rows["media_id"].append(mid + 200000)
+                    rows["payload"].append(encode_video(frames))
+            yield pd.DataFrame(rows)
+
+    media = spark.range(48).repartition(8).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return video_near_pairs(media, n_frames=4, min_frames=2).orderBy(
+        "key_a", "key_b"
+    )
+
+
 def q_ece_calibration(spark: SparkSession, sf: str) -> DataFrame:  # monitoring: reliability
     """Reliability diagram + ECE (relational.calibration_bins) for a
     deliberately OVERCONFIDENT scorer: score = hash-folded length in
@@ -4012,6 +4056,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "ece_calibration": q_ece_calibration,
         "ks_drift": q_ks_drift,
+        "video_neardup": q_video_neardup,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,

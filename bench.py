@@ -94,6 +94,7 @@ BENCH_QUERIES = (
     "audio_neardup",
     "ece_calibration",
     "ks_drift",
+    "video_neardup",
 )
 
 

@@ -587,3 +587,95 @@ def audio_near_pairs(
         n_chunks=n_chunks,
         max_bucket=max_bucket,
     )
+
+
+def video_frame_dhashes(
+    media: DataFrame,
+    key_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Video rows → (key, frame_idx, dhash) for ``n_frames`` uniformly
+    sampled frames (REAL LQCV decode + :func:`dhash64` per frame) — the
+    record-expanding 1→n shape of ``sample_frames`` with the perceptual
+    hash as the payload. Zero-frame containers yield no rows."""
+    out_schema = T.StructType(
+        [
+            media.schema[key_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            rows = {key_col: [], "frame_idx": [], "dhash": []}
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                frames = decode_video_frames(bytes(payload), fake=fake_decode)
+                for idx in sample_frame_indices(len(frames), n_frames):
+                    rows[key_col].append(key)
+                    rows["frame_idx"].append(int(idx))
+                    rows["dhash"].append(dhash64(frames[idx]))
+            if rows[key_col]:
+                yield pd.DataFrame(rows)
+
+    return media.select(key_col, payload_col).mapInPandas(compute, schema=out_schema)
+
+
+def video_near_pairs(
+    media: DataFrame,
+    key_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    min_frames: int = 2,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_bucket: int | None = None,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Perceptual VIDEO near-dup: frame-level dhash matching rolled up to
+    a scene-level decision — two videos pair when at least ``min_frames``
+    of their sampled-frame hashes sit within ``max_hamming`` of each
+    other. → (key_a, key_b, n_frame_matches, min_hamming).
+
+    Completes the modality triple through ONE join implementation: the
+    frame hashes ride the same SimHash chunk-band join as text/image/
+    audio (frame identity is a composite string key, split back after the
+    join); ``min_frames`` is what makes this scene-level — a single
+    coincidental frame match (a black frame, a title card) does not pair
+    two videos. Same scale posture: pixels stay inside the decode
+    ``mapInPandas``, the join exchanges 8-byte hashes × ``n_frames``."""
+    from .dedup import simhash_near_pairs
+
+    fd = video_frame_dhashes(media, key_col, payload_col, n_frames, fake_decode)
+    sigs = fd.select(
+        F.concat_ws(
+            "#", F.col(key_col).cast("string"), F.col("frame_idx").cast("string")
+        ).alias("_fk"),
+        F.col("dhash").alias("simhash"),
+    )
+    pairs = simhash_near_pairs(
+        sigs,
+        key_col="_fk",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_bucket=max_bucket,
+    )
+    va = F.substring_index("key_a", "#", 1).cast("long")
+    vb = F.substring_index("key_b", "#", 1).cast("long")
+    return (
+        pairs.select(
+            F.least(va, vb).alias("key_a"),
+            F.greatest(va, vb).alias("key_b"),
+            F.col("hamming"),
+        )
+        .filter(F.col("key_a") != F.col("key_b"))  # frame pairs within one
+        # video (a static scene) carry no cross-video signal
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= min_frames)
+    )

@@ -267,6 +267,9 @@ _GOLDEN_SF001 = {
     # re-encodes, 12 exact, 12 transitive) + one deterministic boundary
     # collision (clip 47 vs 40 at exactly hamming 6)
     "audio_neardup": (51, "d7fc3830bb491f70"),
+    # round-4j: perceptual video near-dup — exactly the 32 planted pairs
+    # (16 jitter copies, 8 exact, 8 transitive), zero spurious
+    "video_neardup": (32, "fb384a6e0afdcc92"),
 }
 
 
