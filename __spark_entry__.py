@@ -3924,6 +3924,23 @@ def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:  # multimodal de
     )
 
 
+def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer training, rows-only
+    """Distributed BPE tokenizer TRAINING (operators.bpe.learn_bpe): 20
+    merge rounds over the documents vocabulary — each round one partial-
+    agg pair-count shuffle + a 1-row argmax, rewrite as a JVM fold.
+    DELIBERATELY EAGER like q_ml_quality: the merge recurrence IS a
+    sequence of actions (each argmax feeds the next rewrite), so the
+    entry returns the materialized merges table. Rows-only by design
+    (iterative, no SQL oracle); pinned by EXACT equality against a pure-
+    python Sennrich reference trainer in tests/test_bpe.py plus the
+    golden hash."""
+    from longqc_spark.operators.bpe import learn_bpe, merges_table
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    merges = learn_bpe(docs, text_col="text", n_merges=20)
+    return merges_table(spark, merges).orderBy("rank")
+
+
 def q_ece_calibration(spark: SparkSession, sf: str) -> DataFrame:  # monitoring: reliability
     """Reliability diagram + ECE (relational.calibration_bins) for a
     deliberately OVERCONFIDENT scorer: score = hash-folded length in
@@ -4057,6 +4074,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece_calibration": q_ece_calibration,
         "ks_drift": q_ks_drift,
         "video_neardup": q_video_neardup,
+        "bpe_learn": q_bpe_learn,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,

@@ -270,6 +270,9 @@ _GOLDEN_SF001 = {
     # round-4j: perceptual video near-dup — exactly the 32 planted pairs
     # (16 jitter copies, 8 exact, 8 transitive), zero spurious
     "video_neardup": (32, "fb384a6e0afdcc92"),
+    # round-4j: distributed BPE training — 20 merges; ALSO pinned by exact
+    # equality vs the pure-python Sennrich reference (test_bpe.py)
+    "bpe_learn": (20, "b1bcf9f54da3ce23"),
 }
 
 

@@ -84,7 +84,7 @@ def main() -> None:
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
         "c4_clean block_extract fix_encoding latest_crawl mirror host_boilerplate blocklist neardup keep_best pack_seqs "
         "pack_rows neardup_keep_best curate_full scrub_spans skew charset "
-        "zipf image_neardup) and MERGE "
+        "zipf image_neardup bpe) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
     )
@@ -832,6 +832,29 @@ def main() -> None:
 
     # -- round-4j: Zipf fit pays one vocab-count shuffle + a TakeOrdered;
     # the recorded slope/r2 double as the corpus-health reading at 4M --
+    # -- round-4j: distributed BPE training — the corpus is scanned ONCE
+    # into word counts; each merge round is a vocab-bounded shuffle. The
+    # per-round cost is what bounds tokenizer training at 10^12 docs, so
+    # sec_per_merge is the headline. --
+    if want("bpe"):
+        from longqc_spark.operators.bpe import learn_bpe
+
+        t0 = time.time()
+        # min_word_count=2: the production dictionary threshold — the 4M
+        # synth corpus has 36M unique words, overwhelmingly hapaxes that
+        # carry no pair mass (measured: the unthresholded dictionary OOMs
+        # a single 128G JVM on the pair explode; thresholded it trains
+        # comfortably — at cluster scale the threshold is what bounds the
+        # per-round shuffle regardless of corpus size)
+        merges = learn_bpe(docs, text_col="text", n_merges=10, min_word_count=2)
+        dt = time.time() - t0
+        out["bpe_learn_10"] = {
+            "sec": round(dt, 1),
+            "sec_per_merge": round(dt / max(len(merges), 1), 2),
+            "n_merges": len(merges),
+            "docs_per_sec": round(args.docs / dt),
+        }
+
     if want("zipf"):
         from longqc_spark.operators.text import zipf_fit
 
