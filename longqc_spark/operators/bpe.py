@@ -126,9 +126,16 @@ def learn_bpe(
                 break
             left, right = pairs[0]["l"], pairs[0]["r"]
             merges.append((left, right))
+            # constant-size plan per round; reassigning `cur` drops the
+            # only reference to the previous round's checkpoint, whose
+            # blocks the ContextCleaner then releases asynchronously —
+            # at most a couple of vocab-sized RDDs are live at once (an
+            # unpersisted local checkpoint cannot be recomputed, so an
+            # EAGER release before the next materialization would be a
+            # correctness bug, not an optimization)
             cur = cur.select(
                 "count", _merge_expr(F.col("syms"), left, right).alias("syms")
-            ).localCheckpoint(eager=False)  # constant-size plan per round
+            ).localCheckpoint(eager=False)
     finally:
         words.unpersist()
     return merges
