@@ -3941,6 +3941,47 @@ def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer trainin
     return merges_table(spark, merges).orderBy("rank")
 
 
+def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang segmentation, rows-only
+    """Per-paragraph language segmentation (text.segment_languages) over
+    pages assembled from doc_id arithmetic: d%4 picks en-only / en+fr /
+    en+de+en (sandwich) / fr+short-separator+fr (the und-island case).
+    Rows-only by design (the labels come from the hashed-trigram langid
+    model); deterministic → golden pin; semantics pinned on hand fixtures
+    in tests/test_segment_lang.py."""
+    from longqc_spark.operators.text import segment_languages
+
+    docs = _read(spark, sf, "documents").filter(F.col("doc_id") < 64)
+    en = "the quick brown fox jumps over the lazy dog and runs away fast"
+    fr = "le rapide renard brun saute par dessus le chien paresseux du village"
+    de = "der schnelle braune fuchs springt über den faulen hund im wald"
+    m = F.col("doc_id") % 4
+    page = (
+        F.when(m == 0, F.lit(en))
+        .when(m == 1, F.lit(en + "\n\n" + fr))
+        .when(m == 2, F.lit(en + "\n\n" + de + "\n\n" + en))
+        .otherwise(F.lit(fr + "\n\nok\n\n" + fr))
+    )
+    return segment_languages(
+        docs.select("doc_id", page.alias("text"))
+    ).orderBy("doc_id", "seg_idx")
+
+
+def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:  # ANALYZE-style profiler
+    """One-pass column profiler (relational.profile_table) over the five
+    documents columns whose string repr is engine-portable (ints +
+    strings). exact_distinct=True here so DuckDB can replicate bit-exact;
+    the operator's default is the HLL approx path (no Expand on the
+    scan — see its docstring for the scale trade-off)."""
+    from longqc_spark.operators.relational import profile_table
+
+    docs = _read(spark, sf, "documents")
+    return profile_table(
+        docs,
+        columns=["doc_id", "lang", "n_chars", "source", "text"],
+        exact_distinct=True,
+    )
+
+
 def q_ece_calibration(spark: SparkSession, sf: str) -> DataFrame:  # monitoring: reliability
     """Reliability diagram + ECE (relational.calibration_bins) for a
     deliberately OVERCONFIDENT scorer: score = hash-folded length in
@@ -4075,6 +4116,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "video_neardup": q_video_neardup,
         "bpe_learn": q_bpe_learn,
+        "profile_table": q_profile_table,
+        "segment_langs": q_segment_langs,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -5159,6 +5202,54 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'windows-1252' END AS charset,
                    CAST(m = 2 AS INT) AS charset_conflict
             FROM t ORDER BY doc_id
+        """,
+        "profile_table": """
+            -- one UNION ALL branch per profiled column, identical stats:
+            -- null counts/fraction, exact distinct, min/max/avg-length of
+            -- the string cast (int+string columns only — float/timestamp
+            -- reprs are engine-specific, excluded by contract)
+            WITH t AS (SELECT * FROM documents)
+            SELECT * FROM (
+                SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+                       count(*) AS n_rows,
+                       count(*) - count(doc_id) AS n_null,
+                       round((count(*) - count(doc_id)) * 1.0 / count(*), 6)
+                           AS null_frac,
+                       count(DISTINCT doc_id) AS n_distinct,
+                       min(CAST(doc_id AS VARCHAR)) AS min_repr,
+                       max(CAST(doc_id AS VARCHAR)) AS max_repr,
+                       round(avg(length(CAST(doc_id AS VARCHAR))), 6)
+                           AS avg_repr_len
+                FROM t
+                UNION ALL
+                SELECT 'lang', 'string', count(*), count(*) - count(lang),
+                       round((count(*) - count(lang)) * 1.0 / count(*), 6),
+                       count(DISTINCT lang), min(lang), max(lang),
+                       round(avg(length(lang)), 6)
+                FROM t
+                UNION ALL
+                SELECT 'n_chars', 'bigint', count(*),
+                       count(*) - count(n_chars),
+                       round((count(*) - count(n_chars)) * 1.0 / count(*), 6),
+                       count(DISTINCT n_chars),
+                       min(CAST(n_chars AS VARCHAR)),
+                       max(CAST(n_chars AS VARCHAR)),
+                       round(avg(length(CAST(n_chars AS VARCHAR))), 6)
+                FROM t
+                UNION ALL
+                SELECT 'source', 'string', count(*),
+                       count(*) - count(source),
+                       round((count(*) - count(source)) * 1.0 / count(*), 6),
+                       count(DISTINCT source), min(source), max(source),
+                       round(avg(length(source)), 6)
+                FROM t
+                UNION ALL
+                SELECT 'text', 'string', count(*), count(*) - count(text),
+                       round((count(*) - count(text)) * 1.0 / count(*), 6),
+                       count(DISTINCT text), min(text), max(text),
+                       round(avg(length(text)), 6)
+                FROM t
+            ) ORDER BY "column"
         """,
         "ece_calibration": """
             -- identical arithmetic: 10 equal-width bins over [0,1] with

@@ -95,6 +95,8 @@ BENCH_QUERIES = (
     "ece_calibration",
     "ks_drift",
     "video_neardup",
+    "profile_table",
+    "segment_langs",
 )
 
 

@@ -730,3 +730,87 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+_PROFILE_ATOMIC = ("string", "boolean") + tuple(
+    t + "int" for t in ("tiny", "small", "big", "")
+) + ("int", "bigint", "float", "double", "date", "timestamp", "decimal")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass ANALYZE-style column profiler — the first thing a data
+    engineer runs on an unfamiliar 100 TB table: per column
+    ``(column, dtype, n_rows, n_null, null_frac, n_distinct, min_repr,
+    max_repr, avg_repr_len)``.
+
+    ONE aggregation over ONE scan for every column (a single-row
+    exchange), then a ``stack`` unpivot of that row — the
+    ``threshold_sweep`` shape; the input is never multiplied by the
+    column count. Distinct counts default to ``approx_count_distinct``
+    (HLL partial aggregates, no plan blow-up); ``exact_distinct=True``
+    switches to exact ``count(distinct)`` — correct for oracle
+    verification but it puts an Expand of ×(n_cols+1) on the scan, the
+    exact cost the crawler-trap counter avoids, so leave it off at scale.
+    min/max/avg-length are computed on the string cast so every atomic
+    type shares one output schema (repr of floats/timestamps is
+    engine-specific — cross-engine parity is claimed for int/string
+    columns only). Non-atomic columns (arrays, maps, structs, binary) are
+    skipped when ``columns`` is not given.
+
+    Reference analog: the per-batch summary table opening every QC report
+    (``lq_nanopore.py:294-314``), generalized to arbitrary columns."""
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString().split("(")[0] in _PROFILE_ATOMIC
+        ]
+    if not columns:
+        raise ValueError("no atomic columns to profile")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        col, s = F.col(c), F.col(c).cast("string")
+        nd = (
+            F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(col).alias(f"_nn_{c}"),
+            nd.alias(f"_nd_{c}"),
+            F.min(s).alias(f"_min_{c}"),
+            F.max(s).alias(f"_max_{c}"),
+            F.avg(F.length(s)).alias(f"_al_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _min_{c}, _max_{c}, _al_{c}" for c in columns
+    )
+    dtype_map = F.create_map(
+        *[
+            F.lit(v)
+            for c in columns
+            for v in (c, df.schema[c].dataType.simpleString())
+        ]
+    )
+    stacked = row.selectExpr(
+        "_n",
+        f"stack({len(columns)}, {pairs}) AS "
+        "(column, n_non_null, n_distinct, min_repr, max_repr, avg_repr_len)",
+    )
+    return stacked.select(
+        "column",
+        F.element_at(dtype_map, F.col("column")).alias("dtype"),
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("n_non_null")).alias("n_null"),
+        # NULL on an empty table rather than an ANSI divide error
+        F.round(
+            F.try_divide(F.col("_n") - F.col("n_non_null"), F.col("_n")), 6
+        ).alias("null_frac"),
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+        F.round("avg_repr_len", 6).alias("avg_repr_len"),
+    ).orderBy("column")

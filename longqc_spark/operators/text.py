@@ -1120,3 +1120,84 @@ def zipf_fit(
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def segment_languages(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n\n?",
+    min_chars: int = 12,
+) -> DataFrame:
+    """CCNet-style PER-PARAGRAPH language segmentation: multilingual pages
+    (boilerplate in one language wrapping content in another, bilingual
+    articles) get per-segment language labels instead of one doc-level
+    vote — the pre-step that lets a per-lang threshold cascade
+    (``per_lang_thresholds``) and per-lang corpus routing operate on the
+    RIGHT text. → one row per CONTIGUOUS same-language run:
+    ``(key, seg_idx, lang, start_para, end_para, n_paras, n_chars)``.
+
+    Shape: paragraph split + posexplode are scan-fused JVM; language ID
+    is ONE Arrow pass over paragraphs (the same hashed-trigram model the
+    doc-level pipeline uses, process-singleton per executor); the
+    run-grouping window partitions by document (bounded by paragraphs per
+    doc, never global). Paragraphs under ``min_chars`` chars inherit no
+    vote ('und') and glue to neither side — they segment alone, keeping
+    short separators from bridging two languages. Reference analog: the
+    per-read windowed stat sweep (``lq_gcfrac.py:37-47``) — windows here
+    are structural (paragraphs) rather than fixed-width."""
+    import pandas as pd
+
+    from pyspark.sql import Window, types as T
+
+    from ..models import langid_model
+
+    paras = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+
+    out_schema = T.StructType(
+        [
+            paras.schema[key_col],
+            T.StructField("para_idx", T.IntegerType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    def label(batches):
+        model = langid_model()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["para"].fillna("")
+            preds, _ = model.score_batch(texts)
+            lens = texts.str.len().to_numpy()
+            preds[lens < min_chars] = "und"
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "para_idx": pdf["para_idx"].to_numpy(),
+                    "n_chars": lens,
+                    "lang": preds,
+                }
+            )
+
+    labeled = paras.mapInPandas(label, schema=out_schema)
+    w = Window.partitionBy(key_col).orderBy("para_idx")
+    changed = (
+        F.coalesce(F.lag("lang").over(w) != F.col("lang"), F.lit(True))
+        | (F.col("lang") == "und")  # und paragraphs never extend a run
+    ).cast("int")
+    runs = labeled.withColumn("seg_idx", F.sum(changed).over(w) - 1)
+    return (
+        runs.groupBy(key_col, "seg_idx", "lang")
+        .agg(
+            F.min("para_idx").alias("start_para"),
+            F.max("para_idx").alias("end_para"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy(key_col, "seg_idx")
+    )

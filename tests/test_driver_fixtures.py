@@ -273,6 +273,9 @@ _GOLDEN_SF001 = {
     # round-4j: distributed BPE training — 20 merges; ALSO pinned by exact
     # equality vs the pure-python Sennrich reference (test_bpe.py)
     "bpe_learn": (20, "b1bcf9f54da3ce23"),
+    # round-4j: per-paragraph language segmentation — 64 docs x 4 page
+    # classes, every class labels exactly as constructed
+    "segment_langs": (144, "62c0a9a811209875"),
 }
 
 
