@@ -3966,6 +3966,38 @@ def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang se
     ).orderBy("doc_id", "seg_idx")
 
 
+def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:  # corpus health: distinct-n
+    """Corpus distinct-n diversity (text.ngram_diversity, n=1..3) — the
+    template-flood / degenerate-generation alarm. Oracle: identical
+    n-gram construction in DuckDB (list slicing + array_to_string),
+    exact distinct counts, 6dp ratio."""
+    from longqc_spark.operators.text import ngram_diversity
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return ngram_diversity(docs, max_n=3)
+
+
+def q_host_hhi(spark: SparkSession, sf: str) -> DataFrame:  # crawl diversity: concentration
+    """Host-concentration HHI + top-10 share (web.host_concentration)
+    over a deliberately skewed synthetic crawl: half the docs land on ONE
+    host, the rest spread over 97 — so hhi and topk_share are far from
+    uniform and the oracle pins both. 1:1 SQL replica oracle (the same
+    host construction, grouping, Σshare², and top-10 sum)."""
+    from longqc_spark.operators.web import host_concentration
+
+    docs = _read(spark, sf, "documents")
+    d = F.col("doc_id")
+    host = F.when(d % 10 < 5, F.lit("big.com")).otherwise(
+        F.concat(F.lit("h"), (d % 97).cast("string"), F.lit(".com"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string")).alias(
+            "url"
+        )
+    )
+    return host_concentration(pages, top_k=10)
+
+
 def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:  # ANALYZE-style profiler
     """One-pass column profiler (relational.profile_table) over the five
     documents columns whose string repr is engine-portable (ints +
@@ -4118,6 +4150,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
+        "ngram_diversity": q_ngram_diversity,
+        "host_hhi": q_host_hhi,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -5202,6 +5236,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'windows-1252' END AS charset,
                    CAST(m = 2 AS INT) AS charset_conflict
             FROM t ORDER BY doc_id
+        """,
+        "ngram_diversity": r"""
+            -- same n-gram construction: per-doc token arrays, grams via
+            -- 1-based list slices, exact distinct counts per n
+            WITH d AS (
+                SELECT array_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), g1 AS (
+                SELECT unnest(toks) AS g FROM d
+            ), g2 AS (
+                SELECT unnest(list_transform(
+                           range(1, len(toks) - 0),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS g
+                FROM d
+            ), g3 AS (
+                SELECT unnest(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS g
+                FROM d
+            )
+            SELECT * FROM (
+                SELECT 1 AS n, count(*) AS total_ngrams,
+                       count(DISTINCT g) AS distinct_ngrams,
+                       round(count(DISTINCT g) * 1.0 / count(*), 6)
+                           AS distinct_ratio
+                FROM g1
+                UNION ALL
+                SELECT 2, count(*), count(DISTINCT g),
+                       round(count(DISTINCT g) * 1.0 / count(*), 6)
+                FROM g2
+                UNION ALL
+                SELECT 3, count(*), count(DISTINCT g),
+                       round(count(DISTINCT g) * 1.0 / count(*), 6)
+                FROM g3
+            ) ORDER BY n
+        """,
+        "host_hhi": """
+            -- identical host construction, grouping, HHI = sum(cnt^2)/N^2,
+            -- and the (cnt DESC, host) top-10 combined share
+            WITH t AS (
+                SELECT CASE WHEN doc_id % 10 < 5 THEN 'big.com'
+                            ELSE 'h' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+                       END AS host
+                FROM documents
+            ), h AS (
+                SELECT host, count(*) AS cnt FROM t GROUP BY host
+            ), tot AS (
+                SELECT sum(cnt) AS n_docs, count(*) AS n_hosts,
+                       sum(cnt * cnt) AS sq
+                FROM h
+            ), top AS (
+                SELECT sum(cnt) AS topcnt
+                FROM (SELECT cnt FROM h ORDER BY cnt DESC, host LIMIT 10)
+            )
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_hosts AS BIGINT) AS n_hosts,
+                   round(sq * 1.0 / (n_docs * n_docs), 6) AS hhi,
+                   round(topcnt * 1.0 / n_docs, 6) AS topk_share
+            FROM tot, top
         """,
         "profile_table": """
             -- one UNION ALL branch per profiled column, identical stats:

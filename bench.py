@@ -97,6 +97,8 @@ BENCH_QUERIES = (
     "video_neardup",
     "profile_table",
     "segment_langs",
+    "ngram_diversity",
+    "host_hhi",
 )
 
 

@@ -1201,3 +1201,53 @@ def segment_languages(
         )
         .orderBy(key_col, "seg_idx")
     )
+
+
+def ngram_diversity(
+    df: DataFrame, text_col: str = "text", max_n: int = 3
+) -> DataFrame:
+    """Corpus n-gram diversity (distinct-n): for n = 1..max_n, total and
+    DISTINCT n-gram counts and their ratio — the standard text-diversity
+    reading (low distinct-2/3 = template flood or degenerate generation;
+    the corpus-level dual of the per-doc top-ngram repetition rules).
+    → (n, total_ngrams, distinct_ngrams, distinct_ratio) ordered by n.
+
+    One explode + aggregate per n, unioned — deliberately NOT one
+    aggregation with max_n count_distincts, which would put an
+    Expand ×(max_n+1) on the token stream (the profiler's documented
+    trade-off; here every branch is a partial-agg shuffle on its own
+    grain). Word n-grams over the usual lowercase whitespace contract."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    out = None
+    for n in range(1, max_n + 1):
+        if n == 1:
+            grams = toks
+        else:
+            cnt = F.size(toks) - F.lit(n - 1)
+            grams = F.when(
+                cnt >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        g = (
+            df.select(F.explode(grams).alias("g"))
+            .agg(
+                F.lit(n).alias("n"),
+                F.count(F.lit(1)).alias("total_ngrams"),
+                F.count_distinct(F.col("g")).alias("distinct_ngrams"),
+            )
+            .select(
+                "n",
+                "total_ngrams",
+                "distinct_ngrams",
+                F.round(
+                    F.try_divide(F.col("distinct_ngrams"), F.col("total_ngrams")), 6
+                ).alias("distinct_ratio"),
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.orderBy("n")

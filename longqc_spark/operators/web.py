@@ -1517,3 +1517,39 @@ def ks_drift(
             F.max("tb").alias("n_cur"),
         )
     )
+
+
+def host_concentration(
+    df: DataFrame, url_col: str = "url", top_k: int = 10
+) -> DataFrame:
+    """Crawl-diversity reading: host-share concentration as HHI
+    (Herfindahl-Hirschman index = Σ share², 1/n_hosts for a uniform crawl,
+    →1 when one host dominates) plus the top-``top_k`` hosts' combined
+    share — the number a crawl operator watches so one CDN or link farm
+    doesn't quietly become half the corpus (the corpus-level dual of
+    ``domain_cap``). → one row (n_docs, n_hosts, hhi, topk_share).
+
+    Shape: one groupBy(host) partial-agg shuffle; HHI is a plain sum over
+    host counts (no sorting); the top-k share is a TakeOrdered over the
+    host table (k rows to the driver-side limit, no global sort). NULL /
+    hostless URLs carry no share."""
+    h = host_expr(url_col)
+    hosts = (
+        df.select(h.alias("host"))
+        .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = hosts.orderBy(F.desc("cnt"), F.asc("host")).limit(top_k)
+    totals = hosts.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_sq"),
+    )
+    topsum = top.agg(F.sum("cnt").alias("_topcnt"))
+    return totals.crossJoin(topsum).select(
+        "n_docs",
+        "n_hosts",
+        F.round(F.col("_sq") / (F.col("n_docs") * F.col("n_docs")), 6).alias("hhi"),
+        F.round(F.col("_topcnt") / F.col("n_docs"), 6).alias("topk_share"),
+    )
