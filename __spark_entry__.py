@@ -3966,6 +3966,213 @@ def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang se
     ).orderBy("doc_id", "seg_idx")
 
 
+def q_tpch_q4like(spark: SparkSession, sf: str) -> DataFrame:  # EXISTS semi-join
+    """Order-priority checking (TPC-H Q4 shape): orders with at least one
+    lineitem shipped >30 days after the order date, counted per priority —
+    the EXISTS-correlated-subquery plan (left-semi with a theta term)."""
+    orders = _read(spark, sf, "orders")
+    li = _read(spark, sf, "lineitem")
+    sel = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q6like(spark: SparkSession, sf: str) -> DataFrame:  # pushdown agg
+    """Forecast-revenue change (TPC-H Q6 shape): one tight filter + one
+    aggregate — the predicate-pushdown showcase (every predicate reaches
+    the parquet scan; plan-tested in test_plans for the family)."""
+    li = _read(spark, sf, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q9like(spark: SparkSession, sf: str) -> DataFrame:  # profit rollup
+    """Product-type profit (TPC-H Q9 shape): 5-table join, profit =
+    revenue − 10% of retail cost, grouped by supplier nation × order
+    year. Dimensions broadcast; the fact-fact join shuffles on the
+    orderkey."""
+    li = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders")
+    part = _read(spark, sf, "part")
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation")
+    profit = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(profit, 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q13like(spark: SparkSession, sf: str) -> DataFrame:  # outer-join distribution
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join with a join-side predicate (not a WHERE — customers with zero
+    matching orders must survive with count 0), double aggregation."""
+    cust = _read(spark, sf, "customer")
+    orders = _read(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15like(spark: SparkSession, sf: str) -> DataFrame:  # view + scalar max
+    """Top supplier(s) by revenue (TPC-H Q15 shape): a revenue 'view'
+    consumed twice — once for the scalar max, once for the equality
+    filter — the classic reused-subplan query. The max rides back as a
+    1-row broadcast cross join (no second scan of the fact table: the
+    revenue aggregate is tiny)."""
+    li = _read(spark, sf, "lineitem")
+    supp = _read(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("_rev", 4).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17like(spark: SparkSession, sf: str) -> DataFrame:  # correlated avg
+    """Small-quantity-order revenue (TPC-H Q17 shape): per-part correlated
+    average — lineitems under half their part's mean quantity — for one
+    brand. The correlated scalar subquery becomes a per-part aggregate
+    joined back to the same slice (quantities are integral, so the mean
+    is an exact double and the strict < is engine-stable)."""
+    li = _read(spark, sf, "lineitem")
+    part = _read(spark, sf, "part")
+    sel = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    halves = sel.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("_half_avg")
+    )
+    return (
+        sel.join(halves, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q18like(spark: SparkSession, sf: str) -> DataFrame:  # IN-subquery + having
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 300, joined back to customer — the
+    HAVING-driven IN-subquery plan (semi join on the aggregated keys)."""
+    li = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders")
+    cust = _read(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+def q_tpch_q21like(spark: SparkSession, sf: str) -> DataFrame:  # EXISTS + NOT EXISTS
+    """Suppliers who kept finished orders waiting (TPC-H Q21 shape): the
+    supplier shipped >60 days after the order date, ANOTHER supplier is
+    on the same order (EXISTS), and NO other supplier was also late
+    (NOT EXISTS) — the double-correlated plan: distinct (order, supplier)
+    pairs through one semi and one anti self-join."""
+    li = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _read(spark, sf, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    waiting = (
+        late.join(
+            other,
+            (late.l_orderkey == other._ok) & (late.l_suppkey != other._sk),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == other_late._ok)
+            & (late.l_suppkey != other_late._sk),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:  # corpus health: distinct-n
     """Corpus distinct-n diversity (text.ngram_diversity, n=1..3) — the
     template-flood / degenerate-generation alarm. Oracle: identical
@@ -4152,6 +4359,14 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
         "host_hhi": q_host_hhi,
+        "tpch_q4like": q_tpch_q4like,
+        "tpch_q6like": q_tpch_q6like,
+        "tpch_q9like": q_tpch_q9like,
+        "tpch_q13like": q_tpch_q13like,
+        "tpch_q15like": q_tpch_q15like,
+        "tpch_q17like": q_tpch_q17like,
+        "tpch_q18like": q_tpch_q18like,
+        "tpch_q21like": q_tpch_q21like,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
         "score_drift": q_score_drift,
@@ -5236,6 +5451,113 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'windows-1252' END AS charset,
                    CAST(m = 2 AS INT) AS charset_conflict
             FROM t ORDER BY doc_id
+        """,
+        "tpch_q4like": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q6like": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "tpch_q9like": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.1 * p_retailprice * l_quantity), 4)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q13like": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15like": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-07-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, round(rev, 4) AS total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = (SELECT max(rev) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17like": """
+            WITH sel AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem
+                WHERE l_partkey IN
+                      (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+            ), halves AS (
+                SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+                FROM sel GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   count(*) AS n_items
+            FROM sel JOIN halves USING (l_partkey)
+            WHERE l_quantity < half_avg
+        """,
+        "tpch_q18like": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 300
+            )
+            SELECT c_name, o_orderkey,
+                   round(o_totalprice, 4) AS o_totalprice,
+                   round(total_qty, 4) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "tpch_q21like": """
+            WITH late AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            ), pairs AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM pairs p
+                WHERE p.l_orderkey = l1.l_orderkey
+                  AND p.l_suppkey <> l1.l_suppkey
+            ) AND NOT EXISTS (
+                SELECT 1 FROM late l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+            )
+            GROUP BY s_name ORDER BY numwait DESC, s_name
         """,
         "ngram_diversity": r"""
             -- same n-gram construction: per-doc token arrays, grams via

@@ -99,6 +99,9 @@ BENCH_QUERIES = (
     "segment_langs",
     "ngram_diversity",
     "host_hhi",
+    "tpch_q4like",
+    "tpch_q9like",
+    "tpch_q21like",
 )
 
 

@@ -768,3 +768,35 @@ def test_per_lang_thresholds_broadcasts_dim(spark, sf001):
     )
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_tpch_q6like_pushes_every_predicate(spark, sf001):
+    """Q6 is the pushdown showcase: shipdate range, discount band and
+    quantity cap must all reach the parquet scan."""
+    import __spark_entry__ as entry
+
+    plan = _formatted(entry.queries()["tpch_q6like"](spark, sf001))
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"LessThan\(l_quantity,24", plan)
+    assert re.search(r"GreaterThanOrEqual\(l_discount,0.02", plan)
+
+
+def test_tpch_q9like_broadcasts_all_dims(spark, sf001):
+    """Q9's three dimensions (part/supplier/nation) broadcast; the only
+    hash exchanges are the fact-fact orderkey join and the final group."""
+    import __spark_entry__ as entry
+
+    plan = _formatted(entry.queries()["tpch_q9like"](spark, sf001))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # part filter pushed below the broadcast build side
+    assert re.search(r"PushedFilters: \[.*EqualTo\(p_type,ECONOMY\)", plan)
+
+
+def test_tpch_q21like_semi_and_anti(spark, sf001):
+    """The EXISTS/NOT-EXISTS pair must plan as one LeftSemi and one
+    LeftAnti join — no cartesian, no subquery re-execution per row."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q21like"](spark, sf001))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
