@@ -3705,6 +3705,20 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
 )
 assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 
+# ROUND-5 ROTATION NOTE: after the r04 driver run lands, every name above
+# gains a CORRECTNESS row; rotate this window to the queries that will then
+# be the only never-driver-checked ones (all local-oracle-green):
+#   mirror_hosts sitemap_coverage soft404_drop crawl_frontier
+#   host_boilerplate anchor_targets snapshot_churn script_check bm25_search
+#   tfidf_terms host_entropy redirect_resolve crawler_traps charset_gate
+#   zipf_fit image_neardup audio_neardup ece_calibration ks_drift
+#   video_neardup bpe_learn profile_table segment_langs ngram_diversity
+#   host_hhi tpch_q2like tpch_q4like tpch_q6like tpch_q8like tpch_q9like
+#   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
+#   tpch_q20like tpch_q21like
+# (37 names) topped up to 50 with driver-green anchors — that makes every
+# registry entry driver-verified at least once by end of round 5.
+
 
 def q_charset_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: encoding sniff
     """WHATWG-style charset sniffing (web.charset_sniff) over html bytes
@@ -4173,6 +4187,185 @@ def q_tpch_q21like(spark: SparkSession, sf: str) -> DataFrame:  # EXISTS + NOT E
     )
 
 
+def q_tpch_q2like(spark: SparkSession, sf: str) -> DataFrame:  # correlated min
+    """Minimum-cost supplier (TPC-H Q2 shape) without a partsupp table:
+    the per-(part, supplier) supply cost is min(l_extendedprice) derived
+    from lineitem (min, not avg — min is order-independent, so the
+    equality join against the per-part minimum is float-exact in both
+    engines). For EUROPE suppliers and size-band parts, keep the
+    supplier(s) hitting the part's regional minimum — the
+    correlated-scalar-min-subquery plan: one derived cost table, one
+    per-part min agg, an equality join back, dims broadcast."""
+    li = _read(spark, sf, "lineitem")
+    part = _read(spark, sf, "part").filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 15)
+    )
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation")
+    region = _read(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    mincost = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    return (
+        cost.join(
+            mincost,
+            (cost.l_partkey == mincost._pk)
+            & (cost.supply_cost == mincost._min_cost),
+        )
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("supply_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+def q_tpch_q8like(spark: SparkSession, sf: str) -> DataFrame:  # market share
+    """National market share (TPC-H Q8 shape): for AMERICA customers
+    buying ECONOMY parts, NATION_3-supplied revenue share per order year
+    — the 7-table join with a conditional-sum ratio (sum(CASE)/sum),
+    dims broadcast, the fact-fact orderkey join the only big shuffle."""
+    li = _read(spark, sf, "lineitem")
+    orders = _read(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _read(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = _read(spark, sf, "customer")
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation")
+    region = _read(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    cn = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = supp.join(
+        F.broadcast(
+            _read(spark, sf, "nation").select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp.s_nationkey == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q11like(spark: SparkSession, sf: str) -> DataFrame:  # scalar HAVING
+    """Important parts (TPC-H Q11 shape) without partsupp: per-part value
+    shipped by NATION_3 suppliers, kept only when the part exceeds
+    twice the nation's mean per-part value (TPC-H scales its fixed
+    fraction by 1/SF to stay scale-meaningful; an avg-relative
+    threshold is the scale-invariant equivalent) — the
+    scalar-subquery-in-HAVING plan: one grouped agg, one global agg
+    broadcast-crossed back as the threshold."""
+    li = _read(spark, sf, "lineitem")
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    sel = li.join(
+        F.broadcast(
+            supp.join(
+                F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+            ).select("s_suppkey")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    per_part = sel.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    )
+    total = per_part.agg(
+        (F.avg("value") * F.lit(2.0)).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+def q_tpch_q20like(spark: SparkSession, sf: str) -> DataFrame:  # nested IN
+    """Potential part promotion (TPC-H Q20 shape) without partsupp:
+    suppliers who DOMINATE the 1997 supply of some PROMO part — their
+    (part, supplier) shipped quantity exceeds half the part's total
+    across all suppliers — then restricted to NATION_3. The
+    nested-correlated-IN plan: per-pair agg joined against the per-part
+    agg, collapsed to supplier keys, one semi join into supplier."""
+    li = _read(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _read(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    supp = _read(spark, sf, "supplier")
+    nation = _read(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    promo = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_pair = promo.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    per_part = promo.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum("l_quantity") * F.lit(0.5)).alias("_half_total")
+    )
+    dominant = (
+        per_pair.join(per_part, per_pair.l_partkey == per_part._pk)
+        .filter(F.col("pair_qty") > F.col("_half_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        )
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
 def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:  # corpus health: distinct-n
     """Corpus distinct-n diversity (text.ngram_diversity, n=1..3) — the
     template-flood / degenerate-generation alarm. Oracle: identical
@@ -4359,13 +4552,17 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
         "host_hhi": q_host_hhi,
+        "tpch_q2like": q_tpch_q2like,
         "tpch_q4like": q_tpch_q4like,
         "tpch_q6like": q_tpch_q6like,
+        "tpch_q8like": q_tpch_q8like,
         "tpch_q9like": q_tpch_q9like,
+        "tpch_q11like": q_tpch_q11like,
         "tpch_q13like": q_tpch_q13like,
         "tpch_q15like": q_tpch_q15like,
         "tpch_q17like": q_tpch_q17like,
         "tpch_q18like": q_tpch_q18like,
+        "tpch_q20like": q_tpch_q20like,
         "tpch_q21like": q_tpch_q21like,
         "incremental_line_dedup": q_incremental_line_dedup,
         "blocklist_filter": q_blocklist_filter,
@@ -5451,6 +5648,89 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'windows-1252' END AS charset,
                    CAST(m = 2 AS INT) AS charset_conflict
             FROM t ORDER BY doc_id
+        """,
+        "tpch_q2like": """
+            WITH sn AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), cost AS (
+                SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+                       min(l_extendedprice) AS supply_cost
+                FROM lineitem
+                JOIN sn ON l_suppkey = s_suppkey
+                JOIN part ON l_partkey = p_partkey
+                     AND p_size BETWEEN 10 AND 15
+                GROUP BY ALL
+            )
+            SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name,
+                   l_partkey AS p_partkey,
+                   round(supply_cost, 4) AS supply_cost
+            FROM cost c
+            WHERE supply_cost = (SELECT min(supply_cost) FROM cost c2
+                                 WHERE c2.l_partkey = c.l_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        """,
+        "tpch_q8like": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+                 AND r_name = 'AMERICA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY year(o_orderdate) ORDER BY o_year
+        """,
+        "tpch_q11like": """
+            WITH per_part AS (
+                SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                     AND n_name = 'NATION_3'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, round(value, 4) AS value
+            FROM per_part
+            WHERE value > (SELECT avg(value) * 2.0 FROM per_part)
+            ORDER BY value DESC, p_partkey
+        """,
+        "tpch_q20like": """
+            WITH promo AS (
+                SELECT l_partkey, l_suppkey, l_quantity
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+            ), per_pair AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+                FROM promo GROUP BY l_partkey, l_suppkey
+            ), per_part AS (
+                SELECT l_partkey, 0.5 * sum(l_quantity) AS half_total
+                FROM promo GROUP BY l_partkey
+            )
+            SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+                 AND n_name = 'NATION_3'
+            WHERE s_suppkey IN (
+                SELECT DISTINCT l_suppkey
+                FROM per_pair JOIN per_part USING (l_partkey)
+                WHERE pair_qty > half_total
+            )
+            ORDER BY s_name
         """,
         "tpch_q4like": """
             SELECT o_orderpriority, count(*) AS order_count

@@ -800,3 +800,36 @@ def test_tpch_q21like_semi_and_anti(spark, sf001):
     plan = _plan(entry.queries()["tpch_q21like"](spark, sf001))
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8like_broadcasts_every_dim(spark, sf001):
+    """Q8's five dimension legs (part, customer-nation-region, supplier,
+    supplier-nation) all broadcast; the orders fact join is the only
+    big exchange besides the year group."""
+    import __spark_entry__ as entry
+
+    plan = _formatted(entry.queries()["tpch_q8like"](spark, sf001))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert re.search(r"PushedFilters: \[.*EqualTo\(p_type,ECONOMY\)", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11like_scalar_threshold_broadcasts(spark, sf001):
+    """The global-threshold scalar rides back as a broadcast (nested-loop
+    against a 1-row build side), never a shuffled join or cartesian
+    re-expansion of the grouped table."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q11like"](spark, sf001))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20like_semi_collapses_in_subquery(spark, sf001):
+    """The nested IN over dominant (part, supplier) pairs must reach
+    supplier as one LeftSemi — no row-at-a-time subquery, no cartesian."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q20like"](spark, sf001))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
