@@ -98,9 +98,17 @@ def pagerank(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     w = F.col(weight_col) if weight_col else F.lit(1.0)
+    # Materialize the edge table ONCE before iterating: edges usually arrive
+    # as a lazy plan over raw-page anchor extraction, and every power
+    # iteration (plus the nodes/outdeg/dangling prep) would re-execute that
+    # extraction from scratch — O(iters) full scans of the page corpus.
+    # localCheckpoint pins the host-pair-grain table (orders smaller than
+    # the page corpus) to executor-local storage, the same move GraphX-style
+    # iterative algorithms make; every subsequent join reads the
+    # materialized edges with a stable partitioning AQE can reuse.
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("_src").alias("host"))
         .union(e.select("_dst"))
