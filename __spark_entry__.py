@@ -3706,8 +3706,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
 assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 
 # ROUND-5 ROTATION NOTE: after the r04 driver run lands, every name above
-# gains a CORRECTNESS row; rotate this window to the queries that will then
-# be the only never-driver-checked ones (all local-oracle-green):
+# gains a CORRECTNESS row; rotate this window to the 37 queries that will
+# then be the only never-driver-checked ones (all local-oracle-green or
+# rows-only-by-design; verified against CORRECTNESS_r01-03 + this window):
 #   mirror_hosts sitemap_coverage soft404_drop crawl_frontier
 #   host_boilerplate anchor_targets snapshot_churn script_check bm25_search
 #   tfidf_terms host_entropy redirect_resolve crawler_traps charset_gate
@@ -3716,8 +3717,9 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   host_hhi tpch_q2like tpch_q4like tpch_q6like tpch_q8like tpch_q9like
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like
-# (37 names) topped up to 50 with driver-green anchors — that makes every
-# registry entry driver-verified at least once by end of round 5.
+# (37 names, recomputed against CORRECTNESS_r01-03 + this window) topped up
+# to exactly 50 with 13 driver-green anchors — that makes every registry
+# entry driver-verified at least once by end of round 5.
 
 
 def q_charset_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: encoding sniff
