@@ -138,6 +138,32 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (exact)
     )
 
 
+def q_per_dump_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (per-dump horizon)
+    """Per-dump exact dedup (dedup.scoped_dedup) — the FineWeb dedup
+    horizon: dump = doc_id % 3 stands in for the crawl snapshot; duplicates
+    collapse within a dump but a copy living in two dumps survives in both
+    (the natural upsampling global dedup would erase). One hash exchange on
+    (dump, digest) with a WindowGroupLimit pre-shuffle cut (plan-asserted in
+    test_corpus_health). Oracle: identical row_number window in DuckDB;
+    id/char sums pin the exact winner set. Reference analog: per-chunk
+    duplicate handling before the cross-chunk merge (longQC.py:376-389)."""
+    from longqc_spark.operators.dedup import scoped_dedup
+
+    docs = _read(spark, sf, "documents").withColumn(
+        "dump", F.pmod(F.col("doc_id"), F.lit(3)).cast("int")
+    )
+    kept = scoped_dedup(docs, scope_col="dump", key_col="doc_id", text_col="text")
+    return (
+        kept.groupBy("dump")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("dump")
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cross-run)
     """Incremental cross-run dedup: a 'committed run' (doc_id % 3 == 0) plus
     a 're-crawl batch' (doc_id % 2 == 0); the batch is deduped within itself
@@ -3716,9 +3742,9 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   video_neardup bpe_learn profile_table segment_langs ngram_diversity
 #   host_hhi tpch_q2like tpch_q4like tpch_q6like tpch_q8like tpch_q9like
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
-#   tpch_q20like tpch_q21like
-# (37 names, recomputed against CORRECTNESS_r01-03 + this window) topped up
-# to exactly 50 with 13 driver-green anchors — that makes every registry
+#   tpch_q20like tpch_q21like per_dump_dedup
+# (38 names, recomputed against CORRECTNESS_r01-03 + this window) topped up
+# to exactly 50 with 12 driver-green anchors — that makes every registry
 # entry driver-verified at least once by end of round 5.
 
 
@@ -4482,6 +4508,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tokens": q_topk_tokens,
         "event_gaps": q_event_gaps,
         "exact_dedup": q_exact_dedup,
+        "per_dump_dedup": q_per_dump_dedup,
         "incremental_dedup": q_incremental_dedup,
         "incremental_neardup": q_incremental_neardup,
         "bloom_dedup": q_bloom_dedup,
@@ -4745,6 +4772,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_distinct_texts, CAST(sum(n) AS BIGINT) AS n_docs,
                    CAST(sum(n - 1) AS BIGINT) AS n_duplicates
             FROM per_text
+        """,
+        "per_dump_dedup": """
+            -- per-dump horizon: window keyed on (dump, digest); NULL-text
+            -- rows pass through (mirrors scoped_dedup's NULL branch)
+            WITH ranked AS (
+                SELECT doc_id, n_chars, CAST(doc_id % 3 AS INTEGER) AS dump,
+                       row_number() OVER (PARTITION BY doc_id % 3, md5(text)
+                           ORDER BY doc_id) AS rn
+                FROM documents WHERE text IS NOT NULL
+            ), kept AS (
+                SELECT dump, doc_id, n_chars FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT CAST(doc_id % 3 AS INTEGER) AS dump, doc_id, n_chars
+                FROM documents WHERE text IS NULL
+            )
+            SELECT dump, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            FROM kept GROUP BY dump ORDER BY dump
         """,
         "incremental_dedup": """
             -- NULL payloads carry no digest: they pass through both stages

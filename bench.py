@@ -43,6 +43,7 @@ BENCH_QUERIES = (
     "topk_tokens",
     "event_gaps",
     "exact_dedup",
+    "per_dump_dedup",
     "session_window_native",
     "range_frame",
     "trace_reconstruct",

@@ -957,6 +957,51 @@ def keep_best_dedup(
     return kept.unionByName(nulls)
 
 
+def scoped_dedup(
+    df: DataFrame,
+    scope_col: str,
+    score_col: str | None = None,
+    key_col: str = "url",
+    text_col: str = "text",
+    html_col: str | None = None,
+) -> DataFrame:
+    """Per-scope exact dedup: collapse duplicates only WITHIN each value of
+    ``scope_col`` (crawl dump / snapshot / source) — a copy of the same page
+    in two different dumps survives in both.
+
+    This is the FineWeb finding lifted to an operator: global (cross-dump)
+    dedup removes the natural upsampling of long-lived pages and measurably
+    HURT downstream quality vs deduping each CommonCrawl dump independently;
+    the scope column makes the dedup horizon an explicit knob instead of a
+    pipeline accident. Reference analog: the per-chunk (not cross-chunk)
+    duplicate handling of the chunked scan (``longQC.py:376-389`` processes
+    each chunk's reads independently before the cross-chunk merge).
+
+    Plan shape: identical to ``keep_best_dedup`` with the scope prepended to
+    the window key — ONE hash exchange on (scope, digest); ``row_number`` +
+    ``_rn = 1`` derives a WindowGroupLimit so each input partition forwards
+    one candidate per (scope, digest). Adding the scope to the key also
+    SHRINKS skew: a corpus-wide template digest that floods one reducer
+    under global dedup splits across scopes here. Winner per group is the
+    highest-``score_col`` row (tie → min key), or min key when
+    ``score_col=None``; NULL payloads pass through untouched (not
+    duplicates of anything).
+    """
+    _check_score_col(df, score_col, "scoped_dedup")
+    payload = F.col(html_col or text_col)
+    nulls = df.filter(payload.isNull())
+    order = [F.col(score_col).desc_nulls_last(), key_col] if score_col else [key_col]
+    w = Window.partitionBy(scope_col, "_digest").orderBy(*order)
+    kept = (
+        df.filter(payload.isNotNull())
+        .withColumn("_digest", F.md5(payload.cast("binary")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_digest")
+    )
+    return kept.unionByName(nulls)
+
+
 def dup_cluster_sizes(
     df: DataFrame,
     text_col: str = "text",

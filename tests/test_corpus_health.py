@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from longqc_spark.operators.dedup import dup_cluster_sizes, keep_best_dedup
+from longqc_spark.operators.dedup import dup_cluster_sizes, keep_best_dedup, scoped_dedup
 from longqc_spark.operators.text import (
     mix_sources_token_budget,
     split_leakage_report,
@@ -67,6 +67,47 @@ def test_keep_best_window_has_pre_shuffle_group_limit(dup_docs):
     kept = keep_best_dedup(dup_docs, "score", key_col="doc_id", text_col="text")
     plan = _formatted(kept)
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+@pytest.fixture()
+def dumped_docs(spark):
+    # "aaa" appears in dump 0 twice (docs 10, 20) and dump 1 once (doc 11);
+    # "bbb" once per dump; NULL payload in dump 0; scores for the policy test
+    rows = [
+        (10, 0, "aaa", 1.0),
+        (20, 0, "aaa", 5.0),
+        (11, 1, "aaa", 9.0),
+        (30, 0, "bbb", 2.0),
+        (31, 1, "bbb", 4.0),
+        (40, 0, None, 8.0),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, dump int, text string, score double")
+
+
+def test_scoped_dedup_collapses_within_scope_only(dumped_docs):
+    kept = scoped_dedup(dumped_docs, "dump", key_col="doc_id", text_col="text")
+    got = sorted(r.doc_id for r in kept.collect())
+    # dump 0 "aaa" → min-key doc 10 (20 dropped); dump 1's "aaa" copy (11)
+    # SURVIVES — the FineWeb per-dump horizon; both "bbb" survive (one per
+    # dump); NULL payload passes through
+    assert got == [10, 11, 30, 31, 40]
+
+
+def test_scoped_dedup_score_policy_picks_argmax_within_scope(dumped_docs):
+    kept = scoped_dedup(dumped_docs, "dump", score_col="score", key_col="doc_id", text_col="text")
+    got = sorted(r.doc_id for r in kept.collect())
+    # dump 0 "aaa" now keeps doc 20 (score 5.0 > 1.0)
+    assert got == [11, 20, 30, 31, 40]
+
+
+def test_scoped_dedup_window_has_pre_shuffle_group_limit(dumped_docs):
+    """Same scale contract as keep_best_dedup: one candidate per
+    (scope, digest) per input partition moves through the single exchange."""
+    kept = scoped_dedup(dumped_docs, "dump", key_col="doc_id", text_col="text")
+    plan = _formatted(kept)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    # exactly one hash exchange, keyed on (scope, digest)
+    assert plan.count("hashpartitioning(dump") == 1
 
 
 def test_dup_cluster_sizes_histogram(spark):
