@@ -164,6 +164,37 @@ def q_per_dump_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (per-d
     )
 
 
+def q_per_dump_neardup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (per-dump fuzzy)
+    """Per-dump NEAR-dup horizon — FineWeb ran MinHash-LSH per CommonCrawl
+    dump, not globally: dump = doc_id % 3 stands in for the snapshot and
+    ``scope_col`` joins it into the LSH band bucket key, so candidate pairs
+    form within a dump only (cross-dump near-copies survive) and a
+    template flood splits into per-dump buckets. Returns per-dump pair
+    counts with an id-sum pin. Rows-only (xxhash64 band hashes are
+    engine-specific); the scoped-vs-global contrast and a golden pin live
+    in test_driver_fixtures/test_dedup_simsearch. Reference analog: the
+    per-chunk overlap pass before the cross-chunk merge
+    (longQC.py:376-389)."""
+    from longqc_spark.operators.dedup import minhash_jaccard_estimate
+
+    docs = _read(spark, sf, "documents").withColumn(
+        "dump", F.pmod(F.col("doc_id"), F.lit(3)).cast("int")
+    )
+    pairs = minhash_jaccard_estimate(
+        docs, key_col="doc_id", text_col="text", threshold=0.8, scope_col="dump"
+    )
+    da = docs.select(F.col("doc_id").alias("key_a"), "dump")
+    return (
+        pairs.join(da, "key_a")
+        .groupBy("dump")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("key_a") + F.col("key_b")).cast("bigint").alias("pair_id_sum"),
+        )
+        .orderBy("dump")
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:  # dedup (cross-run)
     """Incremental cross-run dedup: a 'committed run' (doc_id % 3 == 0) plus
     a 're-crawl batch' (doc_id % 2 == 0); the batch is deduped within itself
@@ -3742,9 +3773,9 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   video_neardup bpe_learn profile_table segment_langs ngram_diversity
 #   host_hhi tpch_q2like tpch_q4like tpch_q6like tpch_q8like tpch_q9like
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
-#   tpch_q20like tpch_q21like per_dump_dedup
-# (38 names, recomputed against CORRECTNESS_r01-03 + this window) topped up
-# to exactly 50 with 12 driver-green anchors — that makes every registry
+#   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
+# (39 names, recomputed against CORRECTNESS_r01-03 + this window) topped up
+# to exactly 50 with 11 driver-green anchors — that makes every registry
 # entry driver-verified at least once by end of round 5.
 
 
@@ -4509,6 +4540,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "exact_dedup": q_exact_dedup,
         "per_dump_dedup": q_per_dump_dedup,
+        "per_dump_neardup": q_per_dump_neardup,
         "incremental_dedup": q_incremental_dedup,
         "incremental_neardup": q_incremental_neardup,
         "bloom_dedup": q_bloom_dedup,

@@ -76,8 +76,11 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 64,
     shingle: int = 3,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """→ (key, sig array<long>): minhash signature per document.
+    """→ (key[, passthrough...], sig array<long>): minhash signature per
+    document. ``passthrough_cols`` ride the Arrow batch unchanged (e.g. a
+    dump/scope column for scoped LSH) — no post-hoc join needed.
 
     Vectorized: per hash function one multiply-add over the flat shingle
     stream + one segmented min (``np.minimum.reduceat``); docs' shingles are
@@ -87,6 +90,7 @@ def minhash_signatures(
     out_schema = T.StructType(
         [
             df.schema[key_col],
+            *[df.schema[c] for c in passthrough_cols],
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
@@ -107,11 +111,15 @@ def minhash_signatures(
                         row = (mins >> np.uint64(1)).astype(np.int64)
                         row = np.where(n_sh > 0, row, np.iinfo(np.int64).max)
                         sig[:, i] = row
-            yield pd.DataFrame(
-                {key_col: pdf[key_col].to_numpy(), "sig": list(sig)}
-            )
+            out = {key_col: pdf[key_col].to_numpy()}
+            for c in passthrough_cols:
+                out[c] = pdf[c].to_numpy()
+            out["sig"] = list(sig)
+            yield pd.DataFrame(out)
 
-    return df.select(key_col, text_col).mapInPandas(compute, schema=out_schema)
+    return df.select(key_col, *passthrough_cols, text_col).mapInPandas(
+        compute, schema=out_schema
+    )
 
 
 def _star_guarded_pairs(
@@ -173,6 +181,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     n_hashes: int = 64,
     max_bucket: int | None = None,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` rows of r = n/bands,
     hash each band, equi-join on (band, hash). → (key_a, key_b) distinct,
@@ -192,9 +201,17 @@ def lsh_candidate_pairs(
     pair would). Direct pairwise estimates between non-head members of an
     over-cap bucket are the one thing given up — use ``max_bucket=None``
     (the default, exact pair semantics) when those are required.
+
+    ``scope_col`` (a column already on ``sigs``) restricts candidates to
+    same-scope pairs by joining the scope INTO the bucket key — the
+    per-dump near-dup horizon (FineWeb deduped each CommonCrawl dump
+    independently). Scoping also divides bucket sizes: a corpus-wide
+    template flood that breaches ``max_bucket`` globally splits into
+    per-dump buckets that may not.
     """
-    banded = _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes)
-    return _star_guarded_pairs(banded, ("band", "bhash"), key_col, max_bucket)
+    extra = (scope_col,) if scope_col else ()
+    banded = _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes, extra_cols=extra)
+    return _star_guarded_pairs(banded, extra + ("band", "bhash"), key_col, max_bucket)
 
 
 # a minhash signature of a doc with ZERO shingles (NULL/too-short text) is
@@ -203,13 +220,22 @@ def lsh_candidate_pairs(
 _SIG_EMPTY = int(np.iinfo(np.int64).max)
 
 
-def _band_rows(sigs: DataFrame, key_col: str, bands: int, n_hashes: int) -> DataFrame:
-    """→ (key, band:int, bhash:long): the banded-LSH bucket rows. ONE
-    definition shared by the within-run candidate join and the cross-run
-    band index, so the band hashing can never drift between them."""
+def _band_rows(
+    sigs: DataFrame,
+    key_col: str,
+    bands: int,
+    n_hashes: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """→ (key[, extra...], band:int, bhash:long): the banded-LSH bucket
+    rows. ONE definition shared by the within-run candidate join and the
+    cross-run band index, so the band hashing can never drift between
+    them. ``extra_cols`` (e.g. a scope column) are carried per row so the
+    caller can put them in the bucket key."""
     r = n_hashes // bands
     return sigs.select(
         F.col(key_col),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(
             F.array(
                 *[
@@ -309,22 +335,31 @@ def minhash_jaccard_estimate(
     shingle: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, then
     signature-agreement Jaccard estimate, filtered at ``threshold``.
-    → (key_a, key_b, est_jaccard). ``max_bucket``: boilerplate bucket guard,
-    see ``lsh_candidate_pairs``."""
+    → (key_a, key_b, est_jaccard). ``max_bucket``: boilerplate bucket guard;
+    ``scope_col``: per-dump candidate horizon (same-scope pairs only) —
+    see ``lsh_candidate_pairs`` for both."""
     # exclude zero-shingle (NULL/too-short) docs: their all-_SIG_EMPTY
     # signatures agree on every position (est_jaccard 1.0), so without the
     # filter EVERY tiny doc is "near" every other tiny doc and a keep-one
     # policy would collapse them all to a single survivor — the same guard
     # minhash_band_table / incremental_neardup apply on the cross-run path
     sigs = (
-        minhash_signatures(df, key_col, text_col, n_hashes, shingle)
+        minhash_signatures(
+            df,
+            key_col,
+            text_col,
+            n_hashes,
+            shingle,
+            passthrough_cols=(scope_col,) if scope_col else (),
+        )
         .filter(F.col("sig")[0] != _SIG_EMPTY)
         .cache()
     )
-    pairs = lsh_candidate_pairs(sigs, key_col, bands, n_hashes, max_bucket)
+    pairs = lsh_candidate_pairs(sigs, key_col, bands, n_hashes, max_bucket, scope_col)
     a = sigs.select(F.col(key_col).alias("key_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(key_col).alias("key_b"), F.col("sig").alias("sig_b"))
     est = (

@@ -128,6 +128,53 @@ def test_minhash_lsh_finds_planted_pairs(spark):
     assert (got.est_jaccard >= 0.5).all()
 
 
+def test_minhash_lsh_scoped_restricts_pairs_to_same_dump(spark):
+    """scope_col joins the dump into the LSH bucket key: the planted
+    near-pair splits across dumps when base and copy land in different
+    dumps, so only the same-dump plants may surface — cross-dump copies
+    survive (the FineWeb per-dump horizon)."""
+    docs = _planted_docs(spark)
+    # dump assignment: base docs (0-9) → dump 0; near-copies (100-109) of
+    # EVEN bases → dump 0 (same dump: pair must be found), of ODD bases →
+    # dump 1 (cross-dump: pair must NOT form)
+    dump = F.when(F.col("doc_id") < 100, F.lit(0)).otherwise(
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("int")
+    )
+    scoped = docs.withColumn("dump", dump)
+    got = minhash_jaccard_estimate(scoped, threshold=0.5, scope_col="dump").toPandas()
+    found = {(r.key_a, r.key_b) for r in got.itertuples()}
+    same_dump = {(i, 100 + i) for i in range(0, 10, 2)}
+    cross_dump = {(i, 100 + i) for i in range(1, 10, 2)}
+    assert same_dump <= found
+    assert not (cross_dump & found)
+    # unscoped on the same input finds ALL plants — the horizon is the only
+    # difference
+    got_all = minhash_jaccard_estimate(scoped, threshold=0.5).toPandas()
+    found_all = {(r.key_a, r.key_b) for r in got_all.itertuples()}
+    assert (same_dump | cross_dump) <= found_all
+
+
+def test_minhash_lsh_scoped_splits_flooded_bucket(spark):
+    """A template flood that breaches max_bucket globally stays under it
+    per dump: scoping must yield the exact all-pairs candidates within each
+    dump (no star expansion engaged) while the global run with the same cap
+    would star-expand."""
+    text = "the same boilerplate template page body repeated verbatim"
+    rows = [(i, i % 4, text) for i in range(20)]  # 5 docs per dump
+    docs = spark.createDataFrame(rows, "doc_id long, dump int, text string")
+    got = minhash_jaccard_estimate(
+        docs, threshold=0.9, max_bucket=8, scope_col="dump"
+    ).toPandas()
+    found = {(r.key_a, r.key_b) for r in got.itertuples()}
+    expect = {
+        (a, b)
+        for a in range(20)
+        for b in range(20)
+        if a < b and a % 4 == b % 4
+    }
+    assert found == expect  # all within-dump pairs, zero cross-dump
+
+
 def test_simhash_planted_pairs_within_hamming(spark):
     docs = _planted_docs(spark)
     sims = simhash_signatures(docs)

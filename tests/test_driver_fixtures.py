@@ -249,6 +249,9 @@ def test_round2_queries_parallelism_invariant(spark, sf001):
 # the versioned sf0.001 testdata + seeded models).
 _GOLDEN_SF001 = {
     "minhash_lsh": (28, "6922dfeb94595690"),
+    # per-dump LSH horizon: pairs exist only in dumps 0 and 2 at sf0.001 —
+    # duplicate groups whose ids straddle dumps are (correctly) suppressed
+    "per_dump_neardup": (2, "b8c4e83d0c1ca36e"),
     "simhash": (1688, "6f4bbaf909242932"),
     "lsh_topk": (60, "a3b53d9cc3cf0022"),
     "ivf_topk": (30, "6584b4905fb1811b"),
