@@ -183,6 +183,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--neardup-max-bucket", type=int, default=500, metavar="K",
                    help="boilerplate star guard for --neardup-threshold "
                         "(bucket fan-out bound; 0 disables)")
+    p.add_argument("--dedup-scope", default=None, metavar="COL",
+                   help="bound --payload-dedup AND --neardup-threshold to a "
+                        "per-COL horizon (crawl dump / snapshot / source "
+                        "column): duplicates collapse within a scope only, "
+                        "cross-scope copies survive (FineWeb per-dump dedup)")
     p.add_argument("--fuzzy-scrub", action="store_true",
                    help="tolerance scrub pass: tokens within 1 edit of a "
                         "lexicon term at identity >= 0.75 are scrubbed too "
@@ -322,6 +327,8 @@ def main(argv: list[str] | None = None) -> int:
         # the star guard changes WHICH candidate pairs the near-dup stage
         # sees, hence which survivors exist — identity, like the threshold
         "neardup_max_bucket": args.neardup_max_bucket,
+        # the scope bounds the dedup horizon, hence the survivor set
+        "dedup_scope": args.dedup_scope,
     }
     # validate the COMPLETE resume identity BEFORE the dedup stages: the
     # near-dup stage's connected components run eagerly (driver-side
@@ -391,16 +398,27 @@ def main(argv: list[str] | None = None) -> int:
             lang_default=_parse_lang_triple(args.lang_default),
         )
     if args.payload_dedup:
-        from .operators.dedup import keep_best_dedup
+        from .operators.dedup import keep_best_dedup, scoped_dedup
 
-        docs = keep_best_dedup(
-            docs,
-            args.payload_score_col,
-            key_col=args.key_col,
-            text_col=args.text_col,
-            html_col=args.html_col,
-            normalize=args.payload_dedup_normalize,
-        )
+        if args.dedup_scope is not None:
+            docs = scoped_dedup(
+                docs,
+                args.dedup_scope,
+                score_col=args.payload_score_col,
+                key_col=args.key_col,
+                text_col=args.text_col,
+                html_col=args.html_col,
+                normalize=args.payload_dedup_normalize,
+            )
+        else:
+            docs = keep_best_dedup(
+                docs,
+                args.payload_score_col,
+                key_col=args.key_col,
+                text_col=args.text_col,
+                html_col=args.html_col,
+                normalize=args.payload_dedup_normalize,
+            )
     if args.neardup_threshold is not None:
         from .operators.dedup import cluster_keep_best, minhash_jaccard_estimate
 
@@ -410,6 +428,7 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             threshold=args.neardup_threshold,
             max_bucket=args.neardup_max_bucket or None,
+            scope_col=args.dedup_scope,
         )
         docs = cluster_keep_best(
             docs, pairs, args.payload_score_col, key_col=args.key_col

@@ -327,6 +327,7 @@ def curate(
     payload_dedup_normalize: bool = False,
     neardup_threshold: float | None = None,
     neardup_max_bucket: int | None = 500,
+    dedup_scope_col: str | None = None,
     observe: dict | None = None,
 ) -> DataFrame:
     """documents → curated training rows.
@@ -365,7 +366,12 @@ def curate(
        components → one survivor per cluster (``payload_score_col``-argmax
        if set, else min key — the same keep policy knobs as stage 0.5,
        applied to fuzzy clusters). ``neardup_max_bucket`` is the
-       boilerplate star guard (see ``lsh_candidate_pairs``; None disables);
+       boilerplate star guard (see ``lsh_candidate_pairs``; None disables).
+       ``dedup_scope_col`` names a column (crawl dump / snapshot / source)
+       that bounds BOTH dedup stages to a per-scope horizon — duplicates
+       collapse within a dump only, cross-dump copies survive (the FineWeb
+       per-dump finding; ``dedup.scoped_dedup`` /
+       ``lsh_candidate_pairs(scope_col=)``);
     1. ``exclude_labels``: incremental cross-run dedup against a committed
        label store (anti-join on its stored ``payload_md5``);
     2. QC: full stat vector + rules + scrub; only ``keep`` rows survive;
@@ -432,7 +438,7 @@ def curate(
     )
     src = _obs(src, "hygiene")
     if payload_dedup:
-        from .operators.dedup import keep_best_dedup
+        from .operators.dedup import keep_best_dedup, scoped_dedup
 
         if payload_dedup_normalize and html_col is not None:
             raise ValueError(
@@ -440,14 +446,25 @@ def curate(
                 "extraction-deferred html_col run extraction first or drop "
                 "the normalize flag"
             )
-        src = keep_best_dedup(
-            src,
-            payload_score_col,
-            key_col=key_col,
-            text_col=text_col,
-            html_col=html_col,
-            normalize=payload_dedup_normalize,
-        )
+        if dedup_scope_col is not None:
+            src = scoped_dedup(
+                src,
+                dedup_scope_col,
+                score_col=payload_score_col,
+                key_col=key_col,
+                text_col=text_col,
+                html_col=html_col,
+                normalize=payload_dedup_normalize,
+            )
+        else:
+            src = keep_best_dedup(
+                src,
+                payload_score_col,
+                key_col=key_col,
+                text_col=text_col,
+                html_col=html_col,
+                normalize=payload_dedup_normalize,
+            )
         src = _obs(src, "payload_dedup")
     if neardup_threshold is not None:
         from .operators.dedup import cluster_keep_best, minhash_jaccard_estimate
@@ -463,6 +480,7 @@ def curate(
             text_col=text_col,
             threshold=neardup_threshold,
             max_bucket=neardup_max_bucket,
+            scope_col=dedup_scope_col,
         )
         src = cluster_keep_best(src, pairs, payload_score_col, key_col=key_col)
         src = _obs(src, "neardup")

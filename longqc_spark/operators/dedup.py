@@ -999,6 +999,7 @@ def scoped_dedup(
     key_col: str = "url",
     text_col: str = "text",
     html_col: str | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-scope exact dedup: collapse duplicates only WITHIN each value of
     ``scope_col`` (crawl dump / snapshot / source) — a copy of the same page
@@ -1020,16 +1021,30 @@ def scoped_dedup(
     under global dedup splits across scopes here. Winner per group is the
     highest-``score_col`` row (tie → min key), or min key when
     ``score_col=None``; NULL payloads pass through untouched (not
-    duplicates of anything).
+    duplicates of anything); ``normalize=True`` digests whitespace/case/
+    punct-normalized text (same contract as ``keep_best_dedup``).
     """
+    from .text import normalize_text_expr
+
     _check_score_col(df, score_col, "scoped_dedup")
+    if normalize and html_col is not None:
+        raise ValueError(
+            "normalize digests TEXT (lowercase/whitespace folding is "
+            "meaningless on raw html bytes); run extraction first or drop "
+            "the normalize flag"
+        )
     payload = F.col(html_col or text_col)
     nulls = df.filter(payload.isNull())
+    digest = (
+        F.md5(normalize_text_expr(text_col).cast("binary"))
+        if normalize
+        else F.md5(payload.cast("binary"))
+    )
     order = [F.col(score_col).desc_nulls_last(), key_col] if score_col else [key_col]
     w = Window.partitionBy(scope_col, "_digest").orderBy(*order)
     kept = (
         df.filter(payload.isNotNull())
-        .withColumn("_digest", F.md5(payload.cast("binary")))
+        .withColumn("_digest", digest)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_digest")

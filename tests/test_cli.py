@@ -319,6 +319,43 @@ def test_cli_payload_dedup(spark, corpus_path, tmp_path):
               "--local-cores", "8"])
 
 
+def test_cli_dedup_scope(spark, corpus_path, tmp_path):
+    """--dedup-scope bounds --payload-dedup to a per-dump horizon: an exact
+    copy planted in ANOTHER dump survives (both copies labeled), and the
+    scope value is checkpoint identity (a resume without it must refuse)."""
+    docs = spark.read.parquet(corpus_path).withColumn("dump", F.lit(0))
+    dup = (
+        docs.limit(25)
+        .withColumn("url", F.concat(F.lit("https://mirror.example/"), F.col("url")))
+        .withColumn("dump", F.lit(1))
+    )
+    crawl_path = str(tmp_path / "scoped_crawl")
+    docs.unionByName(dup).write.parquet(crawl_path)
+
+    out = str(tmp_path / "scope_out")
+    rc = main(
+        [
+            "--input", crawl_path,
+            "--out", out,
+            "--buckets", "2",
+            "--payload-dedup",
+            "--dedup-scope", "dump",
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    labels = spark.read.parquet(os.path.join(out, "data")).toPandas()
+    # the dump-1 copies are exact duplicates of dump-0 pages, but the scoped
+    # horizon keeps one survivor PER DUMP: those digests appear twice
+    mirrored = labels.url.str.startswith("https://mirror.example/")
+    assert mirrored.sum() == 25
+    assert not labels.payload_md5.is_unique
+    # checkpoint identity: dropping the scope must refuse to resume
+    with pytest.raises(ValueError, match="run config differs"):
+        main(["--input", crawl_path, "--out", out, "--buckets", "2",
+              "--payload-dedup", "--local-cores", "8"])
+
+
 def test_cli_neardup_threshold(spark, corpus_path, tmp_path):
     """--neardup-threshold drops fuzzy re-crawls (exact digests differ)
     before the lineage run, and is checkpoint identity."""

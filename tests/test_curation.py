@@ -73,6 +73,47 @@ def test_curate_full_funnel(spark, docs):
     pd.testing.assert_series_equal(a.shard, b.shard)
 
 
+def test_curate_dedup_scope_bounds_both_dedup_stages(spark, docs):
+    """dedup_scope_col gives the funnel's exact AND near dedup stages a
+    per-dump horizon: an exact copy in another dump survives payload_dedup,
+    and a near-copy in another dump survives the LSH stage — while same-dump
+    duplicates still collapse. The unscoped run collapses both."""
+    # a text known to pass the QC rules, so the keep gate doesn't interfere
+    keep = qc_pipeline(docs, cfg=DRIVER_DOCS_CONFIG, key_cols=["doc_id"]).filter(
+        "keep"
+    )
+    base = (
+        docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+        .text
+    )
+    toks = base.split()
+    toks[5] = "changed"
+    near = " ".join(toks)
+    rows = [
+        (1, 0, base),   # dump 0 original
+        (2, 0, base),   # dump 0 exact copy → collapses into 1
+        (3, 1, base),   # dump 1 exact copy → SURVIVES under scope
+        (4, 1, near),   # dump 1 near-copy of doc 3 → collapses into 3
+        (5, 2, near),   # dump 2 near-copy → SURVIVES under scope
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, dump int, text string")
+    kw = dict(
+        cfg=DRIVER_DOCS_CONFIG,
+        key_col="doc_id",
+        payload_dedup=True,
+        neardup_threshold=0.5,
+    )
+    scoped = curate(docs, dedup_scope_col="dump", **kw)
+    got = sorted(r.doc_id for r in scoped.select("doc_id").collect())
+    assert got == [1, 3, 5]
+    unscoped = curate(docs, **kw)
+    # globally everything is one near-dup cluster → a single survivor
+    assert sorted(r.doc_id for r in unscoped.select("doc_id").collect()) == [1]
+
+
 def test_curate_stages_optional(spark, docs):
     """With no optional inputs, curate == qc_pipeline keepers + split."""
     out = curate(docs, cfg=DRIVER_DOCS_CONFIG, key_col="doc_id").toPandas()
