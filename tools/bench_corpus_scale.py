@@ -587,8 +587,20 @@ def main() -> None:
         # skew-adversarial: 30% one-template flood vs uniform, same size,
         # guarded LSH (max_bucket bounds the flood bucket's fan-out)
         n = args.skew_docs
-        for tag, frac in (("uniform", 0.0), ("skew30", 0.3)):
-            df = boilerplate_docs(spark, n, flood_frac=frac).cache()
+        # third leg: the same 30% flood under a per-dump horizon (4 synthetic
+        # dumps) — the scope joins into the bucket key, so the flood bucket
+        # splits 4 ways BEFORE the star guard sees it
+        for tag, frac, scope in (
+            ("uniform", 0.0, None),
+            ("skew30", 0.3, None),
+            ("skew30_scoped", 0.3, "dump"),
+        ):
+            df = boilerplate_docs(spark, n, flood_frac=frac)
+            if scope:
+                df = df.withColumn(
+                    "dump", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int")
+                )
+            df = df.cache()
             df.count()
             best_t, pairs = float("inf"), 0
             plan = ""
@@ -598,7 +610,8 @@ def main() -> None:
                 # capturable from this same DataFrame's queryExecution
                 # (count()/write build fresh QEs with isFinalPlan=false)
                 cnt_df = minhash_jaccard_estimate(
-                    df, key_col="url", threshold=0.8, max_bucket=200
+                    df, key_col="url", threshold=0.8, max_bucket=200,
+                    scope_col=scope,
                 ).groupBy().count()
                 pairs = cnt_df.collect()[0][0]
                 best_t = min(best_t, time.time() - t0)
