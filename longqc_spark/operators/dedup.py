@@ -442,13 +442,24 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """64-bit SimHash per doc: sign of per-bit sums of token hashes.
-    → (key, simhash long). Hamming-close docs are near-duplicates; pair
-    generation joins on 16-bit chunks (any pair within hamming distance 3
-    shares at least one intact chunk)."""
-    out_schema = T.StructType([df.schema[key_col], T.StructField("simhash", T.LongType())])
+    → (key[, passthrough...], simhash long). Hamming-close docs are
+    near-duplicates; pair generation joins on 16-bit chunks (any pair
+    within hamming distance 3 shares at least one intact chunk).
+    ``passthrough_cols`` ride the Arrow batch unchanged (e.g. a dump column
+    for ``simhash_near_pairs(scope_col=)``)."""
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            *[df.schema[c] for c in passthrough_cols],
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
 
     def compute(batches):
         for pdf in batches:
@@ -465,14 +476,15 @@ def simhash_signatures(
                 pos = np.bincount(doc_ids, weights=b, minlength=n_docs)
                 ones = (pos * 2 > n_tok) & (n_tok > 0)
                 sims |= ones.astype(np.uint64) << np.uint64(bit)
-            yield pd.DataFrame(
-                {
-                    key_col: pdf[key_col].to_numpy(),
-                    "simhash": sims.astype(np.int64),
-                }
-            )
+            out = {key_col: pdf[key_col].to_numpy()}
+            for c in passthrough_cols:
+                out[c] = pdf[c].to_numpy()
+            out["simhash"] = sims.astype(np.int64)
+            yield pd.DataFrame(out)
 
-    return df.select(key_col, text_col).mapInPandas(compute, schema=out_schema)
+    return df.select(key_col, *passthrough_cols, text_col).mapInPandas(
+        compute, schema=out_schema
+    )
 
 
 def simhash_near_pairs(
@@ -481,6 +493,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_chunks: int = 4,
     max_bucket: int | None = None,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Chunk-join candidate generation + exact hamming filter.
     → (key_a, key_b, hamming).
@@ -503,11 +516,19 @@ def simhash_near_pairs(
     ONLY intact shared chunk lands in an over-cap bucket is given up (their
     star pairs to a distant head fail the hamming filter). That trade
     targets exactly the template-flood case the guard exists for; use
-    ``max_bucket=None`` when full radius-recall is required."""
+    ``max_bucket=None`` when full radius-recall is required.
+
+    ``scope_col`` (a column already on ``sims``) restricts candidates to
+    same-scope pairs by joining the scope into the chunk bucket key — the
+    per-dump near-dup horizon, same contract as
+    ``lsh_candidate_pairs(scope_col=)``; a flood bucket splits across
+    scopes before the guard sees it."""
     width = 64 // n_chunks
     chunk_mask = (1 << width) - 1
+    extra = (scope_col,) if scope_col else ()
     chunks = sims.select(
         F.col(key_col),
+        *[F.col(c) for c in extra],
         F.col("simhash"),
         F.posexplode(
             F.array(
@@ -521,7 +542,7 @@ def simhash_near_pairs(
         ).alias("chunk_id", "chunk"),
     )
     cand = _star_guarded_pairs(
-        chunks, ("chunk_id", "chunk"), key_col, max_bucket, payload_col="simhash"
+        chunks, extra + ("chunk_id", "chunk"), key_col, max_bucket, payload_col="simhash"
     )
     hamming = F.bit_count(
         F.col("payload_a").bitwiseXOR(F.col("payload_b"))

@@ -184,6 +184,24 @@ def test_simhash_planted_pairs_within_hamming(spark):
     assert {(i, 100 + i) for i in range(10)} <= found
 
 
+def test_simhash_scoped_restricts_pairs_to_same_dump(spark):
+    """scope_col on simhash_near_pairs mirrors the LSH contract: identical
+    docs in different dumps never pair; same-dump plants still do."""
+    docs = _planted_docs(spark)
+    dump = F.when(F.col("doc_id") < 100, F.lit(0)).otherwise(
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("int")
+    )
+    sims = simhash_signatures(
+        docs.withColumn("dump", dump), passthrough_cols=("dump",)
+    )
+    got = simhash_near_pairs(
+        sims, max_hamming=7, n_chunks=8, scope_col="dump"
+    ).toPandas()
+    found = {(r.key_a, r.key_b) for r in got.itertuples()}
+    assert {(i, 100 + i) for i in range(0, 10, 2)} <= found  # same dump
+    assert not ({(i, 100 + i) for i in range(1, 10, 2)} & found)  # cross dump
+
+
 def test_simhash_deterministic(spark):
     docs = _planted_docs(spark)
     a = simhash_signatures(docs).toPandas().set_index("doc_id").simhash
