@@ -72,10 +72,12 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector: bit i = sign(v·h_i).
     Hyperplanes are a deterministic seeded matrix, embedded as literal columns
-    (broadcast-equivalent; no Python at eval time). → (id, bucket int).
+    (broadcast-equivalent; no Python at eval time).
+    → (id[, passthrough...], bucket int).
 
     ``dim=None`` (the default) infers the dimension from the data — one
     eager 1-row peek at build time, skipping NULL vectors. The plane length
@@ -94,7 +96,9 @@ def hyperplane_buckets(
         h = F.array(*[F.lit(float(x)) for x in planes[i]])
         bit_cols.append((_dot(F.col(vec_col), h) > 0).cast("int") * F.lit(2**i))
     bucket = sum(bit_cols[1:], bit_cols[0]).alias("bucket")
-    return emb.select(F.col(id_col), F.col(vec_col), bucket)
+    return emb.select(
+        F.col(id_col), *[F.col(c) for c in passthrough_cols], F.col(vec_col), bucket
+    )
 
 
 def ivf_topk(
@@ -222,6 +226,7 @@ def embed_neardup(
     vec_col: str = "embedding",
     n_bits: int = 0,
     max_bucket: int | None = None,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
     cosine(a, b) > threshold — the semantic-dedup sibling of MinHash-LSH
@@ -244,18 +249,43 @@ def embed_neardup(
     the min-id member; exact-duplicate vectors are cosine-1.0 from the head
     so duplicate CLUSTERS survive intact, at the cost of direct pairwise
     cosines between non-head members of an over-cap bucket.
+
+    ``scope_col`` restricts pairs to the same scope (the per-dump semantic
+    dedup horizon, same contract as the MinHash/SimHash joins): on the
+    exact path it is an extra equality term in the theta join; on the
+    bucketed path it folds INTO the bucket id, so an embedding flood splits
+    across scopes before the guard sees it.
     """
-    a = emb.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    a_cols = [F.col(id_col).alias("key_a"), F.col(vec_col).alias("va")]
+    b_cols = [F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb")]
+    if scope_col:
+        a_cols.append(F.col(scope_col).alias("_scope_a"))
+        b_cols.append(F.col(scope_col).alias("_scope_b"))
+    a = emb.select(*a_cols)
+    b = emb.select(*b_cols)
     if n_bits > 0:
         # cache: the bucket expression (n_bits dot products per row) feeds
         # the a-side, the b-side, and (guarded) the bucket-size stats —
         # without the cache it is recomputed in every join branch. The
         # previous call's cache is released here (one-slot registry) so
         # repeated calls in a long session don't accumulate storage.
+        hb = hyperplane_buckets(
+            emb,
+            n_bits=n_bits,
+            dim=None,
+            id_col=id_col,
+            vec_col=vec_col,
+            passthrough_cols=(scope_col,) if scope_col else (),
+        )
+        bucket_expr = (
+            F.concat_ws(
+                "#", F.col(scope_col).cast("string"), F.col("bucket").cast("string")
+            )
+            if scope_col
+            else F.col("bucket")
+        )
         ba = _BUCKET_CACHE.put(
-            hyperplane_buckets(emb, n_bits=n_bits, dim=None, id_col=id_col, vec_col=vec_col)
-            .select(F.col(id_col).alias("key_a"), F.col("bucket").alias("bucket_a"))
+            hb.select(F.col(id_col).alias("key_a"), bucket_expr.alias("bucket_a"))
             .cache()
         )
         bb = ba.select(F.col("key_a").alias("key_b"), F.col("bucket_a").alias("bucket_b"))
@@ -285,7 +315,10 @@ def embed_neardup(
                 b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("key_a") < F.col("key_b"))
             )
     else:
-        pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+        cond = F.col("key_a") < F.col("key_b")
+        if scope_col:
+            cond = (F.col("_scope_a") == F.col("_scope_b")) & cond
+        pairs = a.join(b, cond)
     cosine = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.select("key_a", "key_b", cosine.alias("cosine"))

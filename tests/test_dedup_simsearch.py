@@ -202,6 +202,29 @@ def test_simhash_scoped_restricts_pairs_to_same_dump(spark):
     assert not ({(i, 100 + i) for i in range(1, 10, 2)} & found)  # cross dump
 
 
+def test_embed_neardup_scoped_both_paths(spark):
+    """scope_col on embed_neardup: identical vectors in different dumps
+    never pair, same-dump copies do — on BOTH the exact theta path and the
+    hyperplane-bucketed path (where the scope folds into the bucket id)."""
+    from longqc_spark.operators.simsearch import embed_neardup
+
+    v1, v2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, 0, v1), (2, 0, v1),   # same dump, identical → pair
+        (3, 1, v1),               # other dump, identical → no pair with 1/2
+        (4, 0, v2), (5, 1, v2),   # cross dump only → no pair
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, dump int, embedding array<double>")
+    for n_bits in (0, 4):
+        got = embed_neardup(
+            emb, threshold=0.9, n_bits=n_bits, scope_col="dump"
+        ).toPandas()
+        assert {(r.key_a, r.key_b) for r in got.itertuples()} == {(1, 2)}, n_bits
+    # unscoped contrast: all three identical-v1 copies pair up
+    got_all = embed_neardup(emb, threshold=0.9).toPandas()
+    assert {(r.key_a, r.key_b) for r in got_all.itertuples()} == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
 def test_simhash_deterministic(spark):
     docs = _planted_docs(spark)
     a = simhash_signatures(docs).toPandas().set_index("doc_id").simhash
