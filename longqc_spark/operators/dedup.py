@@ -850,6 +850,7 @@ def incremental_dedup(
     digest_col: str = "payload_md5",
     within_batch: bool = True,
     bloom_fpp: float | None = None,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Cross-RUN dedup: admit only the docs of a new batch (re-crawl) whose
     payload digest is absent from an already-committed label corpus — the
@@ -897,6 +898,16 @@ def incremental_dedup(
     of ``NOT IN`` with a NULL probe. Oracle SQL mirrors this with an
     explicit ``payload IS NULL OR …`` disjunct.
 
+    ``scope_col`` gives the cross-run exclusion the per-dump horizon: a
+    batch doc is excluded only if the committed corpus holds its digest IN
+    THE SAME scope (``committed`` must carry a same-named scope column —
+    the labels store does when the input did), and the within-batch window
+    partitions on (scope, digest) — the operational pattern of processing
+    ONE dump in batches across resumed runs while cross-dump copies keep
+    their FineWeb-style natural upsampling. The Bloom prefilter stays
+    digest-only (a superset of any (scope, digest) match — no false
+    negatives), the final anti-join carries the scope equality.
+
     Returns the surviving rows of ``new_docs`` (original columns).
     """
     payload = F.col(html_col or text_col)
@@ -910,13 +921,17 @@ def incremental_dedup(
         "_digest", F.md5(payload.cast("binary"))
     )
     if within_batch:
-        w = Window.partitionBy("_digest").orderBy(key_col)
+        wkeys = ([scope_col] if scope_col else []) + ["_digest"]
+        w = Window.partitionBy(*wkeys).orderBy(key_col)
         fresh = (
             fresh.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    known = committed.select(F.col(digest_col).alias("_known_md5"))
+    known_cols = [F.col(digest_col).alias("_known_md5")]
+    if scope_col:
+        known_cols.append(F.col(scope_col).alias("_known_scope"))
+    known = committed.select(*known_cols)
     if bloom_fpp is not None:
         # prefilter BEFORE the distinct so the corpus-wide shuffle (the
         # distinct's exchange) also runs over the shrunken row set
@@ -925,9 +940,10 @@ def incremental_dedup(
         )
         known = known.filter(bloom_might_contain("_known_md5", bloom, m, k))
     known = known.distinct()
-    kept = fresh.join(
-        known, on=F.col("_digest") == F.col("_known_md5"), how="left_anti"
-    ).drop("_digest")
+    cond = F.col("_digest") == F.col("_known_md5")
+    if scope_col:
+        cond = cond & (F.col(scope_col) == F.col("_known_scope"))
+    kept = fresh.join(known, on=cond, how="left_anti").drop("_digest")
     return kept.unionByName(nulls)
 
 

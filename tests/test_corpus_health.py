@@ -110,6 +110,36 @@ def test_scoped_dedup_window_has_pre_shuffle_group_limit(dumped_docs):
     assert plan.count("hashpartitioning(dump") == 1
 
 
+def test_incremental_dedup_scoped_excludes_same_dump_only(spark):
+    """incremental_dedup(scope_col=): a committed digest excludes a batch
+    doc only in the SAME dump; the within-batch window also keys on
+    (dump, digest); NULL payloads pass through."""
+    from longqc_spark.operators.dedup import incremental_dedup
+
+    committed = spark.createDataFrame(
+        [("aaa-digest-placeholder", 0)], "payload_md5 string, dump int"
+    ).select(F.md5(F.lit("aaa").cast("binary")).alias("payload_md5"), "dump")
+    batch = spark.createDataFrame(
+        [
+            (1, 0, "aaa"),   # committed in dump 0 → excluded
+            (2, 1, "aaa"),   # same digest, dump 1 → ADMITTED
+            (3, 1, "aaa"),   # within-batch dup of 2 in dump 1 → dropped
+            (4, 0, "bbb"),   # fresh → admitted
+            (5, 1, None),    # NULL payload → passes through
+        ],
+        "doc_id long, dump int, text string",
+    )
+    got = incremental_dedup(
+        batch, committed, key_col="doc_id", text_col="text", scope_col="dump"
+    )
+    assert sorted(r.doc_id for r in got.collect()) == [2, 4, 5]
+    # unscoped contrast: the committed digest kills BOTH dumps' copies
+    got_global = incremental_dedup(
+        batch, committed.drop("dump"), key_col="doc_id", text_col="text"
+    )
+    assert sorted(r.doc_id for r in got_global.collect()) == [4, 5]
+
+
 def test_dup_cluster_sizes_histogram(spark):
     docs = spark.createDataFrame(
         [
