@@ -254,6 +254,7 @@ def minhash_band_table(
     n_hashes: int = 64,
     bands: int = 16,
     shingle: int = 3,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """→ distinct ``(band:int, bhash:long)`` of every non-empty document —
     the committed-corpus side of cross-run NEAR-dup (what ``payload_md5``
@@ -265,17 +266,24 @@ def minhash_band_table(
     Size: ≤ ``bands`` rows per doc before the distinct; boilerplate-heavy
     corpora collapse hard (duplicate docs share all their buckets).
     Persist it bucketed on ``bhash`` (``lineage.write_band_index``) and
-    later probes shuffle only the batch side."""
+    later probes shuffle only the batch side.
+
+    ``scope_col`` adds the dump/snapshot column to the table → distinct
+    ``(scope, band, bhash)`` rows; probe it with
+    ``incremental_neardup(scope_col=)`` for the per-dump cross-run
+    horizon."""
+    extra = (scope_col,) if scope_col else ()
     sigs = minhash_signatures(
         df.filter(F.col(text_col).isNotNull()),
         key_col=key_col,
         text_col=text_col,
         n_hashes=n_hashes,
         shingle=shingle,
+        passthrough_cols=extra,
     ).filter(F.col("sig")[0] != _SIG_EMPTY)
-    return _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes).select(
-        "band", "bhash"
-    ).distinct()
+    return _band_rows(
+        sigs, key_col, bands=bands, n_hashes=n_hashes, extra_cols=extra
+    ).select(*extra, "band", "bhash").distinct()
 
 
 def incremental_neardup(
@@ -286,6 +294,7 @@ def incremental_neardup(
     n_hashes: int = 64,
     bands: int = 16,
     shingle: int = 3,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Cross-run NEAR-duplicate exclusion: drop batch docs that share ANY
     LSH band bucket with a previously committed corpus — the fuzzy twin of
@@ -309,17 +318,27 @@ def incremental_neardup(
     (band, bhash); the committed side is a pre-distinct band table — read
     from a ``bhash``-bucketed index, the corpus side arrives pre-
     partitioned and only the (small) batch shuffles. No corpus rescan, no
-    all-pairs anything."""
+    all-pairs anything.
+
+    ``scope_col`` (present on BOTH the batch and the committed band table —
+    build the latter with ``minhash_band_table(scope_col=)``) probes on
+    ``(scope, band, bhash)``: a committed bucket excludes a batch doc only
+    in the same dump — the per-dump cross-run horizon."""
+    extra = (scope_col,) if scope_col else ()
     eligible = batch.filter(F.col(text_col).isNotNull())
     nulls = batch.filter(F.col(text_col).isNull())
     sigs = minhash_signatures(
-        eligible, key_col=key_col, text_col=text_col, n_hashes=n_hashes, shingle=shingle
+        eligible,
+        key_col=key_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle=shingle,
+        passthrough_cols=extra,
     ).filter(F.col("sig")[0] != _SIG_EMPTY)
+    join_keys = list(extra) + ["band", "bhash"]
     hit_keys = (
-        _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes)
-        .join(
-            committed_bands.select("band", "bhash"), ["band", "bhash"], "left_semi"
-        )
+        _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes, extra_cols=extra)
+        .join(committed_bands.select(*join_keys), join_keys, "left_semi")
         .select(key_col)
         .distinct()
     )

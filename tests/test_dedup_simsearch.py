@@ -225,6 +225,35 @@ def test_embed_neardup_scoped_both_paths(spark):
     assert {(r.key_a, r.key_b) for r in got_all.itertuples()} == {(1, 2), (1, 3), (2, 3), (4, 5)}
 
 
+def test_incremental_neardup_scoped_probes_same_dump_only(spark):
+    """minhash_band_table(scope_col=) + incremental_neardup(scope_col=):
+    a committed band bucket excludes a batch near-copy only in the SAME
+    dump; the identical near-copy in another dump is admitted."""
+    from longqc_spark.operators.dedup import incremental_neardup, minhash_band_table
+
+    rng_text = " ".join(f"w{j}" for j in range(60))
+    committed_docs = spark.createDataFrame(
+        [(100, 0, rng_text)], "doc_id long, dump int, text string"
+    )
+    bands_tbl = minhash_band_table(committed_docs, key_col="doc_id", scope_col="dump")
+    near = rng_text.replace("w5", "CHANGED", 1)
+    batch = spark.createDataFrame(
+        [
+            (1, 0, near),                          # near-copy, same dump → dropped
+            (2, 1, near),                          # near-copy, other dump → admitted
+            (3, 0, " ".join(f"x{j}" for j in range(60))),  # unrelated → admitted
+        ],
+        "doc_id long, dump int, text string",
+    )
+    got = incremental_neardup(batch, bands_tbl, key_col="doc_id", scope_col="dump")
+    assert sorted(r.doc_id for r in got.collect()) == [2, 3]
+    # unscoped contrast: the committed buckets kill both near-copies
+    got_global = incremental_neardup(
+        batch, minhash_band_table(committed_docs, key_col="doc_id"), key_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in got_global.collect()) == [3]
+
+
 def test_simhash_deterministic(spark):
     docs = _planted_docs(spark)
     a = simhash_signatures(docs).toPandas().set_index("doc_id").simhash
