@@ -327,8 +327,10 @@ def main(argv: list[str] | None = None) -> int:
         # the star guard changes WHICH candidate pairs the near-dup stage
         # sees, hence which survivors exist — identity, like the threshold
         "neardup_max_bucket": args.neardup_max_bucket,
-        # the scope bounds the dedup horizon, hence the survivor set
-        "dedup_scope": args.dedup_scope,
+        # the scope bounds the dedup horizon, hence the survivor set —
+        # CONDITIONALLY present like the round-4g keys above, so manifests
+        # written before the flag existed still resume a flagless run
+        **({"dedup_scope": args.dedup_scope} if args.dedup_scope else {}),
     }
     # validate the COMPLETE resume identity BEFORE the dedup stages: the
     # near-dup stage's connected components run eagerly (driver-side
@@ -398,27 +400,17 @@ def main(argv: list[str] | None = None) -> int:
             lang_default=_parse_lang_triple(args.lang_default),
         )
     if args.payload_dedup:
-        from .operators.dedup import keep_best_dedup, scoped_dedup
+        from .operators.dedup import keep_best_dedup
 
-        if args.dedup_scope is not None:
-            docs = scoped_dedup(
-                docs,
-                args.dedup_scope,
-                score_col=args.payload_score_col,
-                key_col=args.key_col,
-                text_col=args.text_col,
-                html_col=args.html_col,
-                normalize=args.payload_dedup_normalize,
-            )
-        else:
-            docs = keep_best_dedup(
-                docs,
-                args.payload_score_col,
-                key_col=args.key_col,
-                text_col=args.text_col,
-                html_col=args.html_col,
-                normalize=args.payload_dedup_normalize,
-            )
+        docs = keep_best_dedup(
+            docs,
+            args.payload_score_col,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            html_col=args.html_col,
+            normalize=args.payload_dedup_normalize,
+            scope_col=args.dedup_scope,
+        )
     if args.neardup_threshold is not None:
         from .operators.dedup import cluster_keep_best, minhash_jaccard_estimate
 

@@ -438,7 +438,7 @@ def curate(
     )
     src = _obs(src, "hygiene")
     if payload_dedup:
-        from .operators.dedup import keep_best_dedup, scoped_dedup
+        from .operators.dedup import keep_best_dedup
 
         if payload_dedup_normalize and html_col is not None:
             raise ValueError(
@@ -446,25 +446,15 @@ def curate(
                 "extraction-deferred html_col run extraction first or drop "
                 "the normalize flag"
             )
-        if dedup_scope_col is not None:
-            src = scoped_dedup(
-                src,
-                dedup_scope_col,
-                score_col=payload_score_col,
-                key_col=key_col,
-                text_col=text_col,
-                html_col=html_col,
-                normalize=payload_dedup_normalize,
-            )
-        else:
-            src = keep_best_dedup(
-                src,
-                payload_score_col,
-                key_col=key_col,
-                text_col=text_col,
-                html_col=html_col,
-                normalize=payload_dedup_normalize,
-            )
+        src = keep_best_dedup(
+            src,
+            payload_score_col,
+            key_col=key_col,
+            text_col=text_col,
+            html_col=html_col,
+            normalize=payload_dedup_normalize,
+            scope_col=dedup_scope_col,
+        )
         src = _obs(src, "payload_dedup")
     if neardup_threshold is not None:
         from .operators.dedup import cluster_keep_best, minhash_jaccard_estimate

@@ -572,6 +572,7 @@ def write_band_index(
     n_hashes: int = 64,
     bands: int = 16,
     shingle: int = 3,
+    scope_col: str | None = None,
 ) -> str:
     """Materialize the committed labels store's minhash BAND buckets as a
     ``bhash``-bucketed catalog table — the fuzzy twin of
@@ -591,6 +592,10 @@ def write_band_index(
     probes the bucketed table with zero corpus-side exchange on the
     ``bhash`` join key and pays only its own (small) shuffle.
 
+    ``scope_col`` (a column on the labels store, e.g. a dump id the input
+    carried) persists distinct (scope, band, bhash) rows instead, for
+    per-dump probes via ``incremental_neardup(scope_col=)``.
+
     Returns the table name (read back with ``spark.table(name)``)."""
     from .operators.dedup import minhash_band_table
 
@@ -604,6 +609,7 @@ def write_band_index(
             n_hashes=n_hashes,
             bands=bands,
             shingle=shingle,
+            scope_col=scope_col,
         )
         # bucketed on BOTH join keys: the probe's (band, bhash) semi-join
         # consumes the scan directly (ClusteredDistribution satisfied), so

@@ -209,6 +209,7 @@ def lsh_candidate_pairs(
     template flood that breaches ``max_bucket`` globally splits into
     per-dump buckets that may not.
     """
+    _check_scope_col(sigs, scope_col, "lsh_candidate_pairs")
     extra = (scope_col,) if scope_col else ()
     banded = _band_rows(sigs, key_col, bands=bands, n_hashes=n_hashes, extra_cols=extra)
     return _star_guarded_pairs(banded, extra + ("band", "bhash"), key_col, max_bucket)
@@ -272,6 +273,7 @@ def minhash_band_table(
     ``(scope, band, bhash)`` rows; probe it with
     ``incremental_neardup(scope_col=)`` for the per-dump cross-run
     horizon."""
+    _check_scope_col(df, scope_col, "minhash_band_table")
     extra = (scope_col,) if scope_col else ()
     sigs = minhash_signatures(
         df.filter(F.col(text_col).isNotNull()),
@@ -324,6 +326,8 @@ def incremental_neardup(
     build the latter with ``minhash_band_table(scope_col=)``) probes on
     ``(scope, band, bhash)``: a committed bucket excludes a batch doc only
     in the same dump — the per-dump cross-run horizon."""
+    _check_scope_col(batch, scope_col, "incremental_neardup (batch)")
+    _check_scope_col(committed_bands, scope_col, "incremental_neardup (committed_bands)")
     extra = (scope_col,) if scope_col else ()
     eligible = batch.filter(F.col(text_col).isNotNull())
     nulls = batch.filter(F.col(text_col).isNull())
@@ -366,6 +370,7 @@ def minhash_jaccard_estimate(
     # filter EVERY tiny doc is "near" every other tiny doc and a keep-one
     # policy would collapse them all to a single survivor — the same guard
     # minhash_band_table / incremental_neardup apply on the cross-run path
+    _check_scope_col(df, scope_col, "minhash_jaccard_estimate")
     sigs = (
         minhash_signatures(
             df,
@@ -542,6 +547,7 @@ def simhash_near_pairs(
     per-dump near-dup horizon, same contract as
     ``lsh_candidate_pairs(scope_col=)``; a flood bucket splits across
     scopes before the guard sees it."""
+    _check_scope_col(sims, scope_col, "simhash_near_pairs")
     width = 64 // n_chunks
     chunk_mask = (1 << width) - 1
     extra = (scope_col,) if scope_col else ()
@@ -929,6 +935,8 @@ def incremental_dedup(
 
     Returns the surviving rows of ``new_docs`` (original columns).
     """
+    _check_scope_col(new_docs, scope_col, "incremental_dedup (batch)")
+    _check_scope_col(committed, scope_col, "incremental_dedup (committed)")
     payload = F.col(html_col or text_col)
     nulls = new_docs.filter(payload.isNull())
     # materialize the digest ONCE: the window partitions on it AND the
@@ -987,6 +995,27 @@ def _check_score_col(df: DataFrame, score_col: str | None, op: str) -> None:
         )
 
 
+def _check_scope_col(df: DataFrame, scope_col: str | None, op: str) -> None:
+    """Actionable up-front error for a missing dedup-horizon column — the
+    same contract as ``_check_score_col`` (a typo'd ``--dedup-scope`` must
+    fail with the fix named, not a deep AnalysisException or a mid-job
+    pandas KeyError). Same case-sensitivity rules."""
+    if scope_col is None:
+        return
+    case_sensitive = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false").lower()
+        == "true"
+    )
+    cols = df.columns if case_sensitive else [c.lower() for c in df.columns]
+    probe = scope_col if case_sensitive else scope_col.lower()
+    if probe not in cols:
+        raise ValueError(
+            f"{op}: scope column {scope_col!r} not in the input "
+            f"(columns: {df.columns}) — pass the crawl dump / snapshot / "
+            "source column that bounds the dedup horizon"
+        )
+
+
 def keep_best_dedup(
     df: DataFrame,
     score_col: str | None,
@@ -994,6 +1023,7 @@ def keep_best_dedup(
     text_col: str = "text",
     html_col: str | None = None,
     normalize: bool = False,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Quality-aware exact dedup: keep the HIGHEST-``score_col`` doc per
     payload digest (tie → min ``key_col``), instead of the arbitrary-but-
@@ -1019,10 +1049,16 @@ def keep_best_dedup(
     score still keeps its min-key row. ``score_col=None`` degrades to the
     plain min-key winner (same plan, no score sort key) so callers can
     expose one dedup stage with an optional quality policy.
+
+    ``scope_col`` prepends a dump/snapshot column to the window key — the
+    per-dump dedup horizon (see ``scoped_dedup`` for the rationale); same
+    single exchange, now on (scope, digest), which also splits a
+    template-digest flood across scopes.
     """
     from .text import normalize_text_expr
 
     _check_score_col(df, score_col, "keep_best_dedup")
+    _check_scope_col(df, scope_col, "keep_best_dedup")
     if normalize and html_col is not None:
         raise ValueError(
             "normalize digests TEXT (lowercase/whitespace folding is "
@@ -1037,7 +1073,8 @@ def keep_best_dedup(
         else F.md5(payload.cast("binary"))
     )
     order = [F.col(score_col).desc_nulls_last(), key_col] if score_col else [key_col]
-    w = Window.partitionBy("_digest").orderBy(*order)
+    wkeys = ([scope_col] if scope_col else []) + ["_digest"]
+    w = Window.partitionBy(*wkeys).orderBy(*order)
     kept = (
         df.filter(payload.isNotNull())
         .withColumn("_digest", digest)
@@ -1069,43 +1106,19 @@ def scoped_dedup(
     duplicate handling of the chunked scan (``longQC.py:376-389`` processes
     each chunk's reads independently before the cross-chunk merge).
 
-    Plan shape: identical to ``keep_best_dedup`` with the scope prepended to
-    the window key — ONE hash exchange on (scope, digest); ``row_number`` +
-    ``_rn = 1`` derives a WindowGroupLimit so each input partition forwards
-    one candidate per (scope, digest). Adding the scope to the key also
-    SHRINKS skew: a corpus-wide template digest that floods one reducer
-    under global dedup splits across scopes here. Winner per group is the
-    highest-``score_col`` row (tie → min key), or min key when
-    ``score_col=None``; NULL payloads pass through untouched (not
-    duplicates of anything); ``normalize=True`` digests whitespace/case/
-    punct-normalized text (same contract as ``keep_best_dedup``).
-    """
-    from .text import normalize_text_expr
-
-    _check_score_col(df, score_col, "scoped_dedup")
-    if normalize and html_col is not None:
-        raise ValueError(
-            "normalize digests TEXT (lowercase/whitespace folding is "
-            "meaningless on raw html bytes); run extraction first or drop "
-            "the normalize flag"
-        )
-    payload = F.col(html_col or text_col)
-    nulls = df.filter(payload.isNull())
-    digest = (
-        F.md5(normalize_text_expr(text_col).cast("binary"))
-        if normalize
-        else F.md5(payload.cast("binary"))
+    A named front door for ``keep_best_dedup(scope_col=...)`` — ONE
+    implementation (window on (scope, digest), WindowGroupLimit pre-shuffle
+    cut, NULL passthrough, optional score policy and normalized digest);
+    see it for the full contract."""
+    return keep_best_dedup(
+        df,
+        score_col,
+        key_col=key_col,
+        text_col=text_col,
+        html_col=html_col,
+        normalize=normalize,
+        scope_col=scope_col,
     )
-    order = [F.col(score_col).desc_nulls_last(), key_col] if score_col else [key_col]
-    w = Window.partitionBy(scope_col, "_digest").orderBy(*order)
-    kept = (
-        df.filter(payload.isNotNull())
-        .withColumn("_digest", digest)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_digest")
-    )
-    return kept.unionByName(nulls)
 
 
 def dup_cluster_sizes(

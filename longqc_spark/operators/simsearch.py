@@ -256,6 +256,12 @@ def embed_neardup(
     bucketed path it folds INTO the bucket id, so an embedding flood splits
     across scopes before the guard sees it.
     """
+    if scope_col is not None and scope_col not in emb.columns:
+        raise ValueError(
+            f"embed_neardup: scope column {scope_col!r} not in the input "
+            f"(columns: {emb.columns}) — pass the crawl dump / snapshot / "
+            "source column that bounds the dedup horizon"
+        )
     a_cols = [F.col(id_col).alias("key_a"), F.col(vec_col).alias("va")]
     b_cols = [F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb")]
     if scope_col:
@@ -277,9 +283,17 @@ def embed_neardup(
             vec_col=vec_col,
             passthrough_cols=(scope_col,) if scope_col else (),
         )
+        # NULL scope must propagate to a NULL bucket (concat_ws SKIPS nulls,
+        # which would silently pool all NULL-scope rows into scope-less
+        # buckets): a NULL bucket never equi-joins, matching the exact
+        # path's NULL-equality semantics and the MinHash/SimHash scoped
+        # joins (NULL-scope rows pair with nothing)
         bucket_expr = (
-            F.concat_ws(
-                "#", F.col(scope_col).cast("string"), F.col("bucket").cast("string")
+            F.when(
+                F.col(scope_col).isNotNull(),
+                F.concat_ws(
+                    "#", F.col(scope_col).cast("string"), F.col("bucket").cast("string")
+                ),
             )
             if scope_col
             else F.col("bucket")

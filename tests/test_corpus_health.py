@@ -110,6 +110,19 @@ def test_scoped_dedup_window_has_pre_shuffle_group_limit(dumped_docs):
     assert plan.count("hashpartitioning(dump") == 1
 
 
+def test_scope_col_typo_raises_actionable_error(dumped_docs):
+    """A typo'd scope column must fail up front with the fix named (the
+    _check_score_col contract extended to the horizon knob)."""
+    with pytest.raises(ValueError, match="scope column 'dmup'"):
+        scoped_dedup(dumped_docs, "dmup", key_col="doc_id", text_col="text")
+    from longqc_spark.operators.dedup import minhash_jaccard_estimate
+
+    with pytest.raises(ValueError, match="scope column 'dmup'"):
+        minhash_jaccard_estimate(
+            dumped_docs, key_col="doc_id", threshold=0.5, scope_col="dmup"
+        )
+
+
 def test_incremental_dedup_scoped_excludes_same_dump_only(spark):
     """incremental_dedup(scope_col=): a committed digest excludes a batch
     doc only in the SAME dump; the within-batch window also keys on
