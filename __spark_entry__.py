@@ -1963,6 +1963,33 @@ def q_quality_budget_mix(spark: SparkSession, sf: str) -> DataFrame:  # ranked s
     )
 
 
+_TEMP_MIX_SOURCES = tuple(f"src{i}" for i in range(8))
+
+
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:  # mT5 sampling
+    """Temperature-smoothed mixture (mT5/XLM-R sampling rule): per-source
+    quotas ∝ (char mass)^0.5 over 8 sources, micro-quantized largest
+    remainder, md5-priority winners. alpha=0.5 flattens the volume
+    distribution so big sources stop drowning small ones; the oracle
+    replays the identical integer-seat arithmetic in SQL."""
+    from longqc_spark.operators.text import mix_sources_temperature
+
+    docs = _read(spark, sf, "documents")
+    mixed = mix_sources_temperature(
+        docs, sources=list(_TEMP_MIX_SOURCES), n_total=120, alpha=0.5,
+        mass_col="n_chars",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:  # eval integrity
     """Cross-split contamination audit: normalized-digest texts straddling
     >1 dataset split (train/val/test from the md5-percent rule). The split
@@ -3806,10 +3833,11 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   host_hhi tpch_q2like tpch_q4like tpch_q6like tpch_q8like tpch_q9like
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
-#   per_dump_incremental
-# (40 names, recomputed against CORRECTNESS_r01-03 + this window) topped up
-# to exactly 50 with 10 driver-green anchors — that makes every registry
-# entry driver-verified at least once by end of round 5.
+#   per_dump_incremental temperature_mix
+# (41 names + any further round-4 additions, recomputed against
+# CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
+# driver-green anchors — that makes every registry entry driver-verified
+# at least once by end of round 5.
 
 
 def q_charset_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: encoding sniff
@@ -4594,6 +4622,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best_dedup": q_keep_best_dedup,
         "token_budget_mix": q_token_budget_mix,
         "quality_budget_mix": q_quality_budget_mix,
+        "temperature_mix": q_temperature_mix,
         "split_leakage": q_split_leakage,
         "domain_quality": q_domain_quality,
         "dup_inflation": q_dup_inflation,
@@ -6648,6 +6677,47 @@ def oracle_sql() -> dict[str, str]:
                                            WHEN 'src1' THEN 2000
                                            ELSE 800 END
             GROUP BY source ORDER BY source
+        """,
+        # temperature_mix replays temperature_quotas (text.py) in SQL:
+        # micro-quantized seats (floor(share·1e6+0.5) — integer floors and
+        # remainders) make the apportionment bit-exact across engines; the
+        # uncapped regime (quota ~15 < 25 docs/source at every sf) keeps the
+        # cap-redistribution loop out of the oracle by construction.
+        "temperature_mix": f"""
+            WITH st AS (
+                SELECT source, CAST(sum(n_chars) AS DOUBLE) AS m
+                FROM documents
+                WHERE source IN {_TEMP_MIX_SOURCES!r}
+                GROUP BY source
+            ), tot AS (
+                SELECT sum(sqrt(m)) AS t FROM st
+            ), rawu AS (
+                SELECT source,
+                       CAST(floor(120 * sqrt(m) / t * 1000000 + 0.5) AS BIGINT) AS u
+                FROM st CROSS JOIN tot
+            ), fl AS (
+                SELECT source, u // 1000000 AS fq, u % 1000000 AS rem FROM rawu
+            ), rk AS (
+                SELECT source, fq,
+                       row_number() OVER (ORDER BY rem DESC, source) AS rr
+                FROM fl
+            ), quota AS (
+                SELECT source,
+                       fq + CASE WHEN rr <= 120 - (SELECT sum(fq) FROM fl)
+                                 THEN 1 ELSE 0 END AS q
+                FROM rk
+            ), ranked AS (
+                SELECT source, n_chars, doc_id,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id || '#23'), doc_id) AS rn
+                FROM documents WHERE source IN {_TEMP_MIX_SOURCES!r}
+            )
+            SELECT r.source, count(*) AS n_docs,
+                   CAST(sum(r.n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(r.doc_id) AS BIGINT) AS sum_ids
+            FROM ranked r JOIN quota q USING (source)
+            WHERE r.rn <= q.q
+            GROUP BY r.source ORDER BY r.source
         """,
         "split_leakage": f"""
             WITH corpus AS ({_RECRAWL_SQL}), d AS (

@@ -322,8 +322,6 @@ def mix_sources(
     nothing; a quota larger than a source's row count yields the whole
     source (capped, like any sampler).
     """
-    from pyspark.sql import Window
-
     # largest-remainder apportionment: floors first, then the leftover seats
     # go to the largest fractional remainders (name tie-break) — quotas sum
     # EXACTLY to n_total (round() would under/over-shoot on .5 ties: 0.5/0.5
@@ -334,6 +332,21 @@ def mix_sources(
     leftover = n_total - sum(quotas.values())
     for s in sorted(raw, key=lambda s: (-(raw[s] - quotas[s]), s))[:leftover]:
         quotas[s] += 1
+    return _select_source_quota(df, quotas, source_col, key_col, seed)
+
+
+def _select_source_quota(
+    df: DataFrame,
+    quotas: dict[str, int],
+    source_col: str,
+    key_col: str,
+    seed: int,
+) -> DataFrame:
+    """Per-source md5-priority top-quota selection — the shared engine of
+    ``mix_sources`` / ``mix_sources_temperature``. One hash-partition
+    shuffle; the literal max-quota rank bound unlocks WindowGroupLimit."""
+    from pyspark.sql import Window
+
     quota_col = F.element_at(
         F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv]),
         F.col(source_col),
@@ -355,6 +368,100 @@ def mix_sources(
         .filter((F.col("_rn") <= F.lit(max_q)) & (F.col("_rn") <= quota_col))
         .drop("_prio", "_rn")
     )
+
+
+def temperature_quotas(
+    mass: dict[str, float],
+    caps: dict[str, int],
+    n_total: int,
+    alpha: float = 0.5,
+) -> dict[str, int]:
+    """Temperature-smoothed seat apportionment: quota_s ∝ mass_s^alpha
+    (mT5/XLM-R multilingual sampling — alpha<1 flattens the source
+    distribution so head sources stop drowning tail sources), capped at
+    each source's row count with the surplus re-apportioned among the
+    uncapped sources until no cap binds (≤ |sources| rounds).
+
+    Seats are assigned by largest remainder over MICRO-QUANTIZED shares
+    (``floor(share·1e6 + 0.5)`` — integer floors and remainders), so the
+    apportionment is bit-exact across engines: a DuckDB oracle computing
+    the same formula lands on the same quotas, with no dependence on
+    float-summation order or libm pow rounding at the seat boundary.
+    Pure driver-side arithmetic over |sources| entries.
+    """
+    quotas: dict[str, int] = {}
+    remaining = {s for s in mass if caps.get(s, 0) > 0 and mass[s] > 0}
+    n_left = n_total
+    while remaining and n_left > 0:
+        tot = sum(mass[s] ** alpha for s in sorted(remaining))
+        rawu = {
+            s: int(n_left * (mass[s] ** alpha) / tot * 1_000_000 + 0.5)
+            for s in remaining
+        }
+        q = {s: rawu[s] // 1_000_000 for s in remaining}
+        leftover = n_left - sum(q.values())
+        for s in sorted(
+            remaining, key=lambda s: (-(rawu[s] % 1_000_000), s)
+        )[: max(leftover, 0)]:
+            q[s] += 1
+        over = {s for s in remaining if q[s] > caps[s]}
+        if not over:
+            quotas.update(q)
+            return quotas
+        for s in over:
+            quotas[s] = caps[s]
+            n_left -= caps[s]
+        remaining -= over
+    return quotas
+
+
+def mix_sources_temperature(
+    df: DataFrame,
+    sources: list[str],
+    n_total: int,
+    alpha: float = 0.5,
+    mass_col: str | None = None,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Temperature-smoothed training-mixture construction: per-source
+    quotas ∝ (source mass)^alpha instead of hand-set weights — the
+    mT5-style sampling rule for corpora whose source sizes span orders of
+    magnitude (alpha=1 reproduces proportional sampling; alpha→0
+    approaches uniform). ``mass_col=None`` weighs sources by doc count;
+    a column name (e.g. ``n_chars``) weighs by volume, the unit real
+    mixtures are specified in.
+
+    Two stages: (1) one partial-agg shuffle collects |sources| (count,
+    mass) rows to the driver — driver-bounded like the IVF centroid
+    sample and the shard range table; (2) ``temperature_quotas``
+    (micro-quantized largest remainder, cap-and-redistribute) sizes the
+    per-source quotas, and the shared md5-priority window selects the
+    winners in one more hash-partition shuffle. Deterministic under
+    re-runs and repartitioning; composes with split/shard downstream.
+
+    Reference analog: the reference sizes its subsample per input batch
+    from observed batch stats before plotting (``lq_nanopore.py:294``);
+    here the observed per-source mass sizes the training mixture.
+    """
+    mass_expr = (
+        F.count(F.lit(1)).cast("double")
+        if mass_col is None
+        else F.sum(F.col(mass_col).cast("double"))
+    )
+    stats = (
+        df.filter(F.col(source_col).isin(list(sources)))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"), mass_expr.alias("_m"))
+        .collect()
+    )
+    caps = {r[source_col]: int(r["_n"]) for r in stats}
+    mass = {r[source_col]: float(r["_m"]) for r in stats}
+    quotas = temperature_quotas(mass, caps, n_total, alpha)
+    if not quotas:
+        return df.filter(F.lit(False))
+    return _select_source_quota(df, quotas, source_col, key_col, seed)
 
 
 def mix_sources_token_budget(

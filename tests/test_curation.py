@@ -159,6 +159,71 @@ def test_mix_sources_quotas_and_stability(spark, docs):
     assert len(tiny) == len(docs.filter("source = 'src0'").toPandas())
 
 
+def test_temperature_quotas_arithmetic():
+    from longqc_spark.operators.text import temperature_quotas
+
+    # alpha=1 → proportional (largest remainder): 100 seats over 80/15/5
+    q = temperature_quotas(
+        {"a": 80.0, "b": 15.0, "c": 5.0}, {"a": 99, "b": 99, "c": 99}, 100, 1.0
+    )
+    assert q == {"a": 80, "b": 15, "c": 5}
+    # alpha→0 → uniform (every mass^0 = 1)
+    q0 = temperature_quotas(
+        {"a": 80.0, "b": 15.0, "c": 5.0}, {"a": 99, "b": 99, "c": 99}, 99, 0.0
+    )
+    assert q0 == {"a": 33, "b": 33, "c": 33}
+    # alpha=0.5 sits strictly between: the head source loses seats to tails
+    qh = temperature_quotas(
+        {"a": 80.0, "b": 15.0, "c": 5.0}, {"a": 99, "b": 99, "c": 99}, 100, 0.5
+    )
+    assert sum(qh.values()) == 100 and 5 < qh["c"] < 33 and qh["a"] < 80
+    # a binding cap redistributes the surplus among uncapped sources, and
+    # quotas never exceed caps
+    qc = temperature_quotas(
+        {"a": 80.0, "b": 15.0, "c": 5.0}, {"a": 10, "b": 99, "c": 99}, 100, 1.0
+    )
+    assert qc["a"] == 10 and sum(qc.values()) == 100
+    # 15:5 split of the 90 surplus seats = 67.5:22.5 → remainder tie goes
+    # to the lexicographically-first name
+    assert qc["b"] == 68 and qc["c"] == 22
+    # zero-mass / zero-cap sources get nothing; infeasible totals cap out
+    qz = temperature_quotas({"a": 0.0, "b": 8.0}, {"a": 5, "b": 3}, 10, 0.5)
+    assert qz == {"b": 3}
+
+
+def test_mix_sources_temperature(spark, docs):
+    from longqc_spark.operators.text import (
+        mix_sources_temperature,
+        temperature_quotas,
+    )
+
+    srcs = ["src0", "src1", "src2", "src3"]
+    out = mix_sources_temperature(
+        docs, sources=srcs, n_total=60, alpha=0.5, mass_col="n_chars"
+    ).toPandas()
+    # quotas match the driver-side arithmetic replayed on the same stats
+    stats = (
+        docs.filter(F.col("source").isin(srcs))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("m"))
+        .collect()
+    )
+    expect = temperature_quotas(
+        {r["source"]: float(r["m"]) for r in stats},
+        {r["source"]: int(r["n"]) for r in stats},
+        60,
+        0.5,
+    )
+    got = out.source.value_counts().to_dict()
+    assert got == expect and sum(got.values()) == 60
+    # repartition-stable (md5-priority winners, not partition order)
+    again = mix_sources_temperature(
+        docs.repartition(13), sources=srcs, n_total=60, alpha=0.5,
+        mass_col="n_chars",
+    ).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
 def test_curate_web_hygiene_stage0(spark, docs):
     """Stage 0 (snapshot collapse → domain cap → global line dedup) gates
     and composes: aliases collapse to the newest fetch, mega-domains are
