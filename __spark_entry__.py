@@ -3833,7 +3833,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   host_hhi tpch_q2like tpch_q4like tpch_q6like tpch_q8like tpch_q9like
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
-#   per_dump_incremental temperature_mix
+#   per_dump_incremental temperature_mix unigram_learn
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -4073,6 +4073,24 @@ def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer trainin
     docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
     merges = learn_bpe(docs, text_col="text", n_merges=20)
     return merges_table(spark, merges).orderBy("rank")
+
+
+def q_unigram_learn(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer training, rows-only
+    """SentencePiece-style unigram-LM tokenizer TRAINING
+    (operators.unigram.train_unigram): EM over the segmentation lattice of
+    the unique-word table, integer micro-quantized E-step (order-free
+    shuffle sums → bit-reproducible), prune to 120 pieces. DELIBERATELY
+    EAGER like q_bpe_learn: the EM/prune recurrence is a sequence of
+    actions. Rows-only by design (iterative, no SQL oracle); pinned by
+    EXACT equality against a serial reference trainer in
+    tests/test_unigram.py plus the golden hash."""
+    from longqc_spark.operators.unigram import train_unigram, vocab_table
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    vocab = train_unigram(
+        docs, vocab_size=120, seed_size=400, max_piece_len=6
+    )
+    return vocab_table(spark, vocab).orderBy("rank")
 
 
 def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang segmentation, rows-only
@@ -4672,6 +4690,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "video_neardup": q_video_neardup,
         "bpe_learn": q_bpe_learn,
+        "unigram_learn": q_unigram_learn,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,

@@ -276,6 +276,10 @@ _GOLDEN_SF001 = {
     # round-4j: distributed BPE training — 20 merges; ALSO pinned by exact
     # equality vs the pure-python Sennrich reference (test_bpe.py)
     "bpe_learn": (20, "b1bcf9f54da3ce23"),
+    # unigram-LM tokenizer training — 67 surviving pieces at sf0.001 (the
+    # tiny corpus vocabulary saturates under the 120 target); ALSO pinned
+    # by exact equality vs the serial reference trainer (test_unigram.py)
+    "unigram_learn": (67, "90cbcc8ecea802c4"),
     # round-4j: per-paragraph language segmentation — 64 docs x 4 page
     # classes, every class labels exactly as constructed
     "segment_langs": (144, "62c0a9a811209875"),
