@@ -1,0 +1,198 @@
+"""Interpolated Kneser-Ney bigram LM — distributed estimation + scoring,
+fully in-plan and SQL-replayable (the "KenLM-style" estimator behind
+perplexity quality scoring, complementing the hashed stupid-backoff model
+in ``models.HashedNgramLM`` with the real smoothing arithmetic).
+
+Every KN quantity is an integer aggregate of the bigram table:
+
+* c(w1,w2)            — bigram count
+* c(w1·), N1+(w1·)    — left-context total + distinct continuations
+* N1+(·w2)            — distinct left contexts (the continuation count)
+* N, V2               — distinct bigram types, distinct continuation types
+* n1, n2              — bigram count-of-counts (→ discount D = n1/(n1+2n2))
+
+so the model is deterministic and a DuckDB oracle replays it exactly; the
+only floats are the final ``log()`` calls, micro-quantized to int64
+(``floor(x·1e6 + 0.5)``) like ``temperature_quotas`` / the unigram
+trainer, which keeps every downstream aggregate integer-exact.
+
+Smoothing (interpolated KN, one discount; Chen & Goodman 1999):
+
+  P(w2|w1) = (c(w1,w2) - D)/c(w1·) + D·N1+(w1·)/c(w1·) · Pc(w2)
+
+with the continuation distribution add-one smoothed over the observed
+continuation types plus one UNK slot, so unseen and unknown words score
+deterministically:
+
+  Pc(w2) = (N1+(·w2) + 1) / (N + V2 + 1)     UNK: 1/(N + V2 + 1)
+
+  unseen pair, known w1 :  P = D·N1+(w1·)/c(w1·) · Pc(w2)
+  unknown w1            :  P = Pc(w2)
+
+(D falls back to 0.5 on a degenerate corpus with no singleton/doubleton
+bigrams — n1 + 2·n2 = 0 — where the Good-Turing estimate is undefined.)
+
+Scale posture: tokenize+bigram-explode is pure JVM (split + transform —
+zero Python); ONE exchange hash-partitions by w1 and is reused by the
+(w1,w2) groupBy (HashPartitioning(w1) satisfies the clustered
+distribution) AND the per-w1 window aggregates; the continuation side is
+one more vocab-sized exchange keyed w2; the count-of-counts/normalizer
+aggregates are 1-row broadcast scalars. Scoring joins the probe corpus's
+bigrams against the vocab-sized model tables (shuffle joins on
+(w1,w2)/w1/w2 — AQE broadcasts them when the vocab fits).
+
+Reference analog: the reference's per-base QV model is a fixed table the
+scan scores against (``lqutils.c:26-58``); here the table is estimated
+from the corpus itself with the standard LM smoothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MICRO = 1_000_000
+BOS, EOS = "<s>", "</s>"
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Corpus → one row per in-doc bigram (w1, w2), with ``<s>``/``</s>``
+    sentence boundaries per document (KenLM's convention — every token
+    incl. ``</s>`` is scored, conditioned on a real left context). Pure
+    JVM: split + transform/explode, no Python. NULL texts contribute
+    nothing; an empty text is the single bigram (<s>, </s>)."""
+    toks = F.concat(
+        F.array(F.lit(BOS)),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda s: s != F.lit("")
+        ),
+        F.array(F.lit(EOS)),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*keep_cols, toks.alias("_toks"))
+        .select(
+            *keep_cols,
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, size(_toks) - 1), "
+                    "(t, i) -> struct(t AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(*keep_cols, "b.w1", "b.w2")
+    )
+
+
+def _qz(col):
+    """Micro-quantize a double column to int64: floor(x·1e6 + 0.5) — the
+    cross-engine determinism contract (same formula in the DuckDB oracle
+    and the serial reference)."""
+    return F.floor(col * MICRO + F.lit(0.5)).cast("long")
+
+
+def kn_bigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Estimate the interpolated-KN bigram model. Returns four plans:
+
+    * ``pair``  : (w1, w2, logp_micro) — seen-bigram log-probs
+    * ``ctx``   : (w1, lambda_micro)   — log backoff mass
+      λ(w1) = D·N1+(w1·)/c(w1·) for unseen continuations of a known w1
+    * ``cont``  : (w2, logpc_micro)    — smoothed continuation log Pc(w2)
+    * ``consts``: 1 row (unk_logpc_micro) — the UNK slot of Pc
+
+    (an unknown w1 scores as Pc(w2) alone; an unknown w2 uses the UNK
+    slot.) All model tables are vocab-bounded, not corpus-bounded."""
+    big = doc_bigrams(df, text_col).repartition(F.col("w1"))
+    # HashPartitioning(w1) satisfies the (w1,w2) clustering ⇒ the groupBy
+    # and the per-w1 window both reuse this single exchange
+    pair_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("w1")
+    ctx_stats = pair_c.withColumn("c1", F.sum("c").over(w)).withColumn(
+        "n1plus", F.count(F.lit(1)).over(w)
+    )
+    # count-of-counts → discount; type totals → continuation normalizer
+    # (one global aggregate, broadcast as a 1-row scalar side)
+    disc = pair_c.agg(
+        F.count_if(F.col("c") == 1).cast("double").alias("n1"),
+        F.count_if(F.col("c") == 2).cast("double").alias("n2"),
+        F.count(F.lit(1)).cast("double").alias("n_types"),
+        F.countDistinct("w2").cast("double").alias("v2"),
+    ).withColumn(
+        "d",
+        F.when(
+            F.col("n1") + 2.0 * F.col("n2") > 0.0,
+            F.col("n1") / (F.col("n1") + 2.0 * F.col("n2")),
+        ).otherwise(F.lit(0.5)),
+    )
+    znorm = F.col("n_types") + F.col("v2") + 1.0
+    cont_c = pair_c.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n_left")
+    )
+    cont = cont_c.crossJoin(F.broadcast(disc)).select(
+        "w2", _qz(F.log((F.col("n_left") + 1.0) / znorm)).alias("logpc_micro")
+    )
+    consts = disc.select(_qz(F.log(1.0 / znorm)).alias("unk_logpc_micro"))
+    joined = ctx_stats.crossJoin(F.broadcast(disc)).join(
+        cont_c.withColumnRenamed("n_left", "_nl"), "w2"
+    )
+    pc = (F.col("_nl") + 1.0) / znorm
+    lam = F.col("d") * F.col("n1plus") / F.col("c1")
+    pair = joined.select(
+        "w1",
+        "w2",
+        _qz(F.log((F.col("c") - F.col("d")) / F.col("c1") + lam * pc)).alias(
+            "logp_micro"
+        ),
+    )
+    ctx = (
+        ctx_stats.groupBy("w1")
+        .agg(F.first("c1").alias("c1"), F.first("n1plus").alias("n1plus"))
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "w1",
+            _qz(F.log(F.col("d") * F.col("n1plus") / F.col("c1"))).alias(
+                "lambda_micro"
+            ),
+        )
+    )
+    return pair, ctx, cont, consts
+
+
+def kn_score(
+    probe: DataFrame,
+    pair: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    consts: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Score a probe corpus against a trained KN bigram model: per doc,
+    the integer sum of per-token micro log-probs + the token/backoff
+    split — Σ of int64 is exact, so per-doc and corpus-level rollups stay
+    bit-stable. Three left joins (pair, then w1 backoff, then w2
+    continuation), each against a vocab-bounded table; the UNK constant
+    rides a broadcast 1-row cross join."""
+    grams = doc_bigrams(probe, text_col, keep_cols)
+    pc_eff = F.coalesce(F.col("logpc_micro"), F.col("unk_logpc_micro"))
+    scored = (
+        grams.join(pair, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_lp",
+            F.coalesce(
+                F.col("logp_micro"), F.col("lambda_micro") + pc_eff, pc_eff
+            ),
+        )
+        .withColumn("_backoff", F.col("logp_micro").isNull())
+    )
+    return scored.groupBy(*keep_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("_lp").cast("bigint").alias("sum_logp_micro"),
+        F.count_if(F.col("_backoff")).cast("bigint").alias("n_backoff"),
+    )

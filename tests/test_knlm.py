@@ -1,0 +1,166 @@
+"""Interpolated Kneser-Ney bigram LM (operators.knlm) vs a serial
+pure-python reference — EXACT micro-logprob equality on every model row
+and every scored document (integer quantization makes the distributed
+estimation order-free) — plus the normalization property (probabilities
+over the full continuation space sum to 1), backoff semantics, and
+repartition stability.
+"""
+
+import collections
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from longqc_spark.operators.knlm import (
+    BOS,
+    EOS,
+    MICRO,
+    doc_bigrams,
+    kn_bigram_lm,
+    kn_score,
+)
+
+
+def _toks(text):
+    return [BOS] + [w for w in text.lower().split() if w] + [EOS]
+
+
+def _qz(x):
+    return math.floor(x * MICRO + 0.5)
+
+
+def _serial_kn(texts):
+    """Serial reference: same formulas, dict arithmetic."""
+    c = collections.Counter()
+    for t in texts:
+        if t is None:
+            continue
+        ts = _toks(t)
+        for a, b in zip(ts, ts[1:]):
+            c[(a, b)] += 1
+    c1 = collections.Counter()
+    n1plus = collections.Counter()
+    n_left = collections.Counter()
+    for (a, b), k in c.items():
+        c1[a] += k
+        n1plus[a] += 1
+        n_left[b] += 1
+    n1 = sum(1 for k in c.values() if k == 1)
+    n2 = sum(1 for k in c.values() if k == 2)
+    d = n1 / (n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.5
+    z = len(c) + len(n_left) + 1.0
+    pair = {
+        (a, b): _qz(
+            math.log(
+                (k - d) / c1[a]
+                + d * n1plus[a] / c1[a] * (n_left[b] + 1.0) / z
+            )
+        )
+        for (a, b), k in c.items()
+    }
+    lam = {a: _qz(math.log(d * n1plus[a] / c1[a])) for a in c1}
+    cont = {b: _qz(math.log((n_left[b] + 1.0) / z)) for b in n_left}
+    unk = _qz(math.log(1.0 / z))
+    return pair, lam, cont, unk
+
+
+def _serial_score(texts_with_id, pair, lam, cont, unk):
+    out = {}
+    for doc_id, t in texts_with_id:
+        if t is None:
+            continue
+        ts = _toks(t)
+        n = s = nb = 0
+        for a, b in zip(ts, ts[1:]):
+            n += 1
+            lp = pair.get((a, b))
+            if lp is None:
+                nb += 1
+                pc = cont.get(b, unk)
+                lp = lam[a] + pc if a in lam else pc
+            s += lp
+        out[doc_id] = (n, s, nb)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001):
+    return spark.read.parquet(f"{sf001}/documents.parquet")
+
+
+def test_kn_matches_serial_reference(spark, docs):
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    texts = [r["text"] for r in train.select("text").collect()]
+    rp, rl, rc, ru = _serial_kn(texts)
+    pair, ctx, cont, consts = kn_bigram_lm(train)
+    got_pair = {(r["w1"], r["w2"]): r["logp_micro"] for r in pair.collect()}
+    got_lam = {r["w1"]: r["lambda_micro"] for r in ctx.collect()}
+    got_cont = {r["w2"]: r["logpc_micro"] for r in cont.collect()}
+    assert got_pair == rp
+    assert got_lam == rl
+    assert got_cont == rc
+    assert consts.collect()[0]["unk_logpc_micro"] == ru
+    # scoring: every doc (incl. odd = held-out, exercising all 3 backoff
+    # tiers) matches the serial scorer exactly
+    scored = {
+        r["doc_id"]: (r["n_tokens"], r["sum_logp_micro"], r["n_backoff"])
+        for r in kn_score(docs, pair, ctx, cont, consts).collect()
+    }
+    ref = _serial_score(
+        [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()],
+        rp, rl, rc, ru,
+    )
+    assert scored == ref
+    assert sum(v[2] for v in scored.values()) > 0  # backoff exercised
+    # repartition-stable
+    pair2, ctx2, cont2, consts2 = kn_bigram_lm(train.repartition(7))
+    assert {
+        (r["w1"], r["w2"]): r["logp_micro"] for r in pair2.collect()
+    } == rp
+
+
+def test_kn_probabilities_normalize():
+    texts = ["the cat sat on the mat", "the cat ran", "a dog ran fast ran"]
+    pair, lam, cont, unk = _serial_kn(texts)
+    # for every context w1: Σ_seen P + λ(w1)·(Σ_unseen Pc + Pc_unk) == 1
+    by_w1 = collections.defaultdict(dict)
+    for (a, b), m in pair.items():
+        by_w1[a][b] = m
+    for a, seen in by_w1.items():
+        tot = sum(math.exp(m / MICRO) for m in seen.values())
+        rest = sum(
+            math.exp(m / MICRO) for b, m in cont.items() if b not in seen
+        ) + math.exp(unk / MICRO)
+        tot += math.exp(lam[a] / MICRO) * rest
+        assert abs(tot - 1.0) < 1e-4, a
+
+
+def test_doc_bigrams_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["w1"], r["w2"])
+        for r in doc_bigrams(df, keep_cols=("doc_id",)).collect()
+    )
+    # doubled whitespace collapses; empty text → single (<s>, </s>);
+    # NULL contributes nothing
+    assert rows == [
+        (1, BOS, "a"),
+        (1, "a", "b"),
+        (1, "b", EOS),
+        (2, BOS, EOS),
+    ]
+
+
+def test_kn_discount_degenerate_corpus(spark):
+    # every bigram count ≥ 3 → n1 + 2·n2 = 0 → D pins at 0.5 (no NaN)
+    df = spark.createDataFrame(
+        [(i, "x y") for i in range(5)], "doc_id long, text string"
+    )
+    pair, ctx, cont, consts = kn_bigram_lm(df)
+    got = {(r["w1"], r["w2"]): r["logp_micro"] for r in pair.collect()}
+    rp, _, _, _ = _serial_kn(["x y"] * 5)
+    assert got == rp
+    assert all(isinstance(v, int) for v in got.values())

@@ -833,3 +833,27 @@ def test_tpch_q20like_semi_collapses_in_subquery(spark, sf001):
     plan = _plan(entry.queries()["tpch_q20like"](spark, sf001))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kn_bigram_w1_exchange_reused(spark, sf001):
+    """The KN estimator's w1 side pays ONE corpus-sized exchange: the
+    explicit repartition(w1) satisfies BOTH the (w1,w2) groupBy's
+    clustering (w1 ⊆ {w1,w2}) and the per-w1 window — neither may add
+    another shuffle. No cartesian anywhere in the model plans."""
+    from pyspark.sql import Window
+
+    from longqc_spark.operators.knlm import doc_bigrams, kn_bigram_lm
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    big = doc_bigrams(docs).repartition(F.col("w1"))
+    w1_side = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("c1", F.sum("c").over(Window.partitionBy("w1")))
+    )
+    plan = _plan(w1_side)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(w1" in plan
+    pair, ctx, cont, consts = kn_bigram_lm(docs)
+    for df in (pair, ctx, cont, consts):
+        assert "CartesianProduct" not in _plan(df)
