@@ -3834,6 +3834,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
+#   nb_classifier
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -4073,6 +4074,105 @@ def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer trainin
     docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
     merges = learn_bpe(docs, text_col="text", n_merges=20)
     return merges_table(spark, merges).orderBy("rank")
+
+
+def q_nb_classifier(spark: SparkSession, sf: str) -> DataFrame:  # in-plan Naive Bayes
+    """Multinomial Naive Bayes (operators.nbayes) trained ENTIRELY in-plan
+    — the fastText-classifier pattern with token counts as the sufficient
+    statistics, so the fit is one groupBy(token) shuffle over the FULL
+    corpus (no pyspark.ml, no sample cap). Trains on the even-doc_id half
+    (label: lang='en' — the synthetic corpus shares vocabulary across
+    langs, so the demo grades the mechanics bit-exactly, not accuracy;
+    learnability is proven on a planted separable corpus in
+    tests/test_nbayes.py), scores every doc incl. the UNK path, rolls up
+    per source. Micro-quantized LLRs ⇒ the DuckDB oracle replays training
+    AND inference exactly."""
+    from longqc_spark.operators.nbayes import nb_predict, nb_train
+
+    docs = _read(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "y", F.col("lang") == "en"
+    )
+    llr, consts = nb_train(train, "y")
+    pred = nb_predict(docs, llr, consts, keep_cols=("doc_id", "source", "lang"))
+    return (
+        pred.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(F.col("pred")).cast("bigint").alias("n_pred_en"),
+            F.count_if(F.col("pred") == (F.col("lang") == "en"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
+            F.sum("n_oov").cast("bigint").alias("n_oov"),
+        )
+        .orderBy("source")
+    )
+
+
+def _nb_classifier_oracle_sql() -> str:
+    """DuckDB twin of q_nb_classifier: token conditional counts, add-one
+    smoothing with the UNK slot, micro-quantized LLR/prior, per-doc
+    integer score sums, per-source rollup."""
+    return r"""
+        WITH tr AS (
+            SELECT (lang = 'en') AS y,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               t -> t <> '') AS ts
+            FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), tok AS (
+            SELECT y, unnest(ts) AS token FROM tr
+        ), cnt AS (
+            SELECT token,
+                   CAST(count(*) FILTER (WHERE y) AS DOUBLE) AS np,
+                   CAST(count(*) FILTER (WHERE NOT y) AS DOUBLE) AS nn
+            FROM tok GROUP BY token
+        ), tot AS (
+            SELECT sum(np) AS tp, sum(nn) AS tn,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM cnt
+        ), llr AS (
+            SELECT token,
+                   CAST(floor((ln((np + 1.0)/(tp + v + 1.0))
+                             - ln((nn + 1.0)/(tn + v + 1.0)))*1000000 + 0.5)
+                        AS BIGINT) AS m
+            FROM cnt CROSS JOIN tot
+        ), consts AS (
+            SELECT CAST(floor(ln(
+                       (SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+                        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
+                     / (SELECT CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE)
+                        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
+                   )*1000000 + 0.5) AS BIGINT) AS prior,
+                   CAST(floor(ln((tn + v + 1.0)/(tp + v + 1.0))*1000000 + 0.5)
+                        AS BIGINT) AS unk
+            FROM tot
+        ), probe AS (
+            SELECT doc_id, source, lang,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               t -> t <> '') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ), pt AS (
+            SELECT doc_id, source, lang, unnest(ts) AS token FROM probe
+        ), per AS (
+            SELECT pt.doc_id, pt.source, pt.lang,
+                   count(*) AS n_tokens,
+                   count(*) FILTER (WHERE llr.m IS NULL) AS n_oov,
+                   consts.prior
+                     + coalesce(sum(llr.m), 0)
+                     + count(*) FILTER (WHERE llr.m IS NULL) * consts.unk
+                     AS score
+            FROM pt LEFT JOIN llr USING (token) CROSS JOIN consts
+            GROUP BY pt.doc_id, pt.source, pt.lang, consts.prior, consts.unk
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE score > 0) AS BIGINT) AS n_pred_en,
+               CAST(count(*) FILTER (WHERE (score > 0) = (lang = 'en'))
+                    AS BIGINT) AS n_correct,
+               CAST(sum(score) AS BIGINT) AS sum_score_micro,
+               CAST(sum(n_oov) AS BIGINT) AS n_oov
+        FROM per GROUP BY source ORDER BY source
+    """
 
 
 def _kn_bigram_oracle_sql() -> str:
@@ -4795,6 +4895,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "unigram_learn": q_unigram_learn,
         "kn_bigram": q_kn_bigram,
+        "nb_classifier": q_nb_classifier,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
@@ -6848,6 +6949,7 @@ def oracle_sql() -> dict[str, str]:
         # so both engines land on identical int64 sums (verified bit-exact
         # at sf0.001/0.01/0.1).
         "kn_bigram": _kn_bigram_oracle_sql(),
+        "nb_classifier": _nb_classifier_oracle_sql(),
         "split_leakage": f"""
             WITH corpus AS ({_RECRAWL_SQL}), d AS (
                 SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
