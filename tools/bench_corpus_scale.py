@@ -84,7 +84,7 @@ def main() -> None:
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
         "c4_clean block_extract fix_encoding latest_crawl mirror host_boilerplate blocklist neardup keep_best pack_seqs "
         "pack_rows neardup_keep_best curate_full scrub_spans skew charset "
-        "zipf image_neardup bpe) and MERGE "
+        "zipf image_neardup bpe knlm nbayes) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
     )
@@ -867,6 +867,89 @@ def main() -> None:
             "n_merges": len(merges),
             "docs_per_sec": round(args.docs / dt),
         }
+
+    # -- round-4m: interpolated Kneser-Ney bigram LM — train on the full
+    # corpus (model tables written to parquet, the shippable artifact),
+    # then score every doc against the persisted model. Train = one
+    # corpus-sized exchange on w1 + vocab-sized continuation aggs; score =
+    # three vocab-bounded joins. --
+    if want("knlm"):
+        from longqc_spark.operators.knlm import kn_bigram_lm, kn_score
+
+        model_dir = tempfile.mkdtemp(prefix="knlm_")
+        try:
+            t0 = time.time()
+            pair, kctx, cont, consts = kn_bigram_lm(docs, text_col="text")
+            for name, d in (
+                ("pair", pair), ("ctx", kctx), ("cont", cont), ("consts", consts)
+            ):
+                d.write.mode("overwrite").parquet(os.path.join(model_dir, name))
+            train_dt = time.time() - t0
+            n_bigram_types = spark.read.parquet(
+                os.path.join(model_dir, "pair")
+            ).count()
+            t0 = time.time()
+            scored = kn_score(
+                docs,
+                spark.read.parquet(os.path.join(model_dir, "pair")),
+                spark.read.parquet(os.path.join(model_dir, "ctx")),
+                spark.read.parquet(os.path.join(model_dir, "cont")),
+                spark.read.parquet(os.path.join(model_dir, "consts")),
+                keep_cols=("url",),
+            ).agg(
+                F.count(F.lit(1)), F.sum("sum_logp_micro"), F.sum("n_backoff")
+            ).collect()[0]
+            score_dt = time.time() - t0
+            out["kn_bigram_lm"] = {
+                "train_sec": round(train_dt, 1),
+                "train_docs_per_sec": round(args.docs / train_dt),
+                "score_sec": round(score_dt, 1),
+                "score_docs_per_sec": round(args.docs / score_dt),
+                "n_bigram_types": n_bigram_types,
+                "n_docs_scored": int(scored[0]),
+            }
+        finally:
+            shutil.rmtree(model_dir, ignore_errors=True)
+
+    # -- round-4m: in-plan multinomial Naive Bayes — trained on the FULL
+    # corpus (token counts are the sufficient statistics; no sample cap),
+    # deterministic synthetic label. Train = one groupBy(token) shuffle;
+    # predict = one vocab-bounded join + per-doc sum. --
+    if want("nbayes"):
+        from longqc_spark.operators.nbayes import nb_predict, nb_train
+
+        labeled = docs.withColumn("y", F.length("text") % 2 == 0)
+        model_dir = tempfile.mkdtemp(prefix="nb_")
+        try:
+            t0 = time.time()
+            llr, consts = nb_train(labeled, "y", text_col="text")
+            llr.write.mode("overwrite").parquet(os.path.join(model_dir, "llr"))
+            consts.write.mode("overwrite").parquet(
+                os.path.join(model_dir, "consts")
+            )
+            train_dt = time.time() - t0
+            n_vocab = spark.read.parquet(os.path.join(model_dir, "llr")).count()
+            t0 = time.time()
+            res = nb_predict(
+                labeled,
+                spark.read.parquet(os.path.join(model_dir, "llr")),
+                spark.read.parquet(os.path.join(model_dir, "consts")),
+                keep_cols=("url", "y"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("pred") == F.col("y")).alias("n_correct"),
+            ).collect()[0]
+            pred_dt = time.time() - t0
+            out["nb_classifier"] = {
+                "train_sec": round(train_dt, 1),
+                "train_docs_per_sec": round(args.docs / train_dt),
+                "predict_sec": round(pred_dt, 1),
+                "predict_docs_per_sec": round(args.docs / pred_dt),
+                "n_vocab": n_vocab,
+                "accuracy": round(res["n_correct"] / max(res["n"], 1), 4),
+            }
+        finally:
+            shutil.rmtree(model_dir, ignore_errors=True)
 
     if want("zipf"):
         from longqc_spark.operators.text import zipf_fit
