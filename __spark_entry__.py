@@ -2275,6 +2275,29 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:  # simsearch (exac
     )
 
 
+def q_margin_align(spark: SparkSession, sf: str) -> DataFrame:  # bitext-style mining
+    """Margin-based embedding alignment (CCMatrix/LASER ratio criterion,
+    simsearch.margin_align): even vec_ids are the "source language", odd
+    the "target"; per src vector its best tgt match by cosine normalized
+    against both local k-NN densities (hubness correction). Rounded to
+    3dp for float32(DuckDB)/float64(Spark) cosine parity, the
+    cosine_topk contract."""
+    from longqc_spark.operators.simsearch import margin_align
+
+    emb = _read(spark, sf, "embeddings")
+    out = margin_align(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+    )
+    return out.select(
+        "src_id",
+        "tgt_id",
+        F.round("cosine", 3).alias("cosine"),
+        F.round("margin", 3).alias("margin"),
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:  # simsearch (LSH), rows-only
     from longqc_spark.operators.simsearch import lsh_topk
 
@@ -3834,7 +3857,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
-#   nb_classifier
+#   nb_classifier margin_align
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -4926,6 +4949,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "margin_align": q_margin_align,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
@@ -7241,6 +7265,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(CAST(cosine AS DOUBLE), 3) AS cosine
             FROM ranked WHERE rk <= 5
             ORDER BY query_id, cosine DESC, vec_id
+        """,
+        "margin_align": """
+            WITH s AS (SELECT vec_id AS src_id, embedding AS sv
+                       FROM embeddings WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, embedding AS tv
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            scored AS (
+                -- DOUBLE[] cast: DuckDB then folds element products in
+                -- float64, bit-identical to the Spark side's double
+                -- zip_with fold (float32 products drift the margin ratio
+                -- past the 3dp rounding)
+                SELECT src_id, tgt_id,
+                       list_cosine_similarity(CAST(sv AS DOUBLE[]),
+                                              CAST(tv AS DOUBLE[])) AS cosine
+                FROM s CROSS JOIN t
+            ), rk AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY src_id
+                           ORDER BY cosine DESC, tgt_id) AS rs,
+                       row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY cosine DESC, src_id) AS rt
+                FROM scored
+            ), a AS (
+                SELECT src_id, avg(cosine) AS a FROM rk WHERE rs <= 4
+                GROUP BY src_id
+            ), b AS (
+                SELECT tgt_id, avg(cosine) AS b FROM rk WHERE rt <= 4
+                GROUP BY tgt_id
+            ), m AS (
+                SELECT sc.src_id, sc.tgt_id, sc.cosine,
+                       sc.cosine / ((a.a + b.b) / 2) AS margin
+                FROM scored sc JOIN a USING (src_id) JOIN b USING (tgt_id)
+            ), best AS (
+                SELECT *, row_number() OVER (PARTITION BY src_id
+                           ORDER BY margin DESC, tgt_id) AS rb
+                FROM m
+            )
+            SELECT src_id, tgt_id,
+                   round(CAST(cosine AS DOUBLE), 3) AS cosine,
+                   round(CAST(margin AS DOUBLE), 3) AS margin
+            FROM best WHERE rb = 1 ORDER BY src_id
         """,
         "fingerprint": """
             WITH t AS (

@@ -549,3 +549,65 @@ def test_minhash_estimate_excludes_zero_shingle_docs(spark):
     pairs = minhash_jaccard_estimate(docs, threshold=0.5).collect()
     got = {(r.key_a, r.key_b) for r in pairs}
     assert got == {(4, 5)}  # the real near-dup pair; no tiny-doc pairs
+
+
+def test_margin_align_matches_numpy_reference(spark, sf001):
+    """Margin alignment == a direct numpy computation of the ratio margin
+    (same k, same tie-breaks), on the real embeddings table."""
+    import numpy as np
+
+    from longqc_spark.operators.simsearch import margin_align
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    got = {
+        r["src_id"]: (r["tgt_id"], r["cosine"], r["margin"])
+        for r in margin_align(src, tgt, k=4).collect()
+    }
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    sids = [i for i, _ in rows if i % 2 == 0]
+    tids = [i for i, _ in rows if i % 2 == 1]
+    S = np.stack([v for i, v in rows if i % 2 == 0])
+    T = np.stack([v for i, v in rows if i % 2 == 1])
+    C = (S / np.linalg.norm(S, axis=1, keepdims=True)) @ (
+        T / np.linalg.norm(T, axis=1, keepdims=True)
+    ).T
+    a = np.sort(C, axis=1)[:, -4:].mean(axis=1)  # per-src top-4 mean
+    b = np.sort(C, axis=0)[-4:, :].mean(axis=0)  # per-tgt top-4 mean
+    M = C / ((a[:, None] + b[None, :]) / 2.0)
+    assert set(got) == set(sids)
+    for si, sid in enumerate(sids):
+        ti = int(np.argmax(M[si]))  # ties broken by lowest tgt index = id order
+        tgt_id, cosine, margin = got[sid]
+        assert tgt_id == tids[ti]
+        assert abs(cosine - C[si, ti]) < 1e-9
+        assert abs(margin - M[si, ti]) < 1e-9
+
+
+def test_margin_align_corrects_hubness(spark):
+    """A hub target that is moderately close to EVERYTHING loses to a
+    sharp 1:1 match once the margin normalizes by neighbourhood density —
+    raw cosine would pick the hub, the margin must not."""
+    import numpy as np
+
+    from longqc_spark.operators.simsearch import margin_align
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    base = rng.standard_normal((6, dim))
+    # tgt 0 = hub: the normalized mean direction of all sources (cosine
+    # ~equal to everyone); tgt 1..6 = sharp matches for src 1..6 (source
+    # + small noise), far from other sources
+    hub = base.mean(axis=0)
+    tgts = [hub] + [b + 0.18 * rng.standard_normal(dim) for b in base]
+    rows_s = [(i * 2, [float(x) for x in base[i]]) for i in range(6)]
+    rows_t = [(j * 2 + 1, [float(x) for x in tgts[j]]) for j in range(7)]
+    src = spark.createDataFrame(rows_s, "vec_id long, embedding array<float>")
+    tgt = spark.createDataFrame(rows_t, "vec_id long, embedding array<float>")
+    out = {r["src_id"]: r["tgt_id"] for r in margin_align(src, tgt, k=3).collect()}
+    # every source aligns to ITS sharp target (tgt id = 2*i+3), never the hub
+    assert out == {i * 2: (i + 1) * 2 + 1 for i in range(6)}
