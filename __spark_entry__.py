@@ -3857,7 +3857,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
-#   nb_classifier margin_align
+#   nb_classifier margin_align tokenizer_fertility
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -4317,6 +4317,48 @@ def q_unigram_learn(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer tra
         docs, vocab_size=120, seed_size=400, max_piece_len=6
     )
     return vocab_table(spark, vocab).orderBy("rank")
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer eval, rows-only
+    """Tokenizer-fertility evaluation — the standard tokenizer acceptance
+    metric (pieces per word / chars per piece) for BOTH trained artifacts
+    over the corpus that trained them: BPE merges (20 rounds) and the
+    unigram-LM vocab (120 target), each applied in one Arrow pass with
+    the per-task unique-word memo, rolled up per source. The downstream-
+    consumption proof for the two trainers (a tokenizer you can't cheaply
+    evaluate isn't shipped). Rows-only by design (iterative trainers
+    upstream); deterministic → golden pin; both encoders are
+    independently parity-tested (test_bpe/test_unigram)."""
+    from longqc_spark.operators.bpe import apply_bpe, learn_bpe
+    from longqc_spark.operators.unigram import apply_unigram, train_unigram
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    merges = learn_bpe(docs, text_col="text", n_merges=20)
+    vocab = train_unigram(docs, vocab_size=120, seed_size=400, max_piece_len=6)
+    enc = apply_unigram(
+        apply_bpe(docs, merges, out_col="_bpe"), vocab, max_piece_len=6,
+        out_col="_uni",
+    )
+    ws = F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")))
+    return (
+        enc.select(
+            "source",
+            ws.alias("_nw"),
+            F.size("_bpe").alias("_nb"),
+            F.size("_uni").alias("_nu"),
+            F.length("text").alias("_nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_nw").cast("bigint").alias("n_words"),
+            F.sum("_nb").cast("bigint").alias("n_bpe_pieces"),
+            F.sum("_nu").cast("bigint").alias("n_unigram_pieces"),
+            F.round(F.sum("_nb") / F.sum("_nw"), 4).alias("bpe_fertility"),
+            F.round(F.sum("_nu") / F.sum("_nw"), 4).alias("unigram_fertility"),
+            F.round(F.sum("_nc") / F.sum("_nb"), 4).alias("chars_per_bpe"),
+        )
+        .orderBy("source")
+    )
 
 
 def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang segmentation, rows-only
@@ -4919,6 +4961,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_learn": q_unigram_learn,
         "kn_bigram": q_kn_bigram,
         "nb_classifier": q_nb_classifier,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,

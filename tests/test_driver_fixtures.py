@@ -280,6 +280,9 @@ _GOLDEN_SF001 = {
     # tiny corpus vocabulary saturates under the 120 target); ALSO pinned
     # by exact equality vs the serial reference trainer (test_unigram.py)
     "unigram_learn": (67, "90cbcc8ecea802c4"),
+    # tokenizer-fertility eval: both trained artifacts (BPE + unigram)
+    # applied over their training corpus, per-source rollup
+    "tokenizer_fertility": (20, "0f465a8616c4fe25"),
     # round-4j: per-paragraph language segmentation — 64 docs x 4 page
     # classes, every class labels exactly as constructed
     "segment_langs": (144, "62c0a9a811209875"),
