@@ -208,6 +208,25 @@ def main(argv: list[str] | None = None) -> int:
                         "xxhash64(url) for a deterministic shuffle order")
     p.add_argument("--seq-len", type=int, default=2048, metavar="L",
                    help="sequence length (chars) for --pack-out")
+    p.add_argument("--train-tokenizer", default=None, metavar="DIR",
+                   help="after --curate-out: train tokenizers ON THE CURATED "
+                        "corpus (the artifact-production step of the "
+                        "pipeline) and write both to this dir — BPE merges "
+                        "(bpe_merges parquet: rank,left,right,merged) and "
+                        "the unigram-LM vocab (unigram_vocab parquet: rank,"
+                        "piece,logprob_micro)")
+    p.add_argument("--tokenizer-merges", type=int, default=50, metavar="N",
+                   help="BPE merge rounds for --train-tokenizer "
+                        "(default %(default)s)")
+    p.add_argument("--tokenizer-vocab", type=int, default=512, metavar="V",
+                   help="unigram-LM target vocab for --train-tokenizer "
+                        "(default %(default)s)")
+    p.add_argument("--train-lm", default=None, metavar="DIR",
+                   help="after --curate-out: estimate the interpolated "
+                        "Kneser-Ney bigram LM on the curated corpus and "
+                        "write the model tables (pair/ctx/cont/consts "
+                        "parquet dirs) — the perplexity-scorer artifact for "
+                        "the NEXT crawl's QC pass")
     p.add_argument("--shard-bytes", type=int, default=None, metavar="N",
                    help="byte-balanced shard ids in the curated export "
                         "(two-pass prefix sum over xxhash64(key))")
@@ -255,6 +274,11 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.pack_out and not args.curate_out:
         p.error("--pack-out packs the curated export and requires --curate-out")
+    if (args.train_tokenizer or args.train_lm) and not args.curate_out:
+        p.error(
+            "--train-tokenizer/--train-lm train on the curated export and "
+            "require --curate-out"
+        )
     if args.collapse_snapshots and (args.dedup_urls or args.dedup_urls_declared):
         p.error(
             "--collapse-snapshots already keeps one fetch per canonical URL; "
@@ -461,6 +485,50 @@ def main(argv: list[str] | None = None) -> int:
         curated.write.mode("overwrite").parquet(args.curate_out)
         n_curated = spark.read.parquet(args.curate_out).count()
         print(f"curated {n_curated} rows → {args.curate_out}", file=sys.stderr)
+
+        if args.train_tokenizer:
+            # the artifact-production step: tokenizers are trained on the
+            # CURATED corpus (post-exclusion, post-decontam scrubbed text),
+            # never the raw crawl — garbage pages would vote on merges
+            from .operators.bpe import learn_bpe, merges_table
+            from .operators.unigram import train_unigram, vocab_table
+
+            curated_df = spark.read.parquet(args.curate_out)
+            merges = learn_bpe(
+                curated_df, text_col="scrubbed_text",
+                n_merges=args.tokenizer_merges, min_word_count=2,
+            )
+            merges_table(spark, merges).write.mode("overwrite").parquet(
+                os.path.join(args.train_tokenizer, "bpe_merges")
+            )
+            vocab = train_unigram(
+                curated_df, text_col="scrubbed_text",
+                vocab_size=args.tokenizer_vocab,
+            )
+            vocab_table(spark, vocab).write.mode("overwrite").parquet(
+                os.path.join(args.train_tokenizer, "unigram_vocab")
+            )
+            print(
+                f"tokenizers: {len(merges)} BPE merges + {len(vocab)} unigram "
+                f"pieces → {args.train_tokenizer}",
+                file=sys.stderr,
+            )
+
+        if args.train_lm:
+            from .operators.knlm import kn_bigram_lm
+
+            pair, kctx, cont, consts = kn_bigram_lm(
+                spark.read.parquet(args.curate_out), text_col="scrubbed_text"
+            )
+            for name, d in (
+                ("pair", pair), ("ctx", kctx), ("cont", cont), ("consts", consts)
+            ):
+                d.write.mode("overwrite").parquet(os.path.join(args.train_lm, name))
+            n_types = spark.read.parquet(os.path.join(args.train_lm, "pair")).count()
+            print(
+                f"KN bigram LM: {n_types} pair types → {args.train_lm}",
+                file=sys.stderr,
+            )
 
         if args.pack_out:
             from .operators.relational import pack_sequence_rows

@@ -691,3 +691,53 @@ def test_cli_anchors_out(spark, corpus_path, tmp_path):
                 "--local-cores", "8",
             ]
         )
+
+
+def test_cli_train_artifacts(spark, corpus_path, tmp_path):
+    """--train-tokenizer/--train-lm produce the shipped artifacts FROM the
+    curated export: BPE merges + unigram vocab parquets, and the KN bigram
+    model tables — readable back and usable (the LM scores a probe)."""
+    out = str(tmp_path / "run")
+    curated_dir = str(tmp_path / "curated")
+    tok_dir = str(tmp_path / "tok")
+    lm_dir = str(tmp_path / "lm")
+    rc = main(
+        [
+            "--input", corpus_path,
+            "--out", out,
+            "--buckets", "2",
+            "--curate-out", curated_dir,
+            "--train-tokenizer", tok_dir,
+            "--tokenizer-merges", "5",
+            "--tokenizer-vocab", "80",
+            "--train-lm", lm_dir,
+            "--local-cores", "8",
+        ]
+    )
+    assert rc == 0
+    merges = spark.read.parquet(os.path.join(tok_dir, "bpe_merges"))
+    assert merges.count() >= 1
+    assert {"rank", "left", "right", "merged"} <= set(merges.columns)
+    vocab = spark.read.parquet(os.path.join(tok_dir, "unigram_vocab"))
+    assert vocab.count() >= 10
+    assert {"piece", "logprob_micro"} <= set(vocab.columns)
+    # the written KN model scores a probe end-to-end
+    from longqc_spark.operators.knlm import kn_score
+
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zxqj unknown tokens")],
+        "doc_id long, text string",
+    )
+    scored = kn_score(
+        probe,
+        spark.read.parquet(os.path.join(lm_dir, "pair")),
+        spark.read.parquet(os.path.join(lm_dir, "ctx")),
+        spark.read.parquet(os.path.join(lm_dir, "cont")),
+        spark.read.parquet(os.path.join(lm_dir, "consts")),
+    ).collect()
+    assert len(scored) == 2
+    assert all(r["sum_logp_micro"] < 0 for r in scored)
+    # the trainers require the curated export
+    with pytest.raises(SystemExit):
+        main(["--input", corpus_path, "--out", out, "--buckets", "2",
+              "--train-lm", lm_dir, "--local-cores", "8"])
