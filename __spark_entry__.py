@@ -4301,6 +4301,140 @@ def q_kn_bigram(spark: SparkSession, sf: str) -> DataFrame:  # Kneser-Ney LM
     )
 
 
+def q_kn_trigram(spark: SparkSession, sf: str) -> DataFrame:  # modified-KN trigram LM
+    """Modified-interpolated-KN TRIGRAM LM (operators.knlm.kn_trigram_lm):
+    continuation counts at the bigram level (the modified-KN correction),
+    double-<s> padding, 6-table artifact, nested backoff chain. Train on
+    the even half, score everything, per-source rollup with per-tier hit
+    counts. The DuckDB oracle replays the full recursion bit-exactly."""
+    from longqc_spark.operators.knlm import kn_trigram_lm, kn_trigram_score
+
+    docs = _read(spark, sf, "documents")
+    model = kn_trigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    per_doc = kn_trigram_score(docs, model, keep_cols=("doc_id", "source"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("sum_logp_micro").cast("bigint").alias("sum_logp_micro"),
+            F.sum("n_tri_hits").cast("bigint").alias("n_tri_hits"),
+            F.sum("n_bi_hits").cast("bigint").alias("n_bi_hits"),
+            F.sum("n_uni_hits").cast("bigint").alias("n_uni_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+def _kn_trigram_oracle_sql() -> str:
+    """DuckDB twin of q_kn_trigram: the full modified-KN trigram recursion
+    — trigram counts, continuation bigrams, both discounts, the nested
+    3-tier backoff scorer — every quantity from the one c3 table."""
+    toks = (
+        r"""['<s>', '<s>'] || list_filter(regexp_split_to_array(lower(text), """
+        r"""'\s+'), t -> t <> '') || ['</s>']"""
+    )
+    return f"""
+        WITH tr AS (
+            SELECT {toks} AS ts
+            FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        ), g3 AS (
+            SELECT ts[i] AS u, ts[i+1] AS v, ts[i+2] AS w
+            FROM tr, unnest(range(1, len(ts) - 1)) AS x(i)
+        ), c3 AS (
+            SELECT u, v, w, count(*) AS c FROM g3 GROUP BY u, v, w
+        ), ctx3 AS (
+            SELECT u, v, sum(c) AS c3ctx, count(*) AS n3plus
+            FROM c3 GROUP BY u, v
+        ), b2 AS (
+            SELECT v, w, count(*) AS c2 FROM c3 GROUP BY v, w
+        ), ctx2 AS (
+            SELECT v, sum(c2) AS c2ctx, count(*) AS n2plus FROM b2 GROUP BY v
+        ), cc1 AS (
+            SELECT w, CAST(count(*) AS DOUBLE) AS n_left FROM b2 GROUP BY w
+        ), dd AS (
+            SELECT CASE WHEN a.n1_3 + 2*a.n2_3 > 0
+                        THEN a.n1_3/(a.n1_3 + 2*a.n2_3) ELSE 0.5 END AS d3,
+                   CASE WHEN b.n1_2 + 2*b.n2_2 > 0
+                        THEN b.n1_2/(b.n1_2 + 2*b.n2_2) ELSE 0.5 END AS d2,
+                   b.n_types + b.v1 + 1.0 AS z
+            FROM (SELECT CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) AS n1_3,
+                         CAST(count(*) FILTER (WHERE c = 2) AS DOUBLE) AS n2_3
+                  FROM c3) a,
+                 (SELECT CAST(count(*) FILTER (WHERE c2 = 1) AS DOUBLE) AS n1_2,
+                         CAST(count(*) FILTER (WHERE c2 = 2) AS DOUBLE) AS n2_2,
+                         CAST(count(*) AS DOUBLE) AS n_types,
+                         CAST(count(DISTINCT w) AS DOUBLE) AS v1
+                  FROM b2) b
+        ), contt AS (
+            SELECT w, CAST(floor(ln((n_left + 1.0)/dd.z)*1000000 + 0.5)
+                           AS BIGINT) AS logpc
+            FROM cc1 CROSS JOIN dd
+        ), unk AS (
+            SELECT CAST(floor(ln(1.0/z)*1000000 + 0.5) AS BIGINT) AS uu FROM dd
+        ), bit AS (
+            SELECT b2.v, b2.w,
+                   CAST(floor(ln((b2.c2 - dd.d2)/x2.c2ctx
+                        + dd.d2*x2.n2plus/x2.c2ctx*(cc1.n_left + 1.0)/dd.z
+                        )*1000000 + 0.5) AS BIGINT) AS logp2
+            FROM b2 JOIN ctx2 x2 USING (v) JOIN cc1 USING (w) CROSS JOIN dd
+        ), lam2t AS (
+            SELECT v, CAST(floor(ln(dd.d2*n2plus/c2ctx)*1000000 + 0.5)
+                           AS BIGINT) AS lambda2
+            FROM ctx2 CROSS JOIN dd
+        ), trit AS (
+            SELECT c3.u, c3.v, c3.w,
+                   CAST(floor(ln((c3.c - dd.d3)/x3.c3ctx
+                        + dd.d3*x3.n3plus/x3.c3ctx
+                          * ((b2.c2 - dd.d2)/x2.c2ctx
+                             + dd.d2*x2.n2plus/x2.c2ctx*(cc1.n_left + 1.0)/dd.z)
+                        )*1000000 + 0.5) AS BIGINT) AS logp3
+            FROM c3 JOIN ctx3 x3 USING (u, v) JOIN b2 USING (v, w)
+                 JOIN ctx2 x2 USING (v) JOIN cc1 USING (w) CROSS JOIN dd
+        ), lam3t AS (
+            SELECT u, v, CAST(floor(ln(dd.d3*n3plus/c3ctx)*1000000 + 0.5)
+                              AS BIGINT) AS lambda3
+            FROM ctx3 CROSS JOIN dd
+        ), probe AS (
+            SELECT doc_id, source, {toks} AS ts
+            FROM documents WHERE text IS NOT NULL
+        ), pg AS (
+            SELECT doc_id, source, ts[i] AS u, ts[i+1] AS v, ts[i+2] AS w
+            FROM probe, unnest(range(1, len(ts) - 1)) AS x(i)
+        ), sc AS (
+            SELECT pg.doc_id, pg.source,
+                   coalesce(trit.logp3,
+                            lam3t.lambda3 + coalesce(bit.logp2,
+                                lam2t.lambda2 + coalesce(contt.logpc, unk.uu),
+                                coalesce(contt.logpc, unk.uu)),
+                            coalesce(bit.logp2,
+                                lam2t.lambda2 + coalesce(contt.logpc, unk.uu),
+                                coalesce(contt.logpc, unk.uu))) AS lp,
+                   CAST(trit.logp3 IS NOT NULL AS INT) AS h3,
+                   CAST(trit.logp3 IS NULL AND bit.logp2 IS NOT NULL AS INT) AS h2,
+                   CAST(trit.logp3 IS NULL AND bit.logp2 IS NULL AS INT) AS h1
+            FROM pg
+            LEFT JOIN trit ON pg.u = trit.u AND pg.v = trit.v AND pg.w = trit.w
+            LEFT JOIN lam3t ON pg.u = lam3t.u AND pg.v = lam3t.v
+            LEFT JOIN bit ON pg.v = bit.v AND pg.w = bit.w
+            LEFT JOIN lam2t ON pg.v = lam2t.v
+            LEFT JOIN contt ON pg.w = contt.w
+            CROSS JOIN unk
+        ), per AS (
+            SELECT doc_id, source, count(*) AS n_tokens, sum(lp) AS s,
+                   sum(h3) AS h3, sum(h2) AS h2, sum(h1) AS h1
+            FROM sc GROUP BY doc_id, source
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(s) AS BIGINT) AS sum_logp_micro,
+               CAST(sum(h3) AS BIGINT) AS n_tri_hits,
+               CAST(sum(h2) AS BIGINT) AS n_bi_hits,
+               CAST(sum(h1) AS BIGINT) AS n_uni_hits
+        FROM per GROUP BY source ORDER BY source
+    """
+
+
 def q_unigram_learn(spark: SparkSession, sf: str) -> DataFrame:  # tokenizer training, rows-only
     """SentencePiece-style unigram-LM tokenizer TRAINING
     (operators.unigram.train_unigram): EM over the segmentation lattice of
@@ -4960,6 +5094,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "unigram_learn": q_unigram_learn,
         "kn_bigram": q_kn_bigram,
+        "kn_trigram": q_kn_trigram,
         "nb_classifier": q_nb_classifier,
         "tokenizer_fertility": q_tokenizer_fertility,
         "profile_table": q_profile_table,
@@ -7016,6 +7151,7 @@ def oracle_sql() -> dict[str, str]:
         # so both engines land on identical int64 sums (verified bit-exact
         # at sf0.001/0.01/0.1).
         "kn_bigram": _kn_bigram_oracle_sql(),
+        "kn_trigram": _kn_trigram_oracle_sql(),
         "nb_classifier": _nb_classifier_oracle_sql(),
         "split_leakage": f"""
             WITH corpus AS ({_RECRAWL_SQL}), d AS (

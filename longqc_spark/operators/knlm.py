@@ -196,3 +196,229 @@ def kn_score(
         F.sum("_lp").cast("bigint").alias("sum_logp_micro"),
         F.count_if(F.col("_backoff")).cast("bigint").alias("n_backoff"),
     )
+
+
+def doc_trigrams(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Corpus → one row per in-doc trigram (u, v, w) with DOUBLE-``<s>``
+    left padding (every real token, incl. ``</s>``, gets a full 2-token
+    context — KenLM's convention). Pure JVM. An empty text is the single
+    trigram (<s>, <s>, </s>)."""
+    toks = F.concat(
+        F.array(F.lit(BOS), F.lit(BOS)),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda s: s != F.lit("")
+        ),
+        F.array(F.lit(EOS)),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*keep_cols, toks.alias("_toks"))
+        .select(
+            *keep_cols,
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, size(_toks) - 2), "
+                    "(t, i) -> struct(t AS u, _toks[i + 1] AS v, "
+                    "_toks[i + 2] AS w))"
+                )
+            ).alias("g"),
+        )
+        .select(*keep_cols, "g.u", "g.v", "g.w")
+    )
+
+
+def kn_trigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Modified-interpolated-KN TRIGRAM model: the recursion
+
+      P3(w|u,v) = (c3−D3)/c3(uv·) + D3·N1+(uv·)/c3(uv·) · P2(w|v)
+      P2(w|v)   = (ĉ2−D2)/ĉ2(v·) + D2·N1+(v·)/ĉ2(v·) · Pc(w)
+
+    where ĉ2(v,w) = N1+(·vw) is the CONTINUATION count (distinct left
+    contexts — the modified-KN lower-order correction, not raw bigram
+    counts) and Pc is the add-one smoothed continuation unigram with an
+    UNK slot (same convention as ``kn_bigram_lm``). EVERY quantity
+    derives from ONE corpus-sized aggregate — the trigram count table —
+    so the estimator pays one exchange keyed (u,v,w) plus vocab-bounded
+    rollups; discounts D3/D2 are count-of-count scalars (0.5 on a
+    degenerate corpus). Log-probs micro-quantized int64 throughout.
+
+    Returns {'tri': (u,v,w,logp3_micro), 'ctx3': (u,v,lambda3_micro),
+    'bi': (v,w,logp2_micro), 'ctx2': (v,lambda2_micro),
+    'cont': (w,logpc_micro), 'consts': 1 row (unk_logpc_micro)} — the
+    6-table artifact ``kn_trigram_score`` consumes."""
+    c3 = (
+        doc_trigrams(df, text_col)
+        .repartition(F.col("u"), F.col("v"))
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w3 = Window.partitionBy("u", "v")
+    tri_stats = c3.withColumn("c3ctx", F.sum("c").over(w3)).withColumn(
+        "n3plus", F.count(F.lit(1)).over(w3)
+    )
+    # continuation bigrams: ĉ2(v,w) = distinct u preceding (v,w); rows of
+    # c3 are distinct (u,v,w), so a plain count per (v,w) IS the distinct-u
+    # count (no countDistinct Expand)
+    b2 = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
+    w2 = Window.partitionBy("v")
+    bi_stats = b2.withColumn("c2ctx", F.sum("c2").over(w2)).withColumn(
+        "n2plus", F.count(F.lit(1)).over(w2)
+    )
+    # continuation unigram: N1+(·w) over the (v,w) type table
+    cc1 = b2.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("n_left"))
+    disc = (
+        c3.agg(
+            F.count_if(F.col("c") == 1).cast("double").alias("n1_3"),
+            F.count_if(F.col("c") == 2).cast("double").alias("n2_3"),
+        )
+        .crossJoin(
+            b2.agg(
+                F.count_if(F.col("c2") == 1).cast("double").alias("n1_2"),
+                F.count_if(F.col("c2") == 2).cast("double").alias("n2_2"),
+                F.count(F.lit(1)).cast("double").alias("n_types"),
+                F.countDistinct("w").cast("double").alias("v1"),
+            )
+        )
+        .select(
+            F.when(
+                F.col("n1_3") + 2.0 * F.col("n2_3") > 0.0,
+                F.col("n1_3") / (F.col("n1_3") + 2.0 * F.col("n2_3")),
+            ).otherwise(F.lit(0.5)).alias("d3"),
+            F.when(
+                F.col("n1_2") + 2.0 * F.col("n2_2") > 0.0,
+                F.col("n1_2") / (F.col("n1_2") + 2.0 * F.col("n2_2")),
+            ).otherwise(F.lit(0.5)).alias("d2"),
+            (F.col("n_types") + F.col("v1") + 1.0).alias("z"),
+        )
+    )
+    cont = cc1.crossJoin(F.broadcast(disc)).select(
+        "w", _qz(F.log((F.col("n_left") + 1.0) / F.col("z"))).alias("logpc_micro")
+    )
+    consts = disc.select(
+        _qz(F.log(1.0 / F.col("z"))).alias("unk_logpc_micro")
+    )
+    # P2 closed form per seen (v,w): its own continuation Pc(w) is seen by
+    # construction (ĉ2(v,w) ≥ 1 ⇒ N1+(·w) ≥ 1)
+    bi_j = bi_stats.crossJoin(F.broadcast(disc)).join(
+        cc1.withColumnRenamed("n_left", "_nl"), "w"
+    )
+    pc = (F.col("_nl") + 1.0) / F.col("z")
+    lam2 = F.col("d2") * F.col("n2plus") / F.col("c2ctx")
+    bi = bi_j.select(
+        "v",
+        "w",
+        _qz(
+            F.log((F.col("c2") - F.col("d2")) / F.col("c2ctx") + lam2 * pc)
+        ).alias("logp2_micro"),
+    )
+    ctx2 = (
+        bi_stats.groupBy("v")
+        .agg(F.first("c2ctx").alias("c2ctx"), F.first("n2plus").alias("n2plus"))
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "v",
+            _qz(F.log(F.col("d2") * F.col("n2plus") / F.col("c2ctx"))).alias(
+                "lambda2_micro"
+            ),
+        )
+    )
+    # P3 closed form per seen (u,v,w): (v,w) is seen by construction, so
+    # P2 takes its seen form — join the full P2 ingredients in
+    tri_j = (
+        tri_stats.crossJoin(F.broadcast(disc))
+        .join(
+            b2.withColumnRenamed("c2", "_c2"), ["v", "w"]
+        )
+        .join(
+            bi_stats.groupBy("v").agg(
+                F.first("c2ctx").alias("_c2ctx"),
+                F.first("n2plus").alias("_n2plus"),
+            ),
+            "v",
+        )
+        .join(cc1.withColumnRenamed("n_left", "_nl"), "w")
+    )
+    p2_val = (F.col("_c2") - F.col("d2")) / F.col("_c2ctx") + (
+        F.col("d2") * F.col("_n2plus") / F.col("_c2ctx")
+    ) * ((F.col("_nl") + 1.0) / F.col("z"))
+    lam3 = F.col("d3") * F.col("n3plus") / F.col("c3ctx")
+    tri = tri_j.select(
+        "u",
+        "v",
+        "w",
+        _qz(
+            F.log((F.col("c") - F.col("d3")) / F.col("c3ctx") + lam3 * p2_val)
+        ).alias("logp3_micro"),
+    )
+    ctx3 = (
+        tri_stats.groupBy("u", "v")
+        .agg(F.first("c3ctx").alias("c3ctx"), F.first("n3plus").alias("n3plus"))
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "u",
+            "v",
+            _qz(F.log(F.col("d3") * F.col("n3plus") / F.col("c3ctx"))).alias(
+                "lambda3_micro"
+            ),
+        )
+    )
+    return {
+        "tri": tri, "ctx3": ctx3, "bi": bi, "ctx2": ctx2,
+        "cont": cont, "consts": consts,
+    }
+
+
+def kn_trigram_score(
+    probe: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Score a probe corpus against the 6-table trigram model: the
+    backoff chain nests the bigram rule once —
+
+      inner = coalesce(p2, λ2 + pc_eff, pc_eff)       (the bigram tiers)
+      lp    = coalesce(p3, λ3 + inner, inner)         (the trigram tiers)
+
+    (an unseen (u,v) context carries backoff weight 1 — no λ3 term — the
+    KenLM rule; same for unseen v.) Integer micro sums per doc; reports
+    how many tokens resolved at each tier."""
+    grams = doc_trigrams(probe, text_col, keep_cols)
+    scored = (
+        grams.join(model["tri"], ["u", "v", "w"], "left")
+        .join(model["ctx3"], ["u", "v"], "left")
+        .join(model["bi"], ["v", "w"], "left")
+        .join(model["ctx2"], ["v"], "left")
+        .join(model["cont"], ["w"], "left")
+        .crossJoin(F.broadcast(model["consts"]))
+    )
+    pc_eff = F.coalesce(F.col("logpc_micro"), F.col("unk_logpc_micro"))
+    inner = F.coalesce(
+        F.col("logp2_micro"), F.col("lambda2_micro") + pc_eff, pc_eff
+    )
+    lp = F.coalesce(F.col("logp3_micro"), F.col("lambda3_micro") + inner, inner)
+    return (
+        scored.withColumn("_lp", lp)
+        .groupBy(*keep_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_lp").cast("bigint").alias("sum_logp_micro"),
+            F.count_if(F.col("logp3_micro").isNotNull())
+            .cast("bigint")
+            .alias("n_tri_hits"),
+            F.count_if(
+                F.col("logp3_micro").isNull() & F.col("logp2_micro").isNotNull()
+            )
+            .cast("bigint")
+            .alias("n_bi_hits"),
+            F.count_if(
+                F.col("logp3_micro").isNull() & F.col("logp2_micro").isNull()
+            )
+            .cast("bigint")
+            .alias("n_uni_hits"),
+        )
+    )
