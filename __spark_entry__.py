@@ -3857,7 +3857,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
-#   nb_classifier margin_align tokenizer_fertility
+#   nb_classifier margin_align tokenizer_fertility kn_trigram
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
