@@ -283,6 +283,10 @@ _GOLDEN_SF001 = {
     # tokenizer-fertility eval: both trained artifacts (BPE + unigram)
     # applied over their training corpus, per-source rollup
     "tokenizer_fertility": (20, "0f465a8616c4fe25"),
+    # pyspark.ml decision-tree scorer — deterministic seed/feature order;
+    # the LAST rows-only query to gain a pin (every rows-only entry now
+    # has either a DuckDB oracle or a golden hash)
+    "ml_quality": (2, "b7bb03118ba700bf"),
     # round-4j: per-paragraph language segmentation — 64 docs x 4 page
     # classes, every class labels exactly as constructed
     "segment_langs": (144, "62c0a9a811209875"),
