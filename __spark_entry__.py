@@ -4160,33 +4160,40 @@ def _nb_classifier_oracle_sql() -> str:
                              - ln((nn + 1.0)/(tn + v + 1.0)))*1000000 + 0.5)
                         AS BIGINT) AS m
             FROM cnt CROSS JOIN tot
+        ), dprior AS (
+            SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS dp,
+                   CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE) AS dn
+            FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
         ), consts AS (
-            SELECT CAST(floor(ln(
-                       (SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
-                        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
-                     / (SELECT CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE)
-                        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0)
-                   )*1000000 + 0.5) AS BIGINT) AS prior,
+            -- single-class sentinel mirrors nbayes.ONE_CLASS_PRIOR_MICRO
+            SELECT CASE WHEN dp > 0 AND dn > 0
+                        THEN CAST(floor(ln(dp/dn)*1000000 + 0.5) AS BIGINT)
+                        WHEN dp > 0 THEN CAST(13815511 AS BIGINT)
+                        ELSE CAST(-13815511 AS BIGINT) END AS prior,
                    CAST(floor(ln((tn + v + 1.0)/(tp + v + 1.0))*1000000 + 0.5)
                         AS BIGINT) AS unk
-            FROM tot
+            FROM tot CROSS JOIN dprior
         ), probe AS (
             SELECT doc_id, source, lang,
                    list_filter(regexp_split_to_array(lower(text), '\s+'),
                                t -> t <> '') AS ts
             FROM documents WHERE text IS NOT NULL
         ), pt AS (
-            SELECT doc_id, source, lang, unnest(ts) AS token FROM probe
-        ), per AS (
-            SELECT pt.doc_id, pt.source, pt.lang,
-                   count(*) AS n_tokens,
+            SELECT doc_id, unnest(ts) AS token FROM probe
+        ), agg AS (
+            SELECT pt.doc_id, count(*) AS n_tokens,
                    count(*) FILTER (WHERE llr.m IS NULL) AS n_oov,
-                   consts.prior
-                     + coalesce(sum(llr.m), 0)
-                     + count(*) FILTER (WHERE llr.m IS NULL) * consts.unk
-                     AS score
-            FROM pt LEFT JOIN llr USING (token) CROSS JOIN consts
-            GROUP BY pt.doc_id, pt.source, pt.lang, consts.prior, consts.unk
+                   coalesce(sum(llr.m), 0) AS ev
+            FROM pt LEFT JOIN llr USING (token) GROUP BY pt.doc_id
+        ), per AS (
+            -- LEFT JOIN from probe: a token-free text still yields a
+            -- prior-only row (the explode_outer contract on the Spark side)
+            SELECT p.doc_id, p.source, p.lang,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_oov, 0) AS n_oov,
+                   consts.prior + coalesce(a.ev, 0)
+                     + coalesce(a.n_oov, 0) * consts.unk AS score
+            FROM probe p LEFT JOIN agg a USING (doc_id) CROSS JOIN consts
         )
         SELECT source, count(*) AS n_docs,
                CAST(count(*) FILTER (WHERE score > 0) AS BIGINT) AS n_pred_en,

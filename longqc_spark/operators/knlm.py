@@ -50,7 +50,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-MICRO = 1_000_000
+from .quant import MICRO, micro_quantize as _qz, ws_tokens
+
 BOS, EOS = "<s>", "</s>"
 
 
@@ -63,11 +64,7 @@ def doc_bigrams(
     JVM: split + transform/explode, no Python. NULL texts contribute
     nothing; an empty text is the single bigram (<s>, </s>)."""
     toks = F.concat(
-        F.array(F.lit(BOS)),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda s: s != F.lit("")
-        ),
-        F.array(F.lit(EOS)),
+        F.array(F.lit(BOS)), ws_tokens(text_col), F.array(F.lit(EOS))
     )
     return (
         df.filter(F.col(text_col).isNotNull())
@@ -85,15 +82,8 @@ def doc_bigrams(
     )
 
 
-def _qz(col):
-    """Micro-quantize a double column to int64: floor(x·1e6 + 0.5) — the
-    cross-engine determinism contract (same formula in the DuckDB oracle
-    and the serial reference)."""
-    return F.floor(col * MICRO + F.lit(0.5)).cast("long")
-
-
 def kn_bigram_lm(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", counts_cache: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Estimate the interpolated-KN bigram model. Returns four plans:
 
@@ -104,11 +94,23 @@ def kn_bigram_lm(
     * ``consts``: 1 row (unk_logpc_micro) — the UNK slot of Pc
 
     (an unknown w1 scores as Pc(w2) alone; an unknown w2 uses the UNK
-    slot.) All model tables are vocab-bounded, not corpus-bounded."""
+    slot.) All model tables are vocab-bounded, not corpus-bounded.
+
+    ``counts_cache=True``: materialize the bigram-count table once with an
+    eager ``localCheckpoint`` — exchange reuse does NOT span Spark
+    actions, so a caller that runs a separate action per returned table
+    (e.g. the CLI writing all four to parquet) would otherwise re-pay the
+    corpus tokenize+shuffle per table. One-action consumers (the oracled
+    query joins everything back into a single plan) keep the default —
+    the checkpoint would only add a materialization. Blocks are released
+    by the ContextCleaner when the plans are garbage-collected (the BPE
+    round-checkpoint lifecycle)."""
     big = doc_bigrams(df, text_col).repartition(F.col("w1"))
     # HashPartitioning(w1) satisfies the (w1,w2) clustering ⇒ the groupBy
     # and the per-w1 window both reuse this single exchange
     pair_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    if counts_cache:
+        pair_c = pair_c.localCheckpoint(eager=True)
     w = Window.partitionBy("w1")
     ctx_stats = pair_c.withColumn("c1", F.sum("c").over(w)).withColumn(
         "n1plus", F.count(F.lit(1)).over(w)
@@ -206,11 +208,7 @@ def doc_trigrams(
     context — KenLM's convention). Pure JVM. An empty text is the single
     trigram (<s>, <s>, </s>)."""
     toks = F.concat(
-        F.array(F.lit(BOS), F.lit(BOS)),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda s: s != F.lit("")
-        ),
-        F.array(F.lit(EOS)),
+        F.array(F.lit(BOS), F.lit(BOS)), ws_tokens(text_col), F.array(F.lit(EOS))
     )
     return (
         df.filter(F.col(text_col).isNotNull())
@@ -230,7 +228,7 @@ def doc_trigrams(
 
 
 def kn_trigram_lm(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", counts_cache: bool = False
 ) -> dict[str, DataFrame]:
     """Modified-interpolated-KN TRIGRAM model: the recursion
 
@@ -256,6 +254,10 @@ def kn_trigram_lm(
         .groupBy("u", "v", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if counts_cache:
+        # multi-action callers (CLI/bench writing the 6 tables) pay the
+        # corpus trigram shuffle ONCE — see kn_bigram_lm's docstring
+        c3 = c3.localCheckpoint(eager=True)
     w3 = Window.partitionBy("u", "v")
     tri_stats = c3.withColumn("c3ctx", F.sum("c").over(w3)).withColumn(
         "n3plus", F.count(F.lit(1)).over(w3)

@@ -30,21 +30,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-MICRO = 1_000_000
+from .quant import MICRO, micro_quantize as _qz, ws_tokens as _toks
 
 
-def _toks(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda s: s != F.lit("")
-    )
-
-
-def _qz(col):
-    return F.floor(col * MICRO + F.lit(0.5)).cast("long")
+# log(1e6) micro-pinned: the prior sentinel for a degenerate single-class
+# training set (log-odds would be ±inf; Spark's non-ANSI divide would NULL
+# it silently instead). Large enough to dominate any realistic evidence
+# sum, finite so integer arithmetic stays exact. Same constant in the
+# serial reference and any SQL twin.
+ONE_CLASS_PRIOR_MICRO = 13_815_511  # floor(ln(1e6)·1e6 + 0.5)
 
 
 def nb_train(
-    df: DataFrame, label_col: str, text_col: str = "text"
+    df: DataFrame, label_col: str, text_col: str = "text",
+    counts_cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the classifier on ``label_col`` (boolean). Returns two plans:
 
@@ -53,7 +52,14 @@ def nb_train(
     * ``consts``: 1 row (prior_micro, unk_llr_micro) — the class-prior
       log-ratio and the unknown-token ratio
 
-    NULL-text rows contribute nothing (mirrored by the SQL oracle)."""
+    NULL-text rows contribute nothing (mirrored by the SQL oracle). A
+    degenerate single-class training set pins the prior at
+    ±``ONE_CLASS_PRIOR_MICRO`` (ln 1e6) instead of silently NULLing the
+    log-odds — every prediction then follows the one observed class
+    unless token evidence overwhelms it. ``counts_cache=True``
+    materializes the token-count table once (eager localCheckpoint) for
+    callers that run separate actions per returned table — see
+    ``knlm.kn_bigram_lm``."""
     base = df.filter(F.col(text_col).isNotNull())
     tok = base.select(
         F.col(label_col).alias("_y"), F.explode(_toks(text_col)).alias("token")
@@ -62,6 +68,8 @@ def nb_train(
         F.count_if(F.col("_y")).cast("double").alias("np"),
         F.count_if(~F.col("_y")).cast("double").alias("nn"),
     )
+    if counts_cache:
+        cnt = cnt.localCheckpoint(eager=True)
     tot = cnt.agg(
         F.sum("np").alias("tp"),
         F.sum("nn").alias("tn"),
@@ -80,8 +88,17 @@ def nb_train(
         F.count_if(F.col(label_col)).cast("double").alias("dp"),
         F.count_if(~F.col(label_col)).cast("double").alias("dn"),
     )
+    prior_col = (
+        F.when(
+            (F.col("dp") > 0.0) & (F.col("dn") > 0.0),
+            _qz(F.log(F.col("dp") / F.col("dn"))),
+        )
+        .when(F.col("dp") > 0.0, F.lit(ONE_CLASS_PRIOR_MICRO))
+        .otherwise(F.lit(-ONE_CLASS_PRIOR_MICRO))
+        .cast("long")
+    )
     consts = prior.crossJoin(tot).select(
-        _qz(F.log(F.col("dp") / F.col("dn"))).alias("prior_micro"),
+        prior_col.alias("prior_micro"),
         _qz(F.log(zn / zp)).alias("unk_llr_micro"),
     )
     return llr, consts
@@ -97,15 +114,21 @@ def nb_predict(
     """Score a corpus: per doc, integer sum of token LLRs (UNK fallback)
     plus the prior → (keep_cols..., n_tokens, n_oov, score_micro, pred)
     with pred = score > 0. NULL texts are excluded (undefined evidence),
-    matching training."""
+    matching training; a non-NULL but token-free text (empty or
+    whitespace-only) still yields a row — zero evidence, prior-only
+    score — so output rows = input docs with a text, not docs with a
+    token (``explode_outer`` keeps the doc through the explode; its NULL
+    token is NOT counted as OOV)."""
     grams = (
         df.filter(F.col(text_col).isNotNull())
-        .select(*keep_cols, F.explode(_toks(text_col)).alias("token"))
+        .select(*keep_cols, F.explode_outer(_toks(text_col)).alias("token"))
         .join(llr, ["token"], "left")
     )
     per_doc = grams.groupBy(*keep_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.count_if(F.col("llr_micro").isNull()).cast("bigint").alias("n_oov"),
+        F.count("token").cast("bigint").alias("n_tokens"),
+        F.count_if(F.col("token").isNotNull() & F.col("llr_micro").isNull())
+        .cast("bigint")
+        .alias("n_oov"),
         F.sum("llr_micro").alias("_sum_known"),  # NULL-skipping int64 sum
     )
     return per_doc.crossJoin(F.broadcast(consts)).select(
