@@ -3857,7 +3857,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
-#   nb_classifier margin_align tokenizer_fertility kn_trigram
+#   nb_classifier margin_align tokenizer_fertility kn_trigram kmeans_embed
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -4502,6 +4502,98 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:  # tokeniz
     )
 
 
+def q_kmeans_embed(spark: SparkSession, sf: str) -> DataFrame:  # full-corpus k-means
+    """Distributed Lloyd's k-means over the embeddings table
+    (operators.kmeans): k=4 centroids seeded from the 4 smallest vec_ids,
+    3 integer-exact update iterations, final assignment under the fitted
+    centroids. Assignment is a shuffle-free narrow map (centroids are
+    driver literals, ``array_min`` over dist/cluster structs); each
+    update is one (cluster,pos)-grain shuffle — the MLlib job shape.
+    Micro-quantized components make every distance/centroid exact int64,
+    so the DuckDB oracle (the same 3 iterations unrolled as CTEs)
+    matches sizes, int inertia, and member identity bit-for-bit."""
+    from longqc_spark.operators.kmeans import kmeans_fit, kmeans_report
+
+    emb = _read(spark, sf, "embeddings")
+    asg, _ = kmeans_fit(emb, k=4, iters=3)
+    return kmeans_report(asg).select(
+        "cluster",
+        "n_vecs",
+        "inertia",
+        F.col("min_id").alias("min_vec_id"),
+    )
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain — the independent
+    engine re-runs the exact integer recurrence (micro-quantize → int64
+    sq-dist argmin with ties to the lowest cluster → floor-div centroid
+    update, empty clusters keeping their previous centroid)."""
+    ctes = [
+        """
+        q AS (
+            SELECT vec_id, pos,
+                   CAST(floor(CAST(val AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings WHERE embedding IS NOT NULL)
+        )""",
+        f"""
+        c0 AS (
+            SELECT rnk - 1 AS cluster, pos, qv AS comp
+            FROM (SELECT vec_id, pos, qv,
+                         dense_rank() OVER (ORDER BY vec_id) AS rnk FROM q)
+            WHERE rnk <= {k}
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""
+        a{i} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT q.vec_id, c.cluster,
+                       sum((q.qv - c.comp)*(q.qv - c.comp)) AS d
+                FROM q JOIN c{p} c USING (pos)
+                GROUP BY q.vec_id, c.cluster)
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cluster) = 1
+        ), u{i} AS (
+            -- exact floor division (Python's //): floor(sum/count) is
+            -- float-exact here (|sum| << 2^53, asserted Spark-side)
+            SELECT a.cluster, q.pos,
+                   CAST(floor(CAST(sum(q.qv) AS DOUBLE)/count(*)) AS BIGINT)
+                       AS comp
+            FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+            GROUP BY a.cluster, q.pos
+        ), c{i} AS (
+            SELECT p.cluster, p.pos, coalesce(u.comp, p.comp) AS comp
+            FROM c{p} p LEFT JOIN u{i} u
+                 ON u.cluster = p.cluster AND u.pos = p.pos
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+        fin AS (
+            SELECT vec_id, cluster, d FROM (
+                SELECT q.vec_id, c.cluster,
+                       sum((q.qv - c.comp)*(q.qv - c.comp)) AS d
+                FROM q JOIN c{iters} c USING (pos)
+                GROUP BY q.vec_id, c.cluster)
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d, cluster) = 1
+        )
+        SELECT CAST(cluster AS INTEGER) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(d) AS BIGINT) AS inertia,
+               min(vec_id) AS min_vec_id
+        FROM fin GROUP BY cluster ORDER BY cluster
+        """
+    )
+
+
 def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang segmentation, rows-only
     """Per-paragraph language segmentation (text.segment_languages) over
     pages assembled from doc_id arithmetic: d%4 picks en-only / en+fr /
@@ -5104,6 +5196,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_trigram": q_kn_trigram,
         "nb_classifier": q_nb_classifier,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "kmeans_embed": q_kmeans_embed,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
@@ -7159,6 +7252,7 @@ def oracle_sql() -> dict[str, str]:
         # at sf0.001/0.01/0.1).
         "kn_bigram": _kn_bigram_oracle_sql(),
         "kn_trigram": _kn_trigram_oracle_sql(),
+        "kmeans_embed": _kmeans_oracle_sql(),
         "nb_classifier": _nb_classifier_oracle_sql(),
         "split_leakage": f"""
             WITH corpus AS ({_RECRAWL_SQL}), d AS (

@@ -1,0 +1,161 @@
+"""Distributed Lloyd's k-means over embedding columns — integer-exact.
+
+Clustering is the backbone of several curation moves this engine already
+ships pieces of: cluster-balanced sampling, SemDeDup-style semantic
+pruning (``semantic_keep_best``), and the IVF coarse quantizer
+(``simsearch.ivf_topk`` — which fits its centroids on a driver-bounded
+SAMPLE). This module is the full-corpus fit: every vector participates
+in every Lloyd iteration, with the Spark-native job shape MLlib's KMeans
+uses —
+
+* **assignment is a narrow map** (zero shuffle): the k centroids are
+  driver-held literals (k·dim values — tiny at any corpus size) folded
+  into a single JVM expression per row: ``array_min`` over an
+  ``array<struct<dist,cluster>>`` built with ``zip_with``/``aggregate``.
+  Struct ordering compares ``dist`` first then ``cluster`` — ties break
+  to the lowest cluster id, deterministically.
+* **update is ONE shuffle per iteration at (cluster, pos) grain** —
+  k·dim groups regardless of corpus size, with map-side partial
+  aggregation doing almost all the work. The k·dim sums/counts collect
+  to the driver (the same driver/executor split as MLlib and as
+  ``simsearch.ivf_topk``'s centroid table).
+
+**Integer-exact cross-engine contract**: components are micro-quantized
+(``floor(x·1e6 + 0.5)`` — the repo-wide :mod:`.quant` contract) BEFORE
+any arithmetic; distances are int64 sums of squared int differences;
+updated centroids are ``floor(sum/count)`` in exact integer math. No
+float ever crosses a partition boundary, so assignments, inertia, and
+centroids are bit-identical across engines, partitionings, and runs —
+a DuckDB oracle can unroll the same iterations and match exactly.
+
+int64 headroom: |q| ≤ ~2^21 for unit-scale embeddings, a squared diff
+≤ 2^44, × dim(≤2^12) ≤ 2^56 per distance. Component SUMS stay exact
+while n·|q| < 2^53 (the float64 division guard) — at 10^12 rows shard
+the update into per-range partial means or widen to DECIMAL; documented
+rather than silently wrong (an assert guards the collect).
+
+Reference analog: lq_nanopore.py's per-platform signal clustering
+(grouping reads by QC-stat centroids) — here the stat vector is the
+document embedding and the fit is corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .quant import MICRO
+
+__all__ = ["quantize_vec", "kmeans_fit", "kmeans_report"]
+
+# |sum(q)| per (cluster,pos) must stay under 2^53 for the float64 mean
+# division to be exact. ~unit-scale embeddings (|q|~2^20) leave room for
+# ~2^33 ≈ 8.6e9 members per cluster; beyond that, shard the update.
+_EXACT_SUM_LIMIT = 1 << 53
+
+
+def quantize_vec(col: Column) -> Column:
+    """array<float> → array<long>: per-component micro-quantization
+    (floor(x·1e6 + 0.5)). float32 widens to float64 exactly, so the
+    quantized ints are engine-independent."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * MICRO + F.lit(0.5)).cast("long")
+    )
+
+
+def _sqdist(qcol: Column, centroid: list[int]) -> Column:
+    """int64 squared L2 distance between a quantized vector column and a
+    driver-held centroid (folded in as an array literal)."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(qcol: Column, centroids: list[list[int]]) -> Column:
+    """struct<dist:long, cluster:int> of the nearest centroid — ties to
+    the lowest cluster id via struct ordering. Pure JVM, no shuffle."""
+    return F.array_min(
+        F.array(
+            *[
+                F.named_struct(
+                    F.lit("dist"), _sqdist(qcol, c), F.lit("cluster"), F.lit(cid)
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Fit k-means with ``iters`` Lloyd updates; return
+    ``(assignments, centroids)`` where assignments is the plan
+    ``(id_col, cluster, dist)`` under the FINAL centroids and centroids
+    is the k×dim micro-int list.
+
+    Deterministic init: the quantized vectors of the k smallest
+    ``id_col`` values (cluster i = rank i). An iteration that empties a
+    cluster keeps its previous centroid (mirrored by the SQL oracle).
+    NULL vectors are excluded up front.
+
+    The quantized corpus is pinned once with ``localCheckpoint`` so the
+    ``iters+1`` passes (one update job per iteration + the returned
+    assignment) re-read a materialized columnar table instead of
+    re-running the upstream plan — the :func:`graph.pagerank` move.
+    Blocks release when the returned plan is garbage-collected."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    q = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_q"))
+        .localCheckpoint()
+    )
+    seed = q.orderBy("_id").limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"k={k} but only {len(seed)} non-null vectors")
+    centroids: list[list[int]] = [list(r["_q"]) for r in seed]
+
+    for _ in range(iters):
+        best = _assign_expr(F.col("_q"), centroids)
+        upd = (
+            q.select(best["cluster"].alias("_c"), F.posexplode("_q").alias("_p", "_v"))
+            .groupBy("_c", "_p")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()  # k·dim rows — driver-bounded by construction
+        )
+        new = [list(c) for c in centroids]  # empty cluster keeps previous
+        for r in upd:
+            assert abs(r["_s"]) < _EXACT_SUM_LIMIT, "shard the update: sum > 2^53"
+            # floor(sum/count) — exact while |sum| < 2^53 (asserted)
+            new[r["_c"]][r["_p"]] = int(r["_s"] // r["_n"])
+        centroids = new
+
+    best = _assign_expr(F.col("_q"), centroids)
+    asg = q.select(
+        F.col("_id").alias(id_col),
+        best["cluster"].alias("cluster"),
+        best["dist"].alias("dist"),
+    )
+    return asg, centroids
+
+
+def kmeans_report(asg: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-cluster fit summary: size, exact int64 inertia, and the
+    smallest member id (an identity anchor that pins the partition of
+    ids into clusters, not just its shape)."""
+    return (
+        asg.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("dist").alias("inertia"),
+            F.min(id_col).alias("min_id"),
+        )
+        .orderBy("cluster")
+    )
