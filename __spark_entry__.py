@@ -3858,6 +3858,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
 #   nb_classifier margin_align tokenizer_fertility kn_trigram kmeans_embed
+#   hash_tfidf
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -4594,6 +4595,28 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 3) -> str:
     )
 
 
+def q_hash_tfidf(spark: SparkSession, sf: str) -> DataFrame:  # hashing-trick featurizer
+    """Feature-hashed TF-IDF (operators.features — the vocab-free
+    HashingTF+IDF pair) at dim=16, assembled into dense int vectors and
+    summed component-wise per source. Exercises the md5 bucket hash, the
+    (doc,bucket)-grain TF shuffle, the dim-grain IDF broadcast-back, and
+    the zero-filled dense assembly (every present source emits all 16
+    positions). The DuckDB oracle replays hash → tf → idf → product →
+    zero-fill; micro-int products make the sums order-free and exact."""
+    from longqc_spark.operators.features import hash_vectors, hashed_tfidf
+
+    docs = _read(spark, sf, "documents")
+    sparse = hashed_tfidf(docs, dim=16)
+    vecs = hash_vectors(sparse, dim=16)
+    return (
+        vecs.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.posexplode("vec").alias("pos", "v"))
+        .groupBy("source", "pos")
+        .agg(F.sum("v").alias("tfidf_total"))
+        .orderBy("source", "pos")
+    )
+
+
 def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang segmentation, rows-only
     """Per-paragraph language segmentation (text.segment_languages) over
     pages assembled from doc_id arithmetic: d%4 picks en-only / en+fr /
@@ -5197,6 +5220,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "tokenizer_fertility": q_tokenizer_fertility,
         "kmeans_embed": q_kmeans_embed,
+        "hash_tfidf": q_hash_tfidf,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
@@ -7253,6 +7277,39 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram": _kn_bigram_oracle_sql(),
         "kn_trigram": _kn_trigram_oracle_sql(),
         "kmeans_embed": _kmeans_oracle_sql(),
+        "hash_tfidf": r"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE text IS NOT NULL
+            ), tok AS (
+                SELECT doc_id, source, unnest(ts) AS token FROM d
+            ), tf AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16
+                           AS bucket,
+                       count(*) AS tf
+                FROM tok GROUP BY 1, 2, 3
+            ), n AS (
+                -- N counts every non-NULL text, token-free ones included
+                SELECT CAST(count(*) AS DOUBLE) AS nd FROM d
+            ), idf AS (
+                SELECT bucket,
+                       CAST(floor(ln(nd / count(*)) * 1000000 + 0.5) AS BIGINT)
+                           AS idf_micro
+                FROM tf CROSS JOIN n GROUP BY bucket, nd
+            ), sums AS (
+                SELECT tf.source, tf.bucket AS pos,
+                       sum(tf.tf * idf.idf_micro) AS s
+                FROM tf JOIN idf USING (bucket) GROUP BY 1, 2
+            ), srcs AS (SELECT DISTINCT source FROM tf)
+            SELECT srcs.source, CAST(r.range AS INTEGER) AS pos,
+                   CAST(coalesce(s.s, 0) AS BIGINT) AS tfidf_total
+            FROM srcs CROSS JOIN range(16) r
+            LEFT JOIN sums s ON s.source = srcs.source AND s.pos = r.range
+            ORDER BY srcs.source, pos
+        """,
         "nb_classifier": _nb_classifier_oracle_sql(),
         "split_leakage": f"""
             WITH corpus AS ({_RECRAWL_SQL}), d AS (

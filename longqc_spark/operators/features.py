@@ -1,0 +1,113 @@
+"""Feature hashing (HashingTF-style) + TF-IDF — the vocab-free featurizer.
+
+At web scale a vocabulary-indexed featurizer needs a second corpus pass
+plus a corpus-sized dictionary broadcast; the hashing trick replaces both
+with a stateless token→bucket hash into a FIXED dimension, which is why
+it is the standard first stage for linear classifiers / clustering over
+text at 10^12-doc scale (Weinberger et al. 2009; Spark MLlib's
+HashingTF). This module is the pure-DataFrame form, feeding
+:mod:`.kmeans` (dense int vectors) and the quality classifiers.
+
+Cross-engine contract: the bucket is the first 8 md5 hex digits of the
+token as an int, mod ``dim`` (reproducible in DuckDB — the same move as
+``text.fingerprint``); IDF is micro-quantized ``ln(N/df)`` per
+:mod:`.quant`, so per-doc TF-IDF values are exact int64 products and
+every aggregate is order-free.
+
+Scale posture: TF is ONE shuffle at (doc, bucket) grain (map-side
+combine does the heavy lifting — per-partition token repeats collapse
+before the exchange); bucket stats are a second shuffle at ``dim`` grain
+(tiny, broadcast back); dense assembly stays at doc grain with a
+map-lookup fill, no per-row Python anywhere.
+
+Reference analog: lq_gamma.py's fixed-length per-read stat vector — here
+the stat vector is the hashed token histogram of a document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .quant import micro_quantize, ws_tokens
+
+__all__ = ["hash_bucket", "hashed_tf", "bucket_idf", "hashed_tfidf", "hash_vectors"]
+
+
+def hash_bucket(token: Column, dim: int) -> Column:
+    """token → bucket in [0, dim): first 8 md5 hex digits as int, mod
+    ``dim``. 32-bit value, so the mod is non-negative in any engine."""
+    u = F.conv(F.substring(F.md5(token.cast("binary")), 1, 8), 16, 10).cast("long")
+    return F.pmod(u, F.lit(dim)).cast("long")
+
+
+def hashed_tf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = 1024
+) -> DataFrame:
+    """(id, bucket, tf) term frequencies over hashed buckets — NULL texts
+    drop (no tokens → no features), token-free texts contribute no rows
+    (their dense form is the zero vector via :func:`hash_vectors`)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    tok = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.explode(ws_tokens(text_col)).alias("_t")
+    )
+    return (
+        tok.groupBy("_id", hash_bucket(F.col("_t"), dim).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(F.col("_id").alias(id_col), "bucket", "tf")
+    )
+
+
+def bucket_idf(tf: DataFrame, n_docs: Column | int) -> DataFrame:
+    """(bucket, df_docs, idf_micro) from a :func:`hashed_tf` table:
+    df = docs with a nonzero bucket count, idf = micro ``ln(N/df)`` —
+    the plain (unsmoothed) convention; df ≥ 1 for every present bucket
+    so the log is always defined."""
+    n = F.lit(n_docs) if isinstance(n_docs, int) else n_docs
+    return tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs"),
+        micro_quantize(F.log(n.cast("double") / F.count(F.lit(1)))).alias(
+            "idf_micro"
+        ),
+    )
+
+
+def hashed_tfidf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = 1024
+) -> DataFrame:
+    """(id, bucket, tf, tfidf_micro): int64 tf × micro-IDF products. The
+    ``dim``-grain IDF table broadcasts back onto the (doc, bucket) table
+    — no second corpus-sized shuffle."""
+    tf = hashed_tf(df, text_col, id_col, dim)
+    n_docs = df.filter(F.col(text_col).isNotNull()).count()
+    idf = bucket_idf(tf, n_docs)
+    return tf.join(F.broadcast(idf.select("bucket", "idf_micro")), "bucket").select(
+        id_col, "bucket", "tf", (F.col("tf") * F.col("idf_micro")).alias("tfidf_micro")
+    )
+
+
+def hash_vectors(
+    sparse: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    value_col: str = "tfidf_micro",
+) -> DataFrame:
+    """Assemble dense int vectors ``(id, vec: array<long>)`` from a
+    sparse (id, bucket, value) table — zero-filled via map lookup, so the
+    collect_list order never matters. Feed straight into
+    :func:`kmeans.kmeans_fit` (vectors are already int-exact; pass them
+    through ``quantize_vec`` only if mixing with float embeddings)."""
+    m = F.map_from_arrays(
+        F.collect_list("bucket"), F.collect_list(F.col(value_col).cast("long"))
+    )
+    return (
+        sparse.groupBy(F.col(id_col))
+        .agg(m.alias("_m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("_m")[i.cast("long")], F.lit(0).cast("long")),
+            ).alias("vec"),
+        )
+    )
