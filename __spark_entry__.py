@@ -3858,7 +3858,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
 #   nb_classifier margin_align tokenizer_fertility kn_trigram kmeans_embed
-#   hash_tfidf
+#   hash_tfidf cc_star
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -4617,6 +4617,34 @@ def q_hash_tfidf(spark: SparkSession, sf: str) -> DataFrame:  # hashing-trick fe
     )
 
 
+def q_cc_star(spark: SparkSession, sf: str) -> DataFrame:  # O(log n) connected components
+    """Alternating large-star/small-star connected components
+    (operators.cc) on the worst case for the label-propagation twin: a
+    PATH graph — chain edges (d, d+1) inside blocks of 32 doc_ids, so
+    every component has diameter 31 and label propagation would need 31
+    shuffled rounds where the star alternation needs ~5. GROUND-TRUTH
+    oracle: contiguous doc_ids make the component id pure arithmetic
+    (d - d%32), so sizes, minima, and member checksums are all pinned
+    without DuckDB running any graph algorithm."""
+    from longqc_spark.operators.cc import connected_components_star
+
+    ids = _read(spark, sf, "documents").select("doc_id")
+    edges = (
+        ids.filter(F.col("doc_id") % 32 != 31)
+        .select(F.col("doc_id").alias("key_a"), (F.col("doc_id") + 1).alias("key_b"))
+        .join(ids.select(F.col("doc_id").alias("key_b")), "key_b", "semi")
+    )
+    cc = connected_components_star(edges)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("component")
+    )
+
+
 def q_segment_langs(spark: SparkSession, sf: str) -> DataFrame:  # CCNet lang segmentation, rows-only
     """Per-paragraph language segmentation (text.segment_languages) over
     pages assembled from doc_id arithmetic: d%4 picks en-only / en+fr /
@@ -5221,6 +5249,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "kmeans_embed": q_kmeans_embed,
         "hash_tfidf": q_hash_tfidf,
+        "cc_star": q_cc_star,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
@@ -7277,6 +7306,19 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram": _kn_bigram_oracle_sql(),
         "kn_trigram": _kn_trigram_oracle_sql(),
         "kmeans_embed": _kmeans_oracle_sql(),
+        "cc_star": """
+            -- GROUND-TRUTH oracle: chain edges (d, d+1) inside blocks of
+            -- 32 over CONTIGUOUS doc_ids make the component id pure
+            -- arithmetic. Every block has >= 2 members at the shipped
+            -- scales; the HAVING keeps the oracle honest at any id range
+            -- (a singleton block has no edges and never enters CC output).
+            SELECT doc_id - (doc_id % 32) AS component,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(doc_id) AS BIGINT) AS node_checksum
+            FROM documents
+            GROUP BY component HAVING count(*) >= 2
+            ORDER BY component
+        """,
         "hash_tfidf": r"""
             WITH d AS (
                 SELECT doc_id, source,
