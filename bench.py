@@ -103,6 +103,9 @@ BENCH_QUERIES = (
     "tpch_q4like",
     "tpch_q9like",
     "tpch_q21like",
+    "kmeans_embed",
+    "hash_tfidf",
+    "cc_star",
 )
 
 

@@ -14,10 +14,11 @@ uses —
   ``array<struct<dist,cluster>>`` built with ``zip_with``/``aggregate``.
   Struct ordering compares ``dist`` first then ``cluster`` — ties break
   to the lowest cluster id, deterministically.
-* **update is ONE shuffle per iteration at (cluster, pos) grain** —
-  k·dim groups regardless of corpus size, with map-side partial
-  aggregation doing almost all the work. The k·dim sums/counts collect
-  to the driver (the same driver/executor split as MLlib and as
+* **update is ONE shuffle per iteration at cluster grain** — k groups
+  × dim per-component sum columns (no explode: a Generate would
+  re-evaluate the assignment expression per emitted row), with map-side
+  partial aggregation doing almost all the work. The k×dim sums/counts
+  collect to the driver (the same driver/executor split as MLlib and as
   ``simsearch.ivf_topk``'s centroid table).
 
 **Integer-exact cross-engine contract**: components are micro-quantized
@@ -47,9 +48,10 @@ from .quant import MICRO
 
 __all__ = ["quantize_vec", "kmeans_fit", "kmeans_report"]
 
-# |sum(q)| per (cluster,pos) must stay under 2^53 for the float64 mean
-# division to be exact. ~unit-scale embeddings (|q|~2^20) leave room for
-# ~2^33 ≈ 8.6e9 members per cluster; beyond that, shard the update.
+# |sum(q)| per (cluster, dim) must stay under 2^53: Python's // is exact
+# at any width, but the DuckDB oracle's floor(sum/count) divides in
+# float64. ~unit-scale embeddings (|q|~2^20) leave room for ~2^33 ≈
+# 8.6e9 members per cluster; beyond that, shard the update.
 _EXACT_SUM_LIMIT = 1 << 53
 
 
@@ -122,19 +124,31 @@ def kmeans_fit(
         raise ValueError(f"k={k} but only {len(seed)} non-null vectors")
     centroids: list[list[int]] = [list(r["_q"]) for r in seed]
 
+    dim = len(centroids[0])
     for _ in range(iters):
         best = _assign_expr(F.col("_q"), centroids)
+        # per-dimension sum expressions, NOT posexplode: a Generate would
+        # re-evaluate the k-way assignment expression once per EXPLODED
+        # row (dim× per doc — measured 12× slower at 100k×64); dim column
+        # aggregates evaluate it once per doc and stay in codegen. k rows
+        # × dim cols to the driver — bounded by construction.
         upd = (
-            q.select(best["cluster"].alias("_c"), F.posexplode("_q").alias("_p", "_v"))
-            .groupBy("_c", "_p")
-            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()  # k·dim rows — driver-bounded by construction
+            q.select(best["cluster"].alias("_c"), "_q")
+            .groupBy("_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_q")[i]).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
         )
         new = [list(c) for c in centroids]  # empty cluster keeps previous
         for r in upd:
-            assert abs(r["_s"]) < _EXACT_SUM_LIMIT, "shard the update: sum > 2^53"
-            # floor(sum/count) — exact while |sum| < 2^53 (asserted)
-            new[r["_c"]][r["_p"]] = int(r["_s"] // r["_n"])
+            n = r["_n"]
+            for i in range(dim):
+                s = r[f"_s{i}"]
+                assert abs(s) < _EXACT_SUM_LIMIT, "shard the update: sum > 2^53"
+                # floor(sum/count) — exact integer floor division
+                new[r["_c"]][i] = int(s // n)
         centroids = new
 
     best = _assign_expr(F.col("_q"), centroids)

@@ -84,7 +84,7 @@ def main() -> None:
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
         "c4_clean block_extract fix_encoding latest_crawl mirror host_boilerplate blocklist neardup keep_best pack_seqs "
         "pack_rows neardup_keep_best curate_full scrub_spans skew charset "
-        "zipf image_neardup bpe knlm nbayes) and MERGE "
+        "zipf image_neardup bpe knlm nbayes hash_kmeans cc_star) and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
     )
@@ -1025,6 +1025,68 @@ def main() -> None:
             "n_images": n_media,
             "n_planted": (n_img + 3) // 4,
             "n_pairs": n_pairs,
+        }
+
+    # -- round-4n: feature-hashed TF-IDF + full-corpus k-means, CHAINED —
+    # the hashing trick featurizes the whole corpus with one (doc,bucket)
+    # shuffle, then Lloyd's runs its shuffle-free assignment + one
+    # (cluster,pos)-grain update per iteration over the dense vectors. --
+    if want("hash_kmeans"):
+        from longqc_spark.operators.features import hash_vectors, hashed_tfidf
+        from longqc_spark.operators.kmeans import kmeans_fit, kmeans_report
+
+        dim = 64
+        t0 = time.time()
+        vecs = hash_vectors(
+            hashed_tfidf(docs, id_col="url", dim=dim), dim=dim, id_col="url"
+        ).select(
+            "url",
+            F.transform("vec", lambda x: x.cast("double") / F.lit(1e8)).alias(
+                "embedding"
+            ),
+        )
+        vecs = vecs.localCheckpoint(eager=True)  # featurize once, fit reuses
+        feat_dt = time.time() - t0
+        t0 = time.time()
+        asg, _ = kmeans_fit(vecs, id_col="url", k=8, iters=3)
+        sizes = kmeans_report(asg, id_col="url").collect()
+        fit_dt = time.time() - t0
+        out["hash_kmeans"] = {
+            "featurize_sec": round(feat_dt, 1),
+            "featurize_docs_per_sec": round(args.docs / feat_dt),
+            "kmeans_sec": round(fit_dt, 1),
+            "kmeans_docs_per_sec": round(args.docs / fit_dt),
+            "dim": dim,
+            "k": 8,
+            "iters": 3,
+            "n_assigned": int(sum(r["n_vecs"] for r in sizes)),
+        }
+
+    # -- round-4n: alternating-star CC on a corpus-sized PATH graph (one
+    # chain per 2^15 block) — diameter ~32k, the case where label
+    # propagation would need ~32k shuffle rounds and the star alternation
+    # needs ~log2(32k) ≈ 15 two-shuffle rounds. --
+    if want("cc_star"):
+        from longqc_spark.operators.cc import connected_components_star
+
+        n_nodes = args.docs
+        block = 1 << 15
+        edges = (
+            spark.range(n_nodes)
+            .filter(F.col("id") % block != block - 1)
+            .filter(F.col("id") + 1 < n_nodes)
+            .select(F.col("id").alias("key_a"), (F.col("id") + 1).alias("key_b"))
+        )
+        t0 = time.time()
+        cc = connected_components_star(edges, max_iter=40)
+        n_comp = cc.select("component").distinct().count()
+        dt = time.time() - t0
+        out["cc_star_path"] = {
+            "sec": round(dt, 1),
+            "nodes_per_sec": round(n_nodes / dt),
+            "n_nodes": n_nodes,
+            "block": block,
+            "n_components": n_comp,
         }
 
     if only and os.path.exists(args.out):
