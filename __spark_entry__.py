@@ -1135,6 +1135,32 @@ def q_host_rank(spark: SparkSession, sf: str) -> DataFrame:  # graph: PageRank c
     return ranks.select("host", F.round("rank", 6).alias("rank")).orderBy("host")
 
 
+def q_host_hits(spark: SparkSession, sf: str) -> DataFrame:  # graph: HITS centrality
+    """HITS hubs/authorities (operators/graph.hits) over the SAME
+    crawled-host link subgraph as ``host_rank`` — the directory-vs-
+    endorsement complement to PageRank for frontier seeding. 8 power
+    iterations, L1-normalized per half-step; the DuckDB oracle replays
+    the identical recurrence as a recursive CTE at HALF-STEP grain (one
+    recursive self-reference: a parity-sliced edge table with self-marker
+    rows carries both the aggregation and the carried-over vector), and
+    the two engines agree to 6 decimals on every host."""
+    from longqc_spark.operators.graph import hits, host_link_edges
+
+    edges = (
+        host_link_edges(_graph_pages(spark, sf), drop_self=False)
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    srcs = edges.select(F.col("src_host").alias("dst_host")).distinct()
+    crawled = edges.join(srcs, "dst_host", "semi")
+    out = hits(crawled, iters=8)
+    return out.select(
+        "host",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    ).orderBy("host")
+
+
 def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: RFC 9309 crawl consent
     """RFC 9309 robots.txt gate (operators/robots.py): even-k hosts (k%5≠3)
     publish a robots body with a ccbot-specific block (must be IGNORED by
@@ -3858,7 +3884,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
 #   nb_classifier margin_align tokenizer_fertility kn_trigram kmeans_embed
-#   hash_tfidf cc_star
+#   hash_tfidf cc_star host_hits
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -5250,6 +5276,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": q_kmeans_embed,
         "hash_tfidf": q_hash_tfidf,
         "cc_star": q_cc_star,
+        "host_hits": q_host_hits,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
@@ -7306,6 +7333,59 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram": _kn_bigram_oracle_sql(),
         "kn_trigram": _kn_trigram_oracle_sql(),
         "kmeans_embed": _kmeans_oracle_sql(),
+        "host_hits": """
+            -- Independent fixed-point at HALF-STEP grain: one recursive
+            -- self-reference per step. ed2 slices the edge set by parity
+            -- (par 0 = in-edges for the authority half, par 1 = reversed
+            -- for the hub half) and adds one self-marker row per node and
+            -- parity so the SAME grouped join both aggregates the active
+            -- vector AND carries each node's previous value (cur flips
+            -- a,h,a,h...; at even it: cur = h_{it/2}, oth = a_{it/2}).
+            WITH RECURSIVE
+            pages AS (
+                SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.example' AS src,
+                       text
+                FROM documents WHERE text IS NOT NULL
+            ), all_edges AS (
+                SELECT src,
+                       'h' || CAST(CAST(('0x' || substr(md5(l), 1, 6)) AS BIGINT) % 16
+                             AS VARCHAR) || '.example' AS dst
+                FROM (SELECT src, unnest(string_split(text, chr(10))) AS l
+                      FROM pages) t
+                UNION ALL
+                SELECT src, src FROM pages
+            ), e AS (
+                SELECT DISTINCT src, dst FROM all_edges
+                WHERE dst IN (SELECT src FROM all_edges)
+            ), nodes AS (
+                SELECT DISTINCT src AS h FROM e
+            ), ed2 AS (
+                SELECT 0 AS par, src, dst, 0 AS s FROM e
+                UNION ALL SELECT 1, dst, src, 0 FROM e
+                UNION ALL SELECT 0, h, h, 1 FROM nodes
+                UNION ALL SELECT 1, h, h, 1 FROM nodes
+            ), st(it, host, cur, oth) AS (
+                SELECT 0, h, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+                FROM nodes
+                UNION ALL
+                SELECT it + 1, host,
+                       coalesce(raw / nullif(sum(raw) OVER (), 0.0),
+                                CAST(0.0 AS DOUBLE)),
+                       own
+                FROM (
+                    SELECT any_value(p.it) AS it, ed2.dst AS host,
+                           coalesce(sum(p.cur) FILTER (WHERE ed2.s = 0),
+                                    CAST(0.0 AS DOUBLE)) AS raw,
+                           any_value(p.cur) FILTER (WHERE ed2.s = 1) AS own
+                    FROM ed2 JOIN st p
+                         ON p.host = ed2.src AND ed2.par = p.it % 2
+                    GROUP BY ed2.dst
+                ) step
+                WHERE it < 16
+            )
+            SELECT host, round(cur, 6) AS hub, round(oth, 6) AS authority
+            FROM st WHERE it = 16 ORDER BY host
+        """,
         "cc_star": """
             -- GROUND-TRUTH oracle: chain edges (d, d+1) inside blocks of
             -- 32 over CONTIGUOUS doc_ids make the component id pure

@@ -154,3 +154,66 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    iters: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities by power iteration → ``(host, hub,
+    authority)``, each vector L1-normalized (sums to 1). The complement
+    to :func:`pagerank` for crawl prioritization: PageRank scores
+    *endorsement received*; the hub score surfaces DIRECTORY/index hosts
+    — pages whose links concentrate on good authorities — which is the
+    signal a frontier scheduler wants for seed lists (Kleinberg 1999).
+
+    Same scale posture as :func:`pagerank`: host-grain vectors, each
+    half-iteration is one shuffle (groupBy on the receiving side) with
+    the rank join broadcastable under AQE; the L1 total is a scalar
+    driver aggregate per half-step (the dangling-mass move); lineage is
+    cut every ``checkpoint_every`` iterations. A graph with zero edges
+    returns an empty frame. Reference analog: the two-sided chain
+    scoring of lqmap.c:140-205 (read-side vs target-side minimizer
+    weights mirror hub vs authority)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("_s").alias("host"))
+        .union(e.select("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("host", F.lit(1.0).alias("v"))
+    a = h
+
+    def _half(vec: DataFrame, join_on: str, group_to: str) -> DataFrame:
+        raw = (
+            e.join(vec.withColumnRenamed("host", join_on), join_on)
+            .groupBy(group_to)
+            .agg(F.sum("v").alias("_raw"))
+        )
+        tot = raw.agg(F.sum("_raw")).first()[0] or 0.0
+        joined = nodes.join(raw.withColumnRenamed(group_to, "host"), "host", "left")
+        if tot == 0.0:  # degenerate: no mass anywhere — all-zero vector
+            return joined.select("host", F.lit(0.0).alias("v"))
+        # divide (not multiply-by-reciprocal): the same IEEE op an SQL
+        # twin's raw/total performs, so both engines agree to the ulp
+        return joined.select(
+            "host", (F.coalesce("_raw", F.lit(0.0)) / F.lit(tot)).alias("v")
+        )
+
+    for i in range(iters):
+        a = _half(h, "_s", "_d")  # authority: in-edge sum of hub scores
+        h = _half(a, "_d", "_s")  # hub: out-edge sum of authority scores
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            a = a.localCheckpoint()
+            h = h.localCheckpoint()
+    return h.select("host", F.col("v").alias("hub")).join(
+        a.select("host", F.col("v").alias("authority")), "host"
+    )

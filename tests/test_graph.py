@@ -122,3 +122,56 @@ def test_pagerank_iters_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
     with pytest.raises(ValueError, match="iters"):
         pagerank(df, iters=0)
+
+
+def _np_hits(nodes, edges, iters):
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    a = np.ones(len(nodes))
+    for _ in range(iters):
+        a = A.T @ h
+        a = a / a.sum() if a.sum() else a * 0.0
+        h = A @ a
+        h = h / h.sum() if h.sum() else h * 0.0
+    return {n: (h[idx[n]], a[idx[n]]) for n in nodes}
+
+
+def test_hits_matches_numpy(spark):
+    from longqc_spark.operators.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("d", "b"), ("c", "d"), ("b", "b")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {
+        r["host"]: (r["hub"], r["authority"]) for r in hits(df, iters=8).collect()
+    }
+    exp = _np_hits(["a", "b", "c", "d"], edges, iters=8)
+    assert got.keys() == exp.keys()
+    for n in exp:
+        assert got[n][0] == pytest.approx(exp[n][0], abs=1e-12)
+        assert got[n][1] == pytest.approx(exp[n][1], abs=1e-12)
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_hits_directory_host_is_top_hub(spark):
+    from longqc_spark.operators.graph import hits
+
+    # "dir" links to every content host but receives nothing: pure hub;
+    # content hosts interlink weakly
+    edges = [("dir", f"c{i}") for i in range(4)] + [("c0", "c1"), ("c1", "c0")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r for r in hits(df, iters=8).collect()}
+    top_hub = max(got.values(), key=lambda r: r["hub"])["host"]
+    assert top_hub == "dir"
+    assert got["dir"]["authority"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_hits_iters_validation(spark):
+    from longqc_spark.operators.graph import hits
+
+    df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
+    with pytest.raises(ValueError, match="iters"):
+        hits(df, iters=0)
