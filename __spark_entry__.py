@@ -1161,6 +1161,40 @@ def q_host_hits(spark: SparkSession, sf: str) -> DataFrame:  # graph: HITS centr
     ).orderBy("host")
 
 
+def q_cms_tokens(spark: SparkSession, sf: str) -> DataFrame:  # count-min heavy hitters
+    """Count-Min Sketch frequency estimation (operators.sketches): build
+    a 4×1024 sketch over the full token stream (one (row,bucket)-grain
+    shuffle — bounded state regardless of vocabulary), then point-
+    estimate the exact top-20 tokens against it and report estimate vs
+    truth (CMS never underestimates; overcount = collision mass). The
+    md5-seeded row hashes make every cell and estimate a deterministic
+    integer, so the DuckDB oracle rebuilds the identical sketch."""
+    from longqc_spark.operators.sketches import cms_build, cms_estimate
+    from longqc_spark.operators.quant import ws_tokens
+
+    docs = _read(spark, sf, "documents")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(ws_tokens("text")).alias("token")
+    )
+    sketch = cms_build(tok, depth=4, width=1024)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(20)
+    )
+    return (
+        cms_estimate(top, sketch, depth=4, width=1024)
+        .select(
+            "token",
+            "n_exact",
+            "cms_count",
+            (F.col("cms_count") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+    )
+
+
 def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: RFC 9309 crawl consent
     """RFC 9309 robots.txt gate (operators/robots.py): even-k hosts (k%5≠3)
     publish a robots body with a ccbot-specific block (must be IGNORED by
@@ -3884,7 +3918,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
 #   nb_classifier margin_align tokenizer_fertility kn_trigram kmeans_embed
-#   hash_tfidf cc_star host_hits
+#   hash_tfidf cc_star host_hits cms_tokens
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -5277,6 +5311,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_tfidf": q_hash_tfidf,
         "cc_star": q_cc_star,
         "host_hits": q_host_hits,
+        "cms_tokens": q_cms_tokens,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
@@ -7333,6 +7368,42 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram": _kn_bigram_oracle_sql(),
         "kn_trigram": _kn_trigram_oracle_sql(),
         "kmeans_embed": _kmeans_oracle_sql(),
+        "cms_tokens": r"""
+            WITH d AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE text IS NOT NULL
+            ), tok AS (
+                SELECT unnest(ts) AS token FROM d
+            ), cnt AS (
+                SELECT token, count(*) AS n_exact FROM tok GROUP BY token
+            ), top AS (
+                SELECT token, n_exact FROM cnt
+                ORDER BY n_exact DESC, token LIMIT 20
+            ), cells AS (
+                -- the identical 4x1024 sketch: row-r bucket = first 8 md5
+                -- hex digits of token || '#r', mod 1024
+                SELECT r.range AS row,
+                       CAST(('0x' || substr(md5(token || '#' ||
+                            CAST(r.range AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1024 AS bucket,
+                       count(*) AS c
+                FROM tok CROSS JOIN range(4) r
+                GROUP BY 1, 2
+            ), est AS (
+                SELECT t.token, t.n_exact,
+                       min(coalesce(c.c, 0)) AS cms_count
+                FROM top t CROSS JOIN range(4) r
+                LEFT JOIN cells c ON c.row = r.range
+                     AND c.bucket = CAST(('0x' || substr(md5(t.token || '#' ||
+                            CAST(r.range AS VARCHAR)), 1, 8)) AS BIGINT) % 1024
+                GROUP BY t.token, t.n_exact
+            )
+            SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(cms_count AS BIGINT) AS cms_count,
+                   CAST(cms_count - n_exact AS BIGINT) AS overcount
+            FROM est ORDER BY n_exact DESC, token
+        """,
         "host_hits": """
             -- Independent fixed-point at HALF-STEP grain: one recursive
             -- self-reference per step. ed2 slices the edge set by parity
