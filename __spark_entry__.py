@@ -3918,7 +3918,7 @@ assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
 #   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
 #   per_dump_incremental temperature_mix unigram_learn kn_bigram
 #   nb_classifier margin_align tokenizer_fertility kn_trigram kmeans_embed
-#   hash_tfidf cc_star host_hits cms_tokens
+#   hash_tfidf cc_star host_hits cms_tokens isotonic_fit
 # (41 names + any further round-4 additions, recomputed against
 # CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
 # driver-green anchors — that makes every registry entry driver-verified
@@ -5186,6 +5186,26 @@ def q_ece_calibration(spark: SparkSession, sf: str) -> DataFrame:  # monitoring:
     )
 
 
+def q_isotonic_fit(spark: SparkSession, sf: str) -> DataFrame:  # monitoring: PAV recalibration
+    """Isotonic (PAV) recalibration (relational.isotonic_calibration)
+    over the SAME overconfident scorer fixture as ``ece_calibration`` —
+    the fix for the miscalibration that query diagnoses. The fit runs
+    in-plan via the minimax characterization (max-min over bin-range
+    means on the ≤10-row bin table); the DuckDB oracle computes the
+    identical prefix-sum/triple-join formula, agreeing to 6 decimals."""
+    from longqc_spark.operators.relational import isotonic_calibration
+
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    s = F.pmod(F.length("text") * 37, 2000) / F.lit(2000.0)
+    label = (F.pmod(F.col("doc_id") * 7919, 1000) / 1000.0) < (s * s)
+    return isotonic_calibration(
+        docs.select(s.alias("score"), label.alias("label")),
+        "score",
+        "label",
+        n_bins=10,
+    )
+
+
 def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:  # monitoring: KS drift
     """Two-sample Kolmogorov-Smirnov drift (web.ks_drift) between even-id
     and odd-id snapshot halves, the odd half shifted +0.05 on every 5th
@@ -5312,6 +5332,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": q_cc_star,
         "host_hits": q_host_hits,
         "cms_tokens": q_cms_tokens,
+        "isotonic_fit": q_isotonic_fit,
         "profile_table": q_profile_table,
         "segment_langs": q_segment_langs,
         "ngram_diversity": q_ngram_diversity,
@@ -7368,6 +7389,48 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram": _kn_bigram_oracle_sql(),
         "kn_trigram": _kn_trigram_oracle_sql(),
         "kmeans_embed": _kmeans_oracle_sql(),
+        "isotonic_fit": """
+            -- the same minimax isotonic formula: prefix sums over the
+            -- non-empty bins, mean(j..k) as a difference of integer
+            -- cumulatives divided in DOUBLE, iso(i) = max_{j<=i}
+            -- min_{k>=i} mean(j..k); 6dp rounding
+            WITH t AS (
+                SELECT (length(text) * 37 % 2000) / 2000.0 AS score,
+                       (doc_id * 7919 % 1000) / 1000.0
+                           < pow((length(text) * 37 % 2000) / 2000.0, 2)
+                           AS label
+                FROM documents WHERE text IS NOT NULL
+            ), b AS (
+                SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9)
+                           AS bin,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                           AS pos
+                FROM t GROUP BY 1
+            ), pre AS (
+                SELECT bin, n, pos,
+                       sum(n) OVER (ORDER BY bin) AS cw,
+                       sum(pos) OVER (ORDER BY bin) AS cs
+                FROM b
+            ), pairs AS (
+                SELECT j.bin AS jb, k.bin AS kb,
+                       CAST(k.cs - (j.cs - j.pos) AS DOUBLE)
+                           / CAST(k.cw - (j.cw - j.n) AS DOUBLE) AS m
+                FROM pre j JOIN pre k ON j.bin <= k.bin
+            ), inner_min AS (
+                SELECT i.bin AS ib, p.jb, min(p.m) AS im
+                FROM pre i JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin
+                GROUP BY i.bin, p.jb
+            ), iso AS (
+                SELECT ib AS bin, max(im) AS iso_rate
+                FROM inner_min GROUP BY ib
+            )
+            SELECT pre.bin, pre.n, pre.pos,
+                   round(CAST(pre.pos AS DOUBLE) / pre.n, 6) AS raw_rate,
+                   round(iso.iso_rate, 6) AS iso_rate
+            FROM pre JOIN iso ON iso.bin = pre.bin
+            ORDER BY pre.bin
+        """,
         "cms_tokens": r"""
             WITH d AS (
                 SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -732,6 +732,88 @@ def calibration_bins(
     )
 
 
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a quality scorer over equal-width
+    score bins — the FIX for what :func:`calibration_bins` diagnoses: the
+    monotone-nondecreasing rate curve closest (L2) to the observed
+    per-bin positive rates, the standard recalibration step before
+    thresholding classifier scores (Zadrozny & Elkan 2002).
+
+    Computed IN-PLAN via the minimax characterization of isotonic
+    regression — ``iso(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k)``
+    — instead of the sequential pool-adjacent-violators sweep: after the
+    ONE corpus shuffle into ≤ n_bins rows, the triple (i,j,k) expansion
+    is at most n_bins³ rows of bin-table joins, so the whole fit stays a
+    declarative plan (no driver loop, no UDF) and an SQL engine can
+    replay it verbatim. Prefix sums make mean(j..k) a difference of two
+    integer cumulatives divided in float64 — bit-identical across
+    engines. Same bin/NULL conventions as ``calibration_bins``; empty
+    bins simply have no row (the fit pools across the gap).
+
+    → ``(bin, n, pos, raw_rate, iso_rate)`` with iso_rate monotone.
+    ``n_bins`` is capped at 256: the expansion is cubic by design — bins
+    are the bounded state, the corpus never enters the join."""
+    if not 2 <= n_bins <= 256:
+        raise ValueError(f"n_bins must be in [2, 256], got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    binned = (
+        df.filter(s.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce(F.col(label_col).cast("int"), F.lit(0)))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = binned.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).alias("_cw"),
+        F.sum("pos").over(w).alias("_cs"),
+    )
+    pj = pre.select(
+        F.col("bin").alias("_j"),
+        (F.col("_cw") - F.col("n")).alias("_cwj"),
+        (F.col("_cs") - F.col("pos")).alias("_csj"),
+    )
+    pk = pre.select(
+        F.col("bin").alias("_k"), F.col("_cw").alias("_cwk"), F.col("_cs").alias("_csk")
+    )
+    pairs = pj.join(pk, F.col("_j") <= F.col("_k")).select(
+        "_j", "_k",
+        (
+            (F.col("_csk") - F.col("_csj")) / (F.col("_cwk") - F.col("_cwj"))
+        ).alias("_mean"),
+    )
+    iso = (
+        pre.select(F.col("bin").alias("_i"))
+        .join(pairs, (F.col("_j") <= F.col("_i")) & (F.col("_k") >= F.col("_i")))
+        .groupBy("_i", "_j")
+        .agg(F.min("_mean").alias("_inner"))
+        .groupBy("_i")
+        .agg(F.max("_inner").alias("_iso"))
+    )
+    return (
+        pre.join(iso, pre.bin == iso._i)
+        .select(
+            "bin", "n", "pos",
+            F.round(F.col("pos") / F.col("n"), 6).alias("raw_rate"),
+            F.round("_iso", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
 _PROFILE_ATOMIC = ("string", "boolean") + tuple(
     t + "int" for t in ("tiny", "small", "big", "")
 ) + ("int", "bigint", "float", "double", "date", "timestamp", "decimal")

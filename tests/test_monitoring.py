@@ -80,3 +80,88 @@ def test_ks_quantization_bounds_grid(spark):
     )
     row = ks_drift(a, a, "v", precision=1).first()
     assert row.ks == 0.0 and row.n_ref == 5000
+
+
+def _serial_pav(weights, rates):
+    """Sequential pool-adjacent-violators on (weight, rate) bins —
+    returns one fitted value per input bin."""
+    blocks = []  # [pooled_weight, pooled_mass]
+    for w, r in zip(weights, rates):
+        blocks.append([w, w * r])
+        while len(blocks) > 1 and (
+            blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+        ):
+            w2, m2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += m2
+    res = []
+    bi = 0
+    for w, m in blocks:  # expand each pooled block back over its bins
+        acc = 0
+        while acc < w - 1e-9:
+            acc += weights[bi]
+            res.append(m / w)
+            bi += 1
+    return res
+
+
+def test_isotonic_matches_serial_pav(spark):
+    from longqc_spark.operators.relational import isotonic_calibration
+
+    rng = np.random.default_rng(5)
+    rows = []
+    rates = rng.uniform(0, 1, 10)
+    counts = rng.integers(5, 30, 10)
+    for k in range(10):
+        s = k / 10 + 0.05
+        pos = round(float(rates[k]) * int(counts[k]))
+        rows += [(s, i < pos) for i in range(int(counts[k]))]
+    out = isotonic_calibration(_scored(spark, rows), "score", "label").collect()
+    want = _serial_pav(
+        [int(c) for c in counts],
+        [round(float(r) * int(c)) / int(c) for r, c in zip(rates, counts)],
+    )
+    assert [r.bin for r in out] == list(range(10))
+    for r, w in zip(out, want):
+        assert abs(r.iso_rate - w) < 5e-7  # 6dp rounding on the operator
+    # monotone
+    vals = [r.iso_rate for r in out]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_isotonic_monotone_input_unchanged(spark):
+    from longqc_spark.operators.relational import isotonic_calibration
+
+    rows = []
+    for k in range(5):
+        s = k / 5 + 0.1
+        rows += [(s, i < 2 * k) for i in range(10)]  # rates 0,.2,.4,.6,.8
+    out = isotonic_calibration(_scored(spark, rows), "score", "label", n_bins=5).collect()
+    for r in out:
+        assert abs(r.iso_rate - r.raw_rate) < 1e-9
+
+
+def test_isotonic_pools_violation(spark):
+    from longqc_spark.operators.relational import isotonic_calibration
+
+    # two bins, equal weight, rates 0.8 then 0.2 -> both pool to 0.5
+    rows = [(0.2, i < 8) for i in range(10)] + [(0.7, i < 2) for i in range(10)]
+    out = isotonic_calibration(_scored(spark, rows), "score", "label", n_bins=2).collect()
+    assert [r.iso_rate for r in out] == [0.5, 0.5]
+
+
+def test_isotonic_null_handling_and_validation(spark):
+    import pytest
+
+    from longqc_spark.operators.relational import isotonic_calibration
+
+    rows = [(0.1, True), (None, True), (0.9, None)]
+    out = isotonic_calibration(
+        _scored(spark, rows), "score", "label", n_bins=2
+    ).collect()
+    # NULL score filtered; NULL label counts negative
+    assert sum(r.n for r in out) == 2 and sum(r.pos for r in out) == 1
+    with pytest.raises(ValueError):
+        isotonic_calibration(_scored(spark, rows), "score", "label", n_bins=1)
+    with pytest.raises(ValueError):
+        isotonic_calibration(_scored(spark, rows), "score", "label", n_bins=1000)
