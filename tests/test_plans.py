@@ -857,3 +857,41 @@ def test_kn_bigram_w1_exchange_reused(spark, sf001):
     pair, ctx, cont, consts = kn_bigram_lm(docs)
     for df in (pair, ctx, cont, consts):
         assert "CartesianProduct" not in _plan(df)
+
+
+def test_hashed_tfidf_broadcasts_idf(spark, sf001):
+    # the dim-grain IDF table must broadcast back onto the (doc,bucket)
+    # table — a shuffled join here would re-exchange the corpus-sized side
+    from longqc_spark.operators.features import hashed_tfidf
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = _plan(hashed_tfidf(docs, dim=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark, sf001):
+    from longqc_spark.operators.quant import ws_tokens
+    from longqc_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(ws_tokens("text")).alias("token")
+    )
+    sketch = cms_build(tok, width=64)
+    est = cms_estimate(tok.limit(5), sketch, width=64)
+    plan = _plan(est)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cms_build_has_partial_aggregation(spark, sf001):
+    # the (row,bucket)-grain build must map-side combine the token stream
+    from longqc_spark.operators.quant import ws_tokens
+    from longqc_spark.operators.sketches import cms_build
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(ws_tokens("text")).alias("token")
+    )
+    f = _formatted(cms_build(tok, width=64))
+    assert f.count("HashAggregate") >= 2  # partial + final around one exchange
