@@ -81,3 +81,13 @@ def test_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(63)]
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(_pairs_df(spark, edges), max_iter=1)
+
+
+def test_partitioning_invariance(spark):
+    rng = random.Random(23)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    df1 = _pairs_df(spark, edges).repartition(1)
+    df8 = _pairs_df(spark, edges).repartition(8)
+    r1 = sorted(map(tuple, connected_components_star(df1).collect()))
+    r8 = sorted(map(tuple, connected_components_star(df8).collect()))
+    assert r1 == r8

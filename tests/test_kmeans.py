@@ -133,3 +133,11 @@ def test_bad_args(spark, emb):
         kmeans_fit(emb, iters=-1)
     with pytest.raises(ValueError):
         kmeans_fit(emb.filter(F.col("vec_id") < 2), k=5)
+
+
+def test_partitioning_invariance(spark, emb):
+    # the integer contract's point: any partitioning, same fit
+    a1, c1 = kmeans_fit(emb.repartition(1), k=3, iters=2)
+    a7, c7 = kmeans_fit(emb.repartition(7), k=3, iters=2)
+    assert c1 == c7
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a7.collect()))

@@ -87,3 +87,10 @@ def test_bucket_matches_python_md5(spark):
 def test_bad_args(spark):
     with pytest.raises(ValueError):
         cms_build(_tok_df(spark, ["a"]), depth=0)
+
+
+def test_partitioning_invariance(spark):
+    toks = [f"t{i % 37}" for i in range(500)]
+    s1 = cms_build(_tok_df(spark, toks).repartition(1), depth=3, width=128)
+    s9 = cms_build(_tok_df(spark, toks).repartition(9), depth=3, width=128)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s9.collect()))
