@@ -465,6 +465,69 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_containment: float = 0.5,
+    max_occ: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL token-set containment C(A ⊆ B) = |A∩B| / |A| (Broder
+    1997's second resemblance measure) — the one-sided dup signal Jaccard
+    misses: an excerpt, quote, or syndicated fragment inside a larger page
+    has near-1 containment but low Jaccard once the container grows, so a
+    resemblance threshold never fires. → (contained, container,
+    containment) with BOTH orientations of each intersecting pair
+    evaluated and only those ≥ ``min_containment`` kept.
+
+    Same candidate machinery and scale posture as
+    :func:`ngram_jaccard_pairs` (token equi-join with the ``max_occ``
+    document-frequency heavy-hitter cut bounding fan-out to
+    O(docs·max_occ); containment stays exact over the surviving token
+    universe, and a cut token carries no containment signal for the same
+    reason it carries no resemblance signal). Reference analog: the
+    one-sided read-in-read overlap class of the minimizer chain scorer
+    (lqmap.c:140-205 distinguishes containment from dovetail overlap)."""
+    toks = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    if max_occ is not None:
+        rare = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df_freq"))
+            .filter(F.col("df_freq") <= max_occ)
+            .select("tok")
+        )
+        toks = toks.join(rare, "tok", "left_semi")
+    sizes = toks.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = toks.alias("l"), toks.alias("r")
+    inter = (
+        l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col("l.k") < F.col("r.k")))
+        .groupBy(F.col("l.k").alias("ka"), F.col("r.k").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("k").alias("ka"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("k").alias("kb"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "ka").join(sb, "kb")
+    fwd = both.select(
+        F.col("ka").alias("contained"),
+        F.col("kb").alias("container"),
+        (F.col("inter") / F.col("sz_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("kb").alias("contained"),
+        F.col("ka").alias("container"),
+        (F.col("inter") / F.col("sz_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= min_containment)
+
+
 def simhash_signatures(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -611,3 +611,53 @@ def test_margin_align_corrects_hubness(spark):
     out = {r["src_id"]: r["tgt_id"] for r in margin_align(src, tgt, k=3).collect()}
     # every source aligns to ITS sharp target (tgt id = 2*i+3), never the hub
     assert out == {i * 2: (i + 1) * 2 + 1 for i in range(6)}
+
+
+def test_containment_planted_excerpt(spark):
+    from longqc_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma"),          # subset of 1 -> containment 1.0
+        (3, "omega psi chi"),             # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in containment_pairs(df, min_containment=0.0).collect()
+    }
+    assert got[(2, 1)] == pytest.approx(1.0)
+    assert got[(1, 2)] == pytest.approx(3 / 6)  # reverse direction differs
+    assert (3, 1) not in got and (1, 3) not in got  # no intersection, no row
+
+
+def test_containment_threshold_and_direction(spark):
+    from longqc_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e k"),  # 5/6 contained in 1 = 0.833
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, min_containment=0.8).collect()
+    assert [(r["contained"], r["container"]) for r in out] == [(2, 1)]
+    assert out[0]["containment"] == pytest.approx(5 / 6)
+
+
+def test_containment_max_occ_universe_consistency(spark):
+    from longqc_spark.operators.dedup import containment_pairs
+
+    # "stop" appears in all 3 docs; with max_occ=2 it leaves the universe
+    # on BOTH the intersection and the size side, so doc 2 (subset of 1
+    # apart from "stop") still reads containment 1.0 over survivors
+    rows = [
+        (1, "stop alpha beta gamma"),
+        (2, "stop alpha beta"),
+        (3, "stop other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in containment_pairs(df, min_containment=0.0, max_occ=2).collect()
+    }
+    assert got[(2, 1)] == pytest.approx(1.0)
