@@ -517,8 +517,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.train_lm:
             from .operators.knlm import kn_bigram_lm
 
+            # counts_cache: four separate write actions below — without the
+            # eager checkpoint each one re-pays the corpus tokenize+shuffle
             pair, kctx, cont, consts = kn_bigram_lm(
-                spark.read.parquet(args.curate_out), text_col="scrubbed_text"
+                spark.read.parquet(args.curate_out),
+                text_col="scrubbed_text",
+                counts_cache=True,
             )
             for name, d in (
                 ("pair", pair), ("ctx", kctx), ("cont", cont), ("consts", consts)

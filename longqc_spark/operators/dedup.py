@@ -402,27 +402,21 @@ def minhash_jaccard_estimate(
     )
 
 
-def ngram_jaccard_pairs(
+def _token_set_intersections(
     df: DataFrame,
-    key_col: str = "doc_id",
-    text_col: str = "text",
-    min_jaccard: float = 0.0,
-    top_k: int | None = None,
-    max_occ: int | None = None,
-) -> DataFrame:
-    """Exact word-set Jaccard via token equi-join (J2 minimizer-join analog):
-    explode distinct tokens, self-join on token, count intersections, derive
-    |A∪B| = |A|+|B|−|A∩B|. → (key_a, key_b, jaccard).
-
-    ``max_occ`` is the heavy-hitter guard (the reference's repetitive-
-    minimizer skip, ``lqmap.c:166-173``): tokens appearing in more than
-    ``max_occ`` documents are dropped BEFORE the self-join, bounding the
-    candidate fan-out to O(docs · max_occ) — a stopword in 10^9 docs would
-    otherwise emit ~10^18 pairs. Jaccard stays EXACT over the surviving
-    token sets (sizes are computed after the cut, so intersection and union
-    use the same universe); a near-ubiquitous token carries no dedup signal,
-    which is why the reference applies the identical cut. ``max_occ=None``
-    keeps the unguarded exact semantics for bounded verification corpora."""
+    key_col: str,
+    text_col: str,
+    max_occ: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the exact set-overlap measures
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): distinct
+    lowercased whitespace tokens per doc, the ``max_occ`` document-
+    frequency heavy-hitter cut (the reference's repetitive-minimizer
+    skip, ``lqmap.c:166-173`` — bounds the self-join fan-out to
+    O(docs·max_occ)), then the token equi-join. Returns
+    ``(inter(key_a, key_b, inter), sizes(k, sz))`` with key_a < key_b;
+    sizes are measured AFTER the cut so every measure is exact over the
+    same surviving universe."""
     toks = (
         df.select(
             F.col(key_col).alias("k"),
@@ -445,6 +439,31 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return inter, sizes
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.0,
+    top_k: int | None = None,
+    max_occ: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard via token equi-join (J2 minimizer-join analog):
+    explode distinct tokens, self-join on token, count intersections, derive
+    |A∪B| = |A|+|B|−|A∩B|. → (key_a, key_b, jaccard).
+
+    ``max_occ`` is the heavy-hitter guard (the reference's repetitive-
+    minimizer skip, ``lqmap.c:166-173``): tokens appearing in more than
+    ``max_occ`` documents are dropped BEFORE the self-join, bounding the
+    candidate fan-out to O(docs · max_occ) — a stopword in 10^9 docs would
+    otherwise emit ~10^18 pairs. Jaccard stays EXACT over the surviving
+    token sets (sizes are computed after the cut, so intersection and union
+    use the same universe); a near-ubiquitous token carries no dedup signal,
+    which is why the reference applies the identical cut. ``max_occ=None``
+    keeps the unguarded exact semantics for bounded verification corpora."""
+    inter, sizes = _token_set_intersections(df, key_col, text_col, max_occ)
     sa = sizes.select(F.col("k").alias("key_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("k").alias("key_b"), F.col("sz").alias("sz_b"))
     out = (
@@ -488,41 +507,18 @@ def containment_pairs(
     reason it carries no resemblance signal). Reference analog: the
     one-sided read-in-read overlap class of the minimizer chain scorer
     (lqmap.c:140-205 distinguishes containment from dovetail overlap)."""
-    toks = (
-        df.select(
-            F.col(key_col).alias("k"),
-            F.explode(
-                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-            ).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
-    if max_occ is not None:
-        rare = (
-            toks.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("df_freq"))
-            .filter(F.col("df_freq") <= max_occ)
-            .select("tok")
-        )
-        toks = toks.join(rare, "tok", "left_semi")
-    sizes = toks.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
-    l, r = toks.alias("l"), toks.alias("r")
-    inter = (
-        l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col("l.k") < F.col("r.k")))
-        .groupBy(F.col("l.k").alias("ka"), F.col("r.k").alias("kb"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("k").alias("ka"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("k").alias("kb"), F.col("sz").alias("sz_b"))
-    both = inter.join(sa, "ka").join(sb, "kb")
-    fwd = both.select(
-        F.col("ka").alias("contained"),
-        F.col("kb").alias("container"),
+    inter, sizes = _token_set_intersections(df, key_col, text_col, max_occ)
+    sa = sizes.select(F.col("k").alias("key_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("k").alias("key_b"), F.col("sz").alias("sz_b"))
+    sided = inter.join(sa, "key_a").join(sb, "key_b")
+    fwd = sided.select(
+        F.col("key_a").alias("contained"),
+        F.col("key_b").alias("container"),
         (F.col("inter") / F.col("sz_a")).alias("containment"),
     )
-    rev = both.select(
-        F.col("kb").alias("contained"),
-        F.col("ka").alias("container"),
+    rev = sided.select(
+        F.col("key_b").alias("contained"),
+        F.col("key_a").alias("container"),
         (F.col("inter") / F.col("sz_b")).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= min_containment)

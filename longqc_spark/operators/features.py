@@ -44,8 +44,10 @@ def hashed_tf(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = 1024
 ) -> DataFrame:
     """(id, bucket, tf) term frequencies over hashed buckets — NULL texts
-    drop (no tokens → no features), token-free texts contribute no rows
-    (their dense form is the zero vector via :func:`hash_vectors`)."""
+    drop (no tokens → no features). Token-free (empty/whitespace-only)
+    texts contribute no rows here and therefore get NO dense row from
+    :func:`hash_vectors` either; callers that need every doc represented
+    should left-join the vectors back to the doc table and zero-fill."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     tok = df.filter(F.col(text_col).isNotNull()).select(
@@ -62,13 +64,17 @@ def bucket_idf(tf: DataFrame, n_docs: Column | int) -> DataFrame:
     """(bucket, df_docs, idf_micro) from a :func:`hashed_tf` table:
     df = docs with a nonzero bucket count, idf = micro ``ln(N/df)`` —
     the plain (unsmoothed) convention; df ≥ 1 for every present bucket
-    so the log is always defined."""
-    n = F.lit(n_docs) if isinstance(n_docs, int) else n_docs
+    so the log is always defined. ``n_docs`` may be an int or a column
+    constant riding every row (e.g. a broadcast 1-row aggregate — the
+    in-plan path :func:`hashed_tfidf` uses)."""
+    n = (
+        F.lit(n_docs).cast("double")
+        if isinstance(n_docs, int)
+        else F.first(n_docs).cast("double")
+    )
     return tf.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs"),
-        micro_quantize(F.log(n.cast("double") / F.count(F.lit(1)))).alias(
-            "idf_micro"
-        ),
+        micro_quantize(F.log(n / F.count(F.lit(1)))).alias("idf_micro"),
     )
 
 
@@ -77,10 +83,16 @@ def hashed_tfidf(
 ) -> DataFrame:
     """(id, bucket, tf, tfidf_micro): int64 tf × micro-IDF products. The
     ``dim``-grain IDF table broadcasts back onto the (doc, bucket) table
-    — no second corpus-sized shuffle."""
+    — no second corpus-sized shuffle, and N (docs with a non-NULL text)
+    rides IN-PLAN as a broadcast 1-row aggregate rather than an eager
+    driver count, so constructing the plan costs nothing and the whole
+    featurization stays one job."""
     tf = hashed_tf(df, text_col, id_col, dim)
-    n_docs = df.filter(F.col(text_col).isNotNull()).count()
-    idf = bucket_idf(tf, n_docs)
+    n_docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    idf = bucket_idf(tf.crossJoin(F.broadcast(n_docs)), F.col("_n"))
     return tf.join(F.broadcast(idf.select("bucket", "idf_micro")), "bucket").select(
         id_col, "bucket", "tf", (F.col("tf") * F.col("idf_micro")).alias("tfidf_micro")
     )
@@ -97,8 +109,11 @@ def hash_vectors(
     collect_list order never matters. Feed straight into
     :func:`kmeans.kmeans_fit` (vectors are already int-exact; pass them
     through ``quantize_vec`` only if mixing with float embeddings)."""
-    m = F.map_from_arrays(
-        F.collect_list("bucket"), F.collect_list(F.col(value_col).cast("long"))
+    # map_from_entries over ONE collect_list of structs: the bucket/value
+    # pairing is by construction, not by alignment of two independent
+    # aggregate buffers (collect_list order is not contractual)
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket"), F.col(value_col).cast("long")))
     )
     return (
         sparse.groupBy(F.col(id_col))

@@ -172,10 +172,10 @@ def hits(
 
     Same scale posture as :func:`pagerank`: host-grain vectors, each
     half-iteration is one shuffle (groupBy on the receiving side) with
-    the rank join broadcastable under AQE; the L1 total is a scalar
-    driver aggregate per half-step (the dangling-mass move); lineage is
-    cut every ``checkpoint_every`` iterations. A graph with zero edges
-    returns an empty frame. Reference analog: the two-sided chain
+    the rank join broadcastable under AQE; the L1 total rides IN-PLAN as
+    a broadcast 1-row aggregate (no per-half-step driver action — the
+    only materializations are the ``checkpoint_every`` lineage cuts). A
+    graph with zero edges returns an empty frame. Reference analog: the two-sided chain
     scoring of lqmap.c:140-205 (read-side vs target-side minimizer
     weights mirror hub vs authority)."""
     if iters < 1:
@@ -198,14 +198,23 @@ def hits(
             .groupBy(group_to)
             .agg(F.sum("v").alias("_raw"))
         )
-        tot = raw.agg(F.sum("_raw")).first()[0] or 0.0
-        joined = nodes.join(raw.withColumnRenamed(group_to, "host"), "host", "left")
-        if tot == 0.0:  # degenerate: no mass anywhere — all-zero vector
-            return joined.select("host", F.lit(0.0).alias("v"))
-        # divide (not multiply-by-reciprocal): the same IEEE op an SQL
-        # twin's raw/total performs, so both engines agree to the ulp
+        # L1 total rides IN-PLAN as a broadcast 1-row aggregate — a driver
+        # .first() here would be a blocking action per half-step (2·iters
+        # jobs, each re-running the join chain since the last checkpoint).
+        # Degenerate zero-mass graphs normalize to the all-zero vector.
+        # Division (not multiply-by-reciprocal): the same IEEE op an SQL
+        # twin's raw/total performs, so both engines agree to the ulp.
+        tot = raw.agg(F.sum("_raw").alias("_tot"))
+        joined = nodes.join(
+            raw.withColumnRenamed(group_to, "host"), "host", "left"
+        ).crossJoin(F.broadcast(tot))
         return joined.select(
-            "host", (F.coalesce("_raw", F.lit(0.0)) / F.lit(tot)).alias("v")
+            "host",
+            F.when(
+                F.coalesce(F.col("_tot"), F.lit(0.0)) == 0.0, F.lit(0.0)
+            )
+            .otherwise(F.coalesce("_raw", F.lit(0.0)) / F.col("_tot"))
+            .alias("v"),
         )
 
     for i in range(iters):

@@ -146,7 +146,14 @@ def kmeans_fit(
             n = r["_n"]
             for i in range(dim):
                 s = r[f"_s{i}"]
-                assert abs(s) < _EXACT_SUM_LIMIT, "shard the update: sum > 2^53"
+                if abs(s) >= _EXACT_SUM_LIMIT:
+                    # a real error, not an assert: -O must not compile away
+                    # the cross-engine exactness guard
+                    raise ValueError(
+                        f"component sum {s} exceeds 2^53 — an SQL twin's "
+                        "float floor-division would diverge; shard the "
+                        "update into per-range partial means"
+                    )
                 # floor(sum/count) — exact integer floor division
                 new[r["_c"]][i] = int(s // n)
         centroids = new

@@ -879,7 +879,9 @@ def main() -> None:
         model_dir = tempfile.mkdtemp(prefix="knlm_")
         try:
             t0 = time.time()
-            pair, kctx, cont, consts = kn_bigram_lm(docs, text_col="text")
+            pair, kctx, cont, consts = kn_bigram_lm(
+                docs, text_col="text", counts_cache=True
+            )
             for name, d in (
                 ("pair", pair), ("ctx", kctx), ("cont", cont), ("consts", consts)
             ):
@@ -922,7 +924,7 @@ def main() -> None:
         model_dir = tempfile.mkdtemp(prefix="nb_")
         try:
             t0 = time.time()
-            llr, consts = nb_train(labeled, "y", text_col="text")
+            llr, consts = nb_train(labeled, "y", text_col="text", counts_cache=True)
             llr.write.mode("overwrite").parquet(os.path.join(model_dir, "llr"))
             consts.write.mode("overwrite").parquet(
                 os.path.join(model_dir, "consts")
