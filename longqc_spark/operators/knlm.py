@@ -48,6 +48,7 @@ from the corpus itself with the standard LM smoothing.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .quant import MICRO, micro_quantize as _qz, ws_tokens
@@ -96,21 +97,24 @@ def kn_bigram_lm(
     (an unknown w1 scores as Pc(w2) alone; an unknown w2 uses the UNK
     slot.) All model tables are vocab-bounded, not corpus-bounded.
 
-    ``counts_cache=True``: materialize the bigram-count table once with an
-    eager ``localCheckpoint`` — exchange reuse does NOT span Spark
-    actions, so a caller that runs a separate action per returned table
-    (e.g. the CLI writing all four to parquet) would otherwise re-pay the
-    corpus tokenize+shuffle per table. One-action consumers (the oracled
-    query joins everything back into a single plan) keep the default —
-    the checkpoint would only add a materialization. Blocks are released
-    by the ContextCleaner when the plans are garbage-collected (the BPE
-    round-checkpoint lifecycle)."""
+    ``counts_cache=True``: persist the bigram-count table DISK_ONLY —
+    exchange reuse does NOT span Spark actions, so a caller that runs a
+    separate action per returned table (e.g. the CLI writing all four to
+    parquet) would otherwise re-pay the corpus tokenize+shuffle per
+    table. DISK_ONLY, not localCheckpoint/MEMORY_AND_DISK: the count
+    table is vocab-sized (tens of millions of hapax-dominated rows at a
+    few million docs) and storing it in unified memory while the final
+    aggregation still runs starves execution memory — measured as an
+    AGGREGATE_OUT_OF_MEMORY abort at 4M docs in a 32-thread single JVM.
+    One-action consumers (the oracled query joins everything back into a
+    single plan) keep the default. Blocks are released by the
+    ContextCleaner when the plans are garbage-collected."""
     big = doc_bigrams(df, text_col).repartition(F.col("w1"))
     # HashPartitioning(w1) satisfies the (w1,w2) clustering ⇒ the groupBy
     # and the per-w1 window both reuse this single exchange
     pair_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     if counts_cache:
-        pair_c = pair_c.localCheckpoint(eager=True)
+        pair_c = pair_c.persist(StorageLevel.DISK_ONLY)
     w = Window.partitionBy("w1")
     ctx_stats = pair_c.withColumn("c1", F.sum("c").over(w)).withColumn(
         "n1plus", F.count(F.lit(1)).over(w)
@@ -257,7 +261,7 @@ def kn_trigram_lm(
     if counts_cache:
         # multi-action callers (CLI/bench writing the 6 tables) pay the
         # corpus trigram shuffle ONCE — see kn_bigram_lm's docstring
-        c3 = c3.localCheckpoint(eager=True)
+        c3 = c3.persist(StorageLevel.DISK_ONLY)
     w3 = Window.partitionBy("u", "v")
     tri_stats = c3.withColumn("c3ctx", F.sum("c").over(w3)).withColumn(
         "n3plus", F.count(F.lit(1)).over(w3)

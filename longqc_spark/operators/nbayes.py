@@ -28,6 +28,7 @@ decision layer, the same relationship ``mlquality.py`` documents.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from .quant import MICRO, micro_quantize as _qz, ws_tokens as _toks
@@ -57,9 +58,9 @@ def nb_train(
     ±``ONE_CLASS_PRIOR_MICRO`` (ln 1e6) instead of silently NULLing the
     log-odds — every prediction then follows the one observed class
     unless token evidence overwhelms it. ``counts_cache=True``
-    materializes the token-count table once (eager localCheckpoint) for
-    callers that run separate actions per returned table — see
-    ``knlm.kn_bigram_lm``."""
+    persists the token-count table DISK_ONLY for callers that run
+    separate actions per returned table — see ``knlm.kn_bigram_lm`` for
+    why disk-only and not a memory checkpoint."""
     base = df.filter(F.col(text_col).isNotNull())
     tok = base.select(
         F.col(label_col).alias("_y"), F.explode(_toks(text_col)).alias("token")
@@ -69,7 +70,7 @@ def nb_train(
         F.count_if(~F.col("_y")).cast("double").alias("nn"),
     )
     if counts_cache:
-        cnt = cnt.localCheckpoint(eager=True)
+        cnt = cnt.persist(StorageLevel.DISK_ONLY)
     tot = cnt.agg(
         F.sum("np").alias("tp"),
         F.sum("nn").alias("tn"),

@@ -310,3 +310,15 @@ def test_kn_trigram_normalizes():
         tot = sum(math.exp(mm / 1e6) for mm in seen.values())
         tot += lam3 * sum(p for w, p in p2.items() if w not in seen)
         assert abs(tot - 1.0) < 1e-4, (u, v)
+
+
+def test_counts_cache_parity(spark, docs):
+    """counts_cache=True (DISK_ONLY persist for multi-action callers)
+    must not change any model value."""
+    from longqc_spark.operators.knlm import kn_bigram_lm
+
+    base = docs.filter(F.col("doc_id") < 64)
+    plain = kn_bigram_lm(base)
+    cached = kn_bigram_lm(base, counts_cache=True)
+    for a, b in zip(plain, cached):
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
