@@ -33,7 +33,7 @@ int64 headroom: |q| ≤ ~2^21 for unit-scale embeddings, a squared diff
 ≤ 2^44, × dim(≤2^12) ≤ 2^56 per distance. Component SUMS stay exact
 while n·|q| < 2^53 (the float64 division guard) — at 10^12 rows shard
 the update into per-range partial means or widen to DECIMAL; documented
-rather than silently wrong (an assert guards the collect).
+rather than silently wrong (a ValueError guards the collect).
 
 Reference analog: lq_nanopore.py's per-platform signal clustering
 (grouping reads by QC-stat centroids) — here the stat vector is the
@@ -42,6 +42,7 @@ document embedding and the fit is corpus-wide.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .quant import MICRO
@@ -107,17 +108,23 @@ def kmeans_fit(
     cluster keeps its previous centroid (mirrored by the SQL oracle).
     NULL vectors are excluded up front.
 
-    The quantized corpus is pinned once with ``localCheckpoint`` so the
-    ``iters+1`` passes (one update job per iteration + the returned
-    assignment) re-read a materialized columnar table instead of
-    re-running the upstream plan — the :func:`graph.pagerank` move.
-    Blocks release when the returned plan is garbage-collected."""
+    The quantized corpus is pinned once (DISK_ONLY persist — see the
+    inline note) so the ``iters+1`` passes (one update job per iteration
+    + the returned assignment) re-read a materialized columnar table
+    instead of re-running the upstream plan — the :func:`graph.pagerank`
+    move, minus the memory competition. Blocks release when the returned
+    plan is garbage-collected."""
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
     q = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_q"))
-        .localCheckpoint()
+        # DISK_ONLY, not localCheckpoint: the quantized corpus is
+        # corpus-sized, and holding it in unified memory starves the
+        # update's dim-wide hash aggregate of execution memory (measured:
+        # UNABLE_TO_ACQUIRE_MEMORY abort at 8M×64 in a 32-thread JVM).
+        # The seed's TakeOrdered scan below materializes every block once.
+        .persist(StorageLevel.DISK_ONLY)
     )
     seed = q.orderBy("_id").limit(k).collect()
     if len(seed) < k:

@@ -35,6 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark import StorageLevel  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from longqc_spark.ccsource import CCSynthDataSource  # noqa: E402
@@ -1047,7 +1048,7 @@ def main() -> None:
                 "embedding"
             ),
         )
-        vecs = vecs.localCheckpoint(eager=True)  # featurize once, fit reuses
+        vecs = vecs.persist(StorageLevel.DISK_ONLY)  # featurize once, fit reuses
         feat_dt = time.time() - t0
         t0 = time.time()
         asg, _ = kmeans_fit(vecs, id_col="url", k=8, iters=3)
