@@ -108,8 +108,8 @@ def kmeans_fit(
     cluster keeps its previous centroid (mirrored by the SQL oracle).
     NULL vectors are excluded up front.
 
-    The quantized corpus is pinned once (DISK_ONLY persist — see the
-    inline note) so the ``iters+1`` passes (one update job per iteration
+    The quantized corpus is pinned once (serialized MEMORY_AND_DISK persist —
+    see the inline note) so the ``iters+1`` passes (one update job per iteration
     + the returned assignment) re-read a materialized columnar table
     instead of re-running the upstream plan — the :func:`graph.pagerank`
     move, minus the memory competition. Blocks release when the returned
@@ -119,12 +119,16 @@ def kmeans_fit(
     q = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_q"))
-        # DISK_ONLY, not localCheckpoint: the quantized corpus is
-        # corpus-sized, and holding it in unified memory starves the
-        # update's dim-wide hash aggregate of execution memory (measured:
-        # UNABLE_TO_ACQUIRE_MEMORY abort at 8M×64 in a 32-thread JVM).
+        # serialized MEMORY_AND_DISK (pyspark default), not localCheckpoint: the deserialized
+        # checkpoint blocks of a corpus-sized table starve the update's
+        # dim-wide hash aggregate of execution memory (measured: OOM
+        # aborts at 8M×64 under an 8g heap), while pure DISK_ONLY pays
+        # serialization+disk on every pass even when memory is ample
+        # (measured 8× slower at 8M under a 48g heap). Serialized+
+        # evictable is the standard posture for corpus-sized caches:
+        # memory-fast when the heap allows, graceful spill when not.
         # The seed's TakeOrdered scan below materializes every block once.
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     seed = q.orderBy("_id").limit(k).collect()
     if len(seed) < k:

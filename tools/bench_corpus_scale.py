@@ -1048,7 +1048,8 @@ def main() -> None:
                 "embedding"
             ),
         )
-        vecs = vecs.persist(StorageLevel.DISK_ONLY)  # featurize once, fit reuses
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+        n_feat = vecs.count()  # force: the persist is lazy — time the work
         feat_dt = time.time() - t0
         t0 = time.time()
         asg, _ = kmeans_fit(vecs, id_col="url", k=8, iters=3)
