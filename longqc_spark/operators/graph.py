@@ -160,6 +160,7 @@ def hits(
     edges: DataFrame,
     src_col: str = "src_host",
     dst_col: str = "dst_host",
+    weight_col: str | None = None,
     iters: int = 8,
     checkpoint_every: int = 3,
 ) -> DataFrame:
@@ -175,13 +176,16 @@ def hits(
     the rank join broadcastable under AQE; the L1 total rides IN-PLAN as
     a broadcast 1-row aggregate (no per-half-step driver action — the
     only materializations are the ``checkpoint_every`` lineage cuts). A
-    graph with zero edges returns an empty frame. Reference analog: the two-sided chain
+    graph with zero edges returns an empty frame. ``weight_col`` scales
+    each edge's contribution (duplicate rows act as weight 1 each,
+    matching :func:`pagerank`'s convention). Reference analog: the two-sided chain
     scoring of lqmap.c:140-205 (read-side vs target-side minimizer
     weights mirror hub vs authority)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w")
     ).localCheckpoint()
     nodes = (
         e.select(F.col("_s").alias("host"))
@@ -196,7 +200,7 @@ def hits(
         raw = (
             e.join(vec.withColumnRenamed("host", join_on), join_on)
             .groupBy(group_to)
-            .agg(F.sum("v").alias("_raw"))
+            .agg(F.sum(F.col("v") * F.col("_w")).alias("_raw"))
         )
         # L1 total rides IN-PLAN as a broadcast 1-row aggregate — a driver
         # .first() here would be a blocking action per half-step (2·iters

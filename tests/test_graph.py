@@ -175,3 +175,23 @@ def test_hits_iters_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
     with pytest.raises(ValueError, match="iters"):
         hits(df, iters=0)
+
+
+def test_hits_weighted_equals_duplicated_rows(spark):
+    from longqc_spark.operators.graph import hits
+
+    dup = [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c")]
+    d1 = spark.createDataFrame(dup, "src_host string, dst_host string")
+    d2 = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 1.0), ("a", "c", 1.0)],
+        "src_host string, dst_host string, w double",
+    )
+    r1 = {r["host"]: (r["hub"], r["authority"]) for r in hits(d1, iters=5).collect()}
+    r2 = {
+        r["host"]: (r["hub"], r["authority"])
+        for r in hits(d2, weight_col="w", iters=5).collect()
+    }
+    assert r1.keys() == r2.keys()
+    for h in r1:
+        assert r1[h][0] == pytest.approx(r2[h][0], abs=1e-12)
+        assert r1[h][1] == pytest.approx(r2[h][1], abs=1e-12)
