@@ -518,7 +518,9 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.knlm import kn_bigram_lm
 
             # counts_cache: four separate write actions below — without the
-            # eager checkpoint each one re-pays the corpus tokenize+shuffle
+            # DISK_ONLY persist of the count table, each write action
+            # re-pays the corpus tokenize+shuffle (the first write pays it
+            # once and materializes; later writes reuse the cached blocks)
             pair, kctx, cont, consts = kn_bigram_lm(
                 spark.read.parquet(args.curate_out),
                 text_col="scrubbed_text",

@@ -104,9 +104,17 @@ def kmeans_fit(
     is the k×dim micro-int list.
 
     Deterministic init: the quantized vectors of the k smallest
-    ``id_col`` values (cluster i = rank i). An iteration that empties a
-    cluster keeps its previous centroid (mirrored by the SQL oracle).
-    NULL vectors are excluded up front.
+    ``id_col`` values (cluster i = rank i). **Precondition: ``id_col``
+    is unique** — with duplicate ids the ``orderBy.limit(k)`` seed would
+    resolve ties nondeterministically while the SQL oracle's
+    ``dense_rank() <= k`` takes every row of the k smallest distinct
+    ids, so the two engines could seed differently. An iteration that
+    empties a cluster keeps its previous centroid (mirrored by the SQL
+    oracle). Drop policy for malformed input: NULL vectors and vectors
+    containing a NULL component are excluded up front; after the seed
+    fixes ``dim``, any row whose vector length differs from ``dim`` is
+    dropped too (a ragged vector would otherwise yield NULL distances
+    and a silent misassignment through ``array_min``).
 
     The quantized corpus is pinned once (serialized MEMORY_AND_DISK persist —
     see the inline note) so the ``iters+1`` passes (one update job per iteration
@@ -117,7 +125,12 @@ def kmeans_fit(
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
     q = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(
+            F.col(vec_col).isNotNull()
+            # a NULL component would propagate NULL through _sqdist and
+            # misassign via array_min over structs with NULL dist
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        )
         .select(F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_q"))
         # serialized MEMORY_AND_DISK (pyspark default), not localCheckpoint: the deserialized
         # checkpoint blocks of a corpus-sized table starve the update's
@@ -136,6 +149,14 @@ def kmeans_fit(
     centroids: list[list[int]] = [list(r["_q"]) for r in seed]
 
     dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError(
+            f"seed vectors are ragged (expected every length == {dim}); "
+            "k-means needs a fixed-dimension embedding column"
+        )
+    # documented drop policy: rows whose vector length differs from the
+    # seed-derived dim are excluded (cache-backed filter, no recompute)
+    q = q.filter(F.size("_q") == dim)
     for _ in range(iters):
         best = _assign_expr(F.col("_q"), centroids)
         # per-dimension sum expressions, NOT posexplode: a Generate would

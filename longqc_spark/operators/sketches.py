@@ -83,7 +83,11 @@ def cms_estimate(
     """Point-estimate each query item: min over the item's ``depth``
     cells (a broadcast join against the ≤ depth·width-row sketch).
     Absent cells count 0 — an item never sketched estimates 0. Output:
-    queries' columns + ``cms_count``."""
+    queries' columns + ``cms_count``, **grouped by all of queries'
+    columns** — duplicate query rows collapse to one output row
+    (DISTINCT semantics; output rows ≤ input rows). Callers needing
+    per-row multiplicity should carry a unique tag column through
+    ``queries``, which then survives the groupBy."""
     probes = queries.select(
         "*",
         F.posexplode(

@@ -141,3 +141,30 @@ def test_partitioning_invariance(spark, emb):
     a7, c7 = kmeans_fit(emb.repartition(7), k=3, iters=2)
     assert c1 == c7
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a7.collect()))
+
+
+def test_null_component_and_ragged_rows_dropped(spark, emb):
+    """ADVICE r4: a NULL vector component or a ragged (wrong-length)
+    vector must be dropped up front — not silently misassigned via
+    array_min over structs with NULL dist, nor TypeError at the 2^53
+    guard."""
+    dirty = emb.unionByName(
+        spark.createDataFrame(
+            [
+                Row(vec_id=10**9, embedding=[1.0, None, 1.0, 1.0], label=0),
+                Row(vec_id=10**9 + 1, embedding=[1.0, 2.0], label=0),  # ragged
+            ],
+            schema=emb.schema,
+        )
+    )
+    a1, c1 = kmeans_fit(emb, k=2, iters=2)
+    a2, c2 = kmeans_fit(dirty, k=2, iters=2)
+    assert c1 == c2 and a1.count() == a2.count()
+
+
+def test_ragged_seed_raises(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0]), Row(vec_id=1, embedding=[3.0])]
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        kmeans_fit(df, k=2, iters=1)
