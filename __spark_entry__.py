@@ -3863,98 +3863,36 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession
     return wrapped
 
 
-# The driver's CORRECTNESS check covers the FIRST 50 registry entries. Rounds
-# 1-2 checked the original head; round 3 rotated in the 46 never-seen entries
-# (tpch_q5like .. lateral_topk). Round 4 puts the LAST 6 never-driver-checked
-# queries (the round-3 additions outside r3's window) at the head — after
-# this round every registry entry has a driver-verified CORRECTNESS row —
-# topped up with previously-driver-green anchors sampled across categories
-# as regression canaries. Order carries no semantics beyond this.
+# The driver's CORRECTNESS check covers the FIRST 50 registry entries.
+# Rounds 1-2 checked the original head; round 3 rotated in its 46 never-seen
+# entries; round 4 covered the round-3 tail plus the first half of the
+# round-4 additions. This round-5 window was GENERATED by
+# `python tools/rotate_window.py` (policy: never-driver-checked entries,
+# oracled-first so slots can turn fully green, each group in registry
+# order; tests/test_rotate_window.py pins the tuple to the generator so it
+# cannot drift). 54 entries were never checked after r4 but the window
+# holds 50: the four rows-only tokenizer/langid entries left out
+# (bpe_learn, unigram_learn, tokenizer_fertility, segment_langs) are the
+# lowest-value driver checks — each is golden-pinned AND serial-parity
+# tested in pytest (test_bpe, test_unigram, test_segment_lang), so a
+# driver rows-count row would add nothing an oracled slot couldn't.
+# Order carries no semantics beyond this.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # the 6 never-driver-checked round-3 queries (local-oracle-green)
-    "weighted_sample", "oov_rate", "shard_assign", "normalized_dedup",
-    "split_assign", "source_mix",
-    # new round-4 web-hygiene + crawl-snapshot + monitoring queries — need
-    # driver rows too
-    "url_canonical", "domain_cap", "line_dedup",
-    "latest_crawl", "snapshot_novelty", "corpus_line_dedup", "bloom_dedup",
-    "threshold_sweep", "f1_curve",
-    "blocklist_filter", "score_drift", "incremental_neardup",
-    # round-4b corpus-health + mixture queries — never driver-checked
-    "keep_best_dedup", "token_budget_mix", "split_leakage",
-    "domain_quality", "dup_inflation", "pack_seqs", "pack_rows",
-    "cluster_keep_best", "contamination_report", "semantic_keep_best",
-    "quality_budget_mix",
-    # round-4d DSIR / CCNet-bucket / LM-training queries — never driver-checked
-    "dsir_select", "ppl_buckets", "ngram_counts", "lm_stats",
-    # round-4e substring-dedup scrub (full-text oracle) — never driver-checked
-    "scrub_dup_spans",
-    # round-4f C4 line-level heuristic cleaning — never driver-checked
-    # (anchor token_counts rotated out to keep the window at exactly 50;
-    # it was driver-green in r1/r2)
-    "c4_clean",
-    # round-4g block extraction / robots opt-out / per-lang thresholds /
-    # anchor-text corpus — never driver-checked (anchors n50/alpha_frac/
-    # mad_outliers/event_gaps rotated out; all were driver-green in r2/r3)
-    "block_extract", "optout_filter", "lang_thresholds", "anchor_extract",
-    # round-4g compression-ratio signal (rows-only by design — no deflate
-    # in DuckDB; anchor union_split rotated out, driver-green r2) and the
-    # rel-canonical collapse (ground-truth oracle; anchor anti_join
-    # rotated out, driver-green r2)
-    "zlib_quality", "canonical_collapse",
-    # round-4g page-metadata extraction (ground-truth oracle; anchor
-    # rule_fractions rotated out — driver-green r2, F1-gated in pytest)
-    "page_meta",
-    # round-4h WARC container round-trip + host link graph + PageRank
-    # (ground-truth / recursive-CTE oracles; anchors ngram_jaccard,
-    # length_stats, fuzzy_scrub rotated out — all driver-green r2/r3)
-    "warc_roundtrip", "link_graph", "host_rank",
-    # round-4h RFC 9309 robots gate (ground-truth oracle; anchor
-    # decontaminate rotated out — driver-green r3) and the CDXJ index
-    # round-trip (ground-truth SURT oracle; anchor exact_dedup rotated
-    # out — driver-green r3) and the PSL eTLD+1 extractor (ground-truth
-    # oracle; anchor incremental_dedup rotated out — driver-green r3)
-    "robots_gate", "cdx_index", "etld1_domains",
-    "incremental_line_dedup", "fix_encoding",
-    # (asof_join/range_join/attribution_join rotated out for the three
-    # crawl-snapshot queries; collect_set/moving_avg/sessionize for
-    # bloom_dedup/threshold_sweep/f1_curve; cube_counts/approx_quantiles/
-    # mean_stddev for blocklist_filter/score_drift/incremental_neardup;
-    # interval_occupancy/active_regions/merge_upsert/salted_agg/set_ops for
-    # keep_best_dedup/token_budget_mix/split_leakage/domain_quality/
-    # dup_inflation; tumbling_counts/token_quality/pivot_counts/running_sum
-    # for pack_seqs/cluster_keep_best/pack_rows/contamination_report;
-    # fingerprint/cosine_topk for semantic_keep_best/quality_budget_mix;
-    # stratified_sample/hash_sample for the new fix_encoding (encoding
-    # repair) and incremental_line_dedup (cross-run line rule);
-    # n50_approx/binned_median/histogram/token_pmi for the round-4d
-    # dsir_select/ppl_buckets/ngram_counts/lm_stats; topk_tokens for the
-    # round-4e scrub_dup_spans — all rotated-out
-    # names were driver-green in r1/r2; the list is kept at
-    # EXACTLY 50 = the driver's window size so every name here is actually
-    # checked)
+    "per_dump_dedup", "per_dump_incremental", "temperature_mix", "mirror_hosts",
+    "sitemap_coverage", "soft404_drop", "crawl_frontier", "host_boilerplate",
+    "anchor_targets", "snapshot_churn", "script_check", "bm25_search",
+    "tfidf_terms", "host_entropy", "redirect_resolve", "crawler_traps",
+    "charset_gate", "zipf_fit", "ece_calibration", "ks_drift",
+    "kn_bigram", "kn_trigram", "nb_classifier", "kmeans_embed",
+    "hash_tfidf", "cc_star", "host_hits", "cms_tokens",
+    "isotonic_fit", "containment_dup", "profile_table", "ngram_diversity",
+    "host_hhi", "tpch_q2like", "tpch_q4like", "tpch_q6like",
+    "tpch_q8like", "tpch_q9like", "tpch_q11like", "tpch_q13like",
+    "tpch_q15like", "tpch_q17like", "tpch_q18like", "tpch_q20like",
+    "tpch_q21like", "margin_align", "per_dump_neardup", "image_neardup",
+    "audio_neardup", "video_neardup",
 )
 assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
-
-# ROUND-5 ROTATION NOTE: after the r04 driver run lands, every name above
-# gains a CORRECTNESS row; rotate this window to the 37 queries that will
-# then be the only never-driver-checked ones (all local-oracle-green or
-# rows-only-by-design; verified against CORRECTNESS_r01-03 + this window):
-#   mirror_hosts sitemap_coverage soft404_drop crawl_frontier
-#   host_boilerplate anchor_targets snapshot_churn script_check bm25_search
-#   tfidf_terms host_entropy redirect_resolve crawler_traps charset_gate
-#   zipf_fit image_neardup audio_neardup ece_calibration ks_drift
-#   video_neardup bpe_learn profile_table segment_langs ngram_diversity
-#   host_hhi tpch_q2like tpch_q4like tpch_q6like tpch_q8like tpch_q9like
-#   tpch_q11like tpch_q13like tpch_q15like tpch_q17like tpch_q18like
-#   tpch_q20like tpch_q21like per_dump_dedup per_dump_neardup
-#   per_dump_incremental temperature_mix unigram_learn kn_bigram
-#   nb_classifier margin_align tokenizer_fertility kn_trigram kmeans_embed
-#   hash_tfidf cc_star host_hits cms_tokens isotonic_fit containment_dup
-# (41 names + any further round-4 additions, recomputed against
-# CORRECTNESS_r01-03 + this window) topped up to exactly 50 with
-# driver-green anchors — that makes every registry entry driver-verified
-# at least once by end of round 5.
 
 
 def q_charset_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: encoding sniff
