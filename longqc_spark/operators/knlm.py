@@ -179,28 +179,51 @@ def kn_score(
     """Score a probe corpus against a trained KN bigram model: per doc,
     the integer sum of per-token micro log-probs + the token/backoff
     split — Σ of int64 is exact, so per-doc and corpus-level rollups stay
-    bit-stable. Three left joins (pair, then w1 backoff, then w2
-    continuation), each against a vocab-bounded table; the UNK constant
-    rides a broadcast 1-row cross join."""
+    bit-stable.
+
+    Scale posture (the round-5 ≥2× rework): the naive shape — three left
+    joins of the per-occurrence gram stream against the model tables on
+    three DIFFERENT keys ((w1,w2), w1, w2) — shuffles the corpus-sized
+    stream three times. Instead the per-gram log-prob is a pure function
+    of the bigram TYPE, so score the types once: distinct probe types
+    (map-side partial distinct — the exchange carries per-partition
+    type counts, far below the stream), the three model joins run on
+    that vocab-bounded type table (which also semi-join-prunes the model
+    tables to the probe's vocabulary — the decontaminate move), and the
+    gram stream pays ONE equi-join on (w1,w2) against the unified
+    type-score table (AQE broadcasts it outright when the probe
+    vocabulary fits) before the per-doc rollup's map-side partial
+    aggregation collapses it to one row per doc per partition. Measured
+    at 4M docs: 3.4× (BENCH_CORPUS.json kn_bigram_lm.score_sec).
+    Bit-identical to the old shape — the lp expression is evaluated on
+    the same int64 micro values, once per type instead of per
+    occurrence, and Σ lp = Σ cnt·lp exactly in int64."""
     grams = doc_bigrams(probe, text_col, keep_cols)
+    types = grams.select("w1", "w2").distinct()
     pc_eff = F.coalesce(F.col("logpc_micro"), F.col("unk_logpc_micro"))
-    scored = (
-        grams.join(pair, ["w1", "w2"], "left")
+    tscore = (
+        types.join(pair, ["w1", "w2"], "left")
         .join(ctx, ["w1"], "left")
         .join(cont, ["w2"], "left")
         .crossJoin(F.broadcast(consts))
-        .withColumn(
-            "_lp",
+        .select(
+            "w1",
+            "w2",
             F.coalesce(
                 F.col("logp_micro"), F.col("lambda_micro") + pc_eff, pc_eff
-            ),
+            ).alias("_lp"),
+            F.col("logp_micro").isNull().alias("_backoff"),
         )
-        .withColumn("_backoff", F.col("logp_micro").isNull())
     )
-    return scored.groupBy(*keep_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum("_lp").cast("bigint").alias("sum_logp_micro"),
-        F.count_if(F.col("_backoff")).cast("bigint").alias("n_backoff"),
+    # inner join: every probe type is present in tscore by construction
+    return (
+        grams.join(tscore, ["w1", "w2"])
+        .groupBy(*keep_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_lp").cast("bigint").alias("sum_logp_micro"),
+            F.count_if(F.col("_backoff")).cast("bigint").alias("n_backoff"),
+        )
     )
 
 
@@ -392,39 +415,50 @@ def kn_trigram_score(
 
     (an unseen (u,v) context carries backoff weight 1 — no λ3 term — the
     KenLM rule; same for unseen v.) Integer micro sums per doc; reports
-    how many tokens resolved at each tier."""
+    how many tokens resolved at each tier.
+
+    Same type-level rework as :func:`kn_score`: the per-gram log-prob is
+    a pure function of the trigram TYPE, so the five model joins run on
+    the distinct probe (u,v,w) table — semi-join-pruning every model
+    table to the probe vocabulary — and the corpus-sized gram stream
+    pays ONE (u,v,w) equi-join against the unified type-score table
+    instead of five shuffles on five different keys."""
     grams = doc_trigrams(probe, text_col, keep_cols)
-    scored = (
-        grams.join(model["tri"], ["u", "v", "w"], "left")
-        .join(model["ctx3"], ["u", "v"], "left")
-        .join(model["bi"], ["v", "w"], "left")
-        .join(model["ctx2"], ["v"], "left")
-        .join(model["cont"], ["w"], "left")
-        .crossJoin(F.broadcast(model["consts"]))
-    )
+    types = grams.select("u", "v", "w").distinct()
     pc_eff = F.coalesce(F.col("logpc_micro"), F.col("unk_logpc_micro"))
     inner = F.coalesce(
         F.col("logp2_micro"), F.col("lambda2_micro") + pc_eff, pc_eff
     )
     lp = F.coalesce(F.col("logp3_micro"), F.col("lambda3_micro") + inner, inner)
+    tscore = (
+        types.join(model["tri"], ["u", "v", "w"], "left")
+        .join(model["ctx3"], ["u", "v"], "left")
+        .join(model["bi"], ["v", "w"], "left")
+        .join(model["ctx2"], ["v"], "left")
+        .join(model["cont"], ["w"], "left")
+        .crossJoin(F.broadcast(model["consts"]))
+        .select(
+            "u",
+            "v",
+            "w",
+            lp.alias("_lp"),
+            F.col("logp3_micro").isNotNull().alias("_t3"),
+            (
+                F.col("logp3_micro").isNull() & F.col("logp2_micro").isNotNull()
+            ).alias("_t2"),
+            (
+                F.col("logp3_micro").isNull() & F.col("logp2_micro").isNull()
+            ).alias("_t1"),
+        )
+    )
     return (
-        scored.withColumn("_lp", lp)
+        grams.join(tscore, ["u", "v", "w"])
         .groupBy(*keep_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum("_lp").cast("bigint").alias("sum_logp_micro"),
-            F.count_if(F.col("logp3_micro").isNotNull())
-            .cast("bigint")
-            .alias("n_tri_hits"),
-            F.count_if(
-                F.col("logp3_micro").isNull() & F.col("logp2_micro").isNotNull()
-            )
-            .cast("bigint")
-            .alias("n_bi_hits"),
-            F.count_if(
-                F.col("logp3_micro").isNull() & F.col("logp2_micro").isNull()
-            )
-            .cast("bigint")
-            .alias("n_uni_hits"),
+            F.count_if(F.col("_t3")).cast("bigint").alias("n_tri_hits"),
+            F.count_if(F.col("_t2")).cast("bigint").alias("n_bi_hits"),
+            F.count_if(F.col("_t1")).cast("bigint").alias("n_uni_hits"),
         )
     )
