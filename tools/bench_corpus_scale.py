@@ -84,8 +84,10 @@ def main() -> None:
         help="run only the named sections (qc_pipeline minhash_lsh lineage "
         "incremental_dedup bloom_dedup decontaminate corpus_line_dedup "
         "c4_clean block_extract fix_encoding latest_crawl mirror host_boilerplate blocklist neardup keep_best pack_seqs "
-        "pack_rows neardup_keep_best curate_full scrub_spans skew charset "
-        "zipf image_neardup bpe knlm nbayes hash_kmeans cc_star) and MERGE "
+        "pack_rows neardup_keep_best curate_full scrub_spans skew "
+        "skew_onesided charset "
+        "zipf image_neardup bpe knlm knlm_tri nbayes hash_kmeans cc_star) "
+        "and MERGE "
         "their keys "
         "into an existing --out record instead of overwriting it",
     )
@@ -635,6 +637,72 @@ def main() -> None:
         s = out[f"lsh_skew30_{n // 1_000_000}m"]["sec"]
         out["skew_over_uniform_ratio"] = round(s / u, 2)
 
+    # -- round-5 (VERDICT r4 item 6): demonstrate AQE's skew-join split
+    # actually FIRING at default skew thresholds on the join shape it
+    # protects — a ONE-SIDED skewed equi-join (docs × per-host stats,
+    # the domain_cap/host-feature join family). 50% of a 1M-doc corpus
+    # lands on one hot host with ~1 KiB of incompressible pad per doc, so
+    # the hot shuffle partition (~500 MB) clears the DEFAULT
+    # skewedPartitionThresholdInBytes=256m AND 5× the median — no
+    # threshold cranking. autoBroadcastJoinThreshold=-1 emulates the
+    # at-scale regime (a 10^8-row host table does not broadcast); every
+    # skew conf stays at its default. Contrast with the lsh_skew30
+    # records above: the flooded SELF-join never shows skew=true (both
+    # sides share the partition; only the max_bucket guard bounds its
+    # output), while this one-sided shape is exactly what AQE handles
+    # without any help from us. --
+    if want("skew_onesided") and args.skew_docs:
+        n = args.skew_docs
+        host = (
+            F.when(F.pmod("id", 2) == 0, F.lit("hot.example"))
+            .otherwise(
+                F.concat(
+                    F.lit("h"),
+                    F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(50_000)),
+                    F.lit(".example"),
+                )
+            )
+            .alias("host")
+        )
+        pad = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.sha2(
+                    F.concat(F.col("id").cast("string"), i.cast("string")), 256
+                ),
+            ),
+        ).alias("pad")  # 16 × 64 hex chars ≈ 1 KiB, incompressible
+        hot = spark.range(n).select(host, pad).cache()
+        hot.count()
+        per_host = hot.groupBy("host").agg(
+            F.count(F.lit(1)).alias("host_docs"),
+            F.avg(F.length("pad")).alias("host_mean_len"),
+        )
+        saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            best, plan = float("inf"), ""
+            for i in range(2):  # pass 0 = warm-up
+                t0 = time.time()
+                cnt_df = (
+                    hot.join(per_host, "host")
+                    .groupBy()
+                    .agg(F.count(F.lit(1)).alias("n"), F.sum("host_docs"))
+                )
+                cnt_df.collect()
+                best = min(best, time.time() - t0)
+                plan = cnt_df._jdf.queryExecution().executedPlan().toString()
+            out[f"onesided_hot_host_{n // 1_000_000}m"] = {
+                "sec": round(best, 1),
+                "docs_per_sec": round(n / best),
+                "skew_join_split_fired": "skew=true" in plan,
+                "aqe_skew_confs": "defaults",
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
+            hot.unpersist()
+
     # -- quality-aware exact dedup at corpus scale: half the corpus is
     # re-crawled under mirror URLs with a higher crawl prior, so the argmax
     # window does real winner selection over a 1.5x corpus. Same single
@@ -780,7 +848,9 @@ def main() -> None:
             ).count()
             best = min(best, time.time() - t0)
         slice_df.unpersist()
-        out["curate_full_1m_cc"] = {
+        # key carries the SLICE size (docs/4) so the 8M ladder's record
+        # (2M slice) lands beside — not on top of — the 4M run's 1M key
+        out[f"curate_full_{max(n // 1_000_000, 1)}m_cc"] = {
             "sec": round(best, 1),
             "docs_per_sec": round(n / best),
             "n_in": n,
@@ -909,6 +979,45 @@ def main() -> None:
                 "score_sec": round(score_dt, 1),
                 "score_docs_per_sec": round(args.docs / score_dt),
                 "n_bigram_types": n_bigram_types,
+                "n_docs_scored": int(scored[0]),
+            }
+        finally:
+            shutil.rmtree(model_dir, ignore_errors=True)
+
+    # -- round-5: modified-KN TRIGRAM — the heavier sibling (VERDICT r4
+    # item 2: only the bigram was measured at 4M). Same protocol: train
+    # the 6-table model to parquet (the shippable artifact), then score
+    # every doc against the persisted tables via the type-level join. --
+    if want("knlm_tri"):
+        from longqc_spark.operators.knlm import kn_trigram_lm, kn_trigram_score
+
+        model_dir = tempfile.mkdtemp(prefix="knlm3_")
+        try:
+            t0 = time.time()
+            model = kn_trigram_lm(docs, text_col="text", counts_cache=True)
+            for name, d in model.items():
+                d.write.mode("overwrite").parquet(os.path.join(model_dir, name))
+            train_dt = time.time() - t0
+            n_trigram_types = spark.read.parquet(
+                os.path.join(model_dir, "tri")
+            ).count()
+            persisted = {
+                name: spark.read.parquet(os.path.join(model_dir, name))
+                for name in model
+            }
+            t0 = time.time()
+            scored = kn_trigram_score(docs, persisted, keep_cols=("url",)).agg(
+                F.count(F.lit(1)),
+                F.sum("sum_logp_micro"),
+                F.sum("n_tri_hits"),
+            ).collect()[0]
+            score_dt = time.time() - t0
+            out["kn_trigram_lm"] = {
+                "train_sec": round(train_dt, 1),
+                "train_docs_per_sec": round(args.docs / train_dt),
+                "score_sec": round(score_dt, 1),
+                "score_docs_per_sec": round(args.docs / score_dt),
+                "n_trigram_types": n_trigram_types,
                 "n_docs_scored": int(scored[0]),
             }
         finally:

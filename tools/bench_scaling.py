@@ -59,6 +59,22 @@ def run_at(cores: int, path: str, passes: int = 3, job: str = "qc") -> tuple[flo
             minhash_jaccard_estimate(
                 cc, key_col="url", threshold=0.5, max_bucket=500
             ).count()
+        elif job == "funnel":
+            # the user-facing composite (VERDICT r4 item 8): the full
+            # curate() funnel — hygiene → QC rules → exact payload dedup →
+            # guarded near-dup — not just its stages
+            from longqc_spark.config import DEFAULT_CONFIG
+            from longqc_spark.curation import curate
+
+            curate(
+                cc,
+                cfg=DEFAULT_CONFIG,
+                key_col="url",
+                text_col="text",
+                payload_dedup=True,
+                neardup_threshold=0.8,
+                neardup_max_bucket=200,
+            ).count()
         else:
             raise ValueError(f"unknown job {job!r}")
         best = min(best, time.time() - t0)
@@ -76,9 +92,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=None,
                     help="corpus size (default: the 400k scaling corpus)")
-    ap.add_argument("--job", default="qc", choices=("qc", "lsh"),
+    ap.add_argument("--job", default="qc", choices=("qc", "lsh", "funnel"),
                     help="which job to scale: the QC pipeline (north-rule "
-                         "default) or the MinHash-LSH near-dup pass")
+                         "default), the MinHash-LSH near-dup pass, or the "
+                         "full curate() funnel")
     ap.add_argument("--levels", default="2,8,32",
                     help="comma-separated parallelism levels (e.g. 8,32 to "
                          "re-measure one N→4N pair in a short window, "
