@@ -106,6 +106,14 @@ BENCH_QUERIES = (
     "kmeans_embed",
     "hash_tfidf",
     "cc_star",
+    # round-5: LM / sketch / calibration family (cheap at sf0.1; the heavy
+    # kn_trigram twin is measured at 4M docs in BENCH_CORPUS.json instead)
+    "kn_bigram",
+    "nb_classifier",
+    "cms_tokens",
+    "isotonic_fit",
+    "containment_dup",
+    "temperature_mix",
 )
 
 

@@ -194,7 +194,10 @@ def kn_score(
     type-score table (AQE broadcasts it outright when the probe
     vocabulary fits) before the per-doc rollup's map-side partial
     aggregation collapses it to one row per doc per partition. Measured
-    at 4M docs: 3.4× (BENCH_CORPUS.json kn_bigram_lm.score_sec).
+    at 4M docs: 2.1× (294.9 s vs 622.5 s, 13.6k vs 6.4k docs/s —
+    BENCH_CORPUS.json kn_bigram_lm.score_sec; the synthetic corpus is
+    hapax-heavy, 48M types from ~230M grams, so the type-table reduction
+    is ~5×; a natural-language corpus reduces further).
     Bit-identical to the old shape — the lp expression is evaluated on
     the same int64 micro values, once per type instead of per
     occurrence, and Σ lp = Σ cnt·lp exactly in int64."""
