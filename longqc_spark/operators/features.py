@@ -53,8 +53,21 @@ def hashed_tf(
     tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.explode(ws_tokens(text_col)).alias("_t")
     )
+    # ONE doc-keyed exchange for the whole featurization (round 5): project
+    # the token stream to (id, bucket) — two fixed-width values, smaller
+    # than the tokens themselves — and hash-partition it by _id.
+    # HashPartitioning(_id) satisfies the clustering BOTH of this
+    # (_id, bucket) groupBy AND of hash_vectors' downstream (_id) assembly
+    # (the knlm w1-repartition move), so the dense-vector composition runs
+    # agg → broadcast-IDF join → assemble with zero further corpus-sized
+    # exchanges. The old shape (groupBy's own hash(_id,bucket) exchange +
+    # a second hash(_id) exchange in hash_vectors) paid two: map-side
+    # partial aggregation bought nothing there, since a partition's docs ×
+    # dim already exceeds its token count at dim ≥ 64.
     return (
-        tok.groupBy("_id", hash_bucket(F.col("_t"), dim).alias("bucket"))
+        tok.select("_id", hash_bucket(F.col("_t"), dim).alias("bucket"))
+        .repartition(F.col("_id"))
+        .groupBy("_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select(F.col("_id").alias(id_col), "bucket", "tf")
     )
