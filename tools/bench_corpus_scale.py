@@ -995,15 +995,32 @@ def main() -> None:
         try:
             t0 = time.time()
             model = kn_trigram_lm(docs, text_col="text", counts_cache=True)
+            table_names = tuple(model)
             for name, d in model.items():
                 d.write.mode("overwrite").parquet(os.path.join(model_dir, name))
             train_dt = time.time() - t0
+            # the 6-table write is the LAST consumer of the training
+            # lineage, but its DISK_ONLY c3 pin and ~40 GB of training
+            # shuffle files would survive into the scoring phase:
+            # ContextCleaner frees them only after the plans are GC'd AND
+            # a JVM GC runs (periodicGC default = 30 min, longer than the
+            # phase) — measured twice as a 'No space left on device' abort
+            # during scoring on this VM's 68 GB free disk. Scoring reads
+            # the model back from parquet, so drop every reference and
+            # force both GCs before starting it.
+            model = None
+            spark.catalog.clearCache()
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(10)  # let ContextCleaner's async deletes land
             n_trigram_types = spark.read.parquet(
                 os.path.join(model_dir, "tri")
             ).count()
             persisted = {
                 name: spark.read.parquet(os.path.join(model_dir, name))
-                for name in model
+                for name in table_names
             }
             t0 = time.time()
             scored = kn_trigram_score(docs, persisted, keep_cols=("url",)).agg(
