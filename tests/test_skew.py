@@ -216,3 +216,61 @@ def test_embed_neardup_bucket_guard(spark):
     flood_ids = {i for i in range(n) if i % 10 < 3}
     assert flood_ids <= set(comp.node)
     assert comp[comp.node.isin(flood_ids)].component.nunique() == 1
+
+
+def test_skew_split_requires_plain_shuffle_sides(spark):
+    """Round-5 pin (the shape constraint behind BENCH_CORPUS.json's
+    ``onesided_hot_host_1m``): ``OptimizeSkewedJoin`` pattern-matches
+    ``Sort ← ShuffleQueryStage`` DIRECTLY on both join sides, so
+
+    * docs × plain dimension relation → the skewed side IS split;
+    * the byte-identical join whose dimension side is aggregated in the
+      same plan (groupBy → join) is NOT split — the partial aggregate
+      sits between the Sort and the shuffle stage and the rule never
+      fires, no matter the thresholds.
+
+    Production consequence, encoded in curation.py's ordering: host-grain
+    features joined against the corpus should arrive as materialized
+    tables from a prior job, not as agg subplans fused into the consumer."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        docs = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit("hot.example"))
+            .otherwise(F.concat(F.lit("h"), F.col("id") % 500, F.lit(".example")))
+            .alias("host"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim_plain = spark.range(501).select(
+            F.when(F.col("id") == 500, F.lit("hot.example"))
+            .otherwise(F.concat(F.lit("h"), F.col("id"), F.lit(".example")))
+            .alias("host"),
+            (F.col("id") % 9).alias("score"),
+        )
+
+        def run(dim):
+            probe = docs.join(dim, "host").groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("pad")).alias("pc"),
+                F.sum("score").alias("s"),
+            )
+            probe.collect()
+            return probe._jdf.queryExecution().executedPlan().toString()
+
+        assert "skew=true" in run(dim_plain)
+        dim_agged = docs.groupBy("host").agg(F.min(F.length("pad")).alias("score"))
+        assert "skew=true" not in run(dim_agged)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -639,18 +639,28 @@ def main() -> None:
 
     # -- round-5 (VERDICT r4 item 6): demonstrate AQE's skew-join split
     # actually FIRING at default skew thresholds on the join shape it
-    # protects — a ONE-SIDED skewed equi-join (docs × per-host stats,
-    # the domain_cap/host-feature join family). 50% of a 1M-doc corpus
-    # lands on one hot host with ~1 KiB of incompressible pad per doc, so
-    # the hot shuffle partition (~500 MB) clears the DEFAULT
-    # skewedPartitionThresholdInBytes=256m AND 5× the median — no
-    # threshold cranking. autoBroadcastJoinThreshold=-1 emulates the
-    # at-scale regime (a 10^8-row host table does not broadcast); every
-    # skew conf stays at its default. Contrast with the lsh_skew30
-    # records above: the flooded SELF-join never shows skew=true (both
-    # sides share the partition; only the max_bucket guard bounds its
-    # output), while this one-sided shape is exactly what AQE handles
-    # without any help from us. --
+    # protects — a ONE-SIDED skewed equi-join of docs × a precomputed
+    # host-feature table (the domain_cap/host-prior join family). 50% of
+    # a 1M-doc corpus lands on one hot host with ~2 KiB of incompressible
+    # hex pad per doc carried THROUGH the join (column pruning must not
+    # strip it — a count-only probe ships just the host strings and the
+    # hot partition stays tiny), so the hot shuffle partition (~1 GB
+    # compressed) clears the DEFAULT skewedPartitionThresholdInBytes=256m
+    # AND 5× the median — no threshold cranking.
+    # autoBroadcastJoinThreshold=-1 emulates the at-scale regime (a
+    # 10^8-row host table does not broadcast); every skew conf stays at
+    # its default. Two structural constraints this fixture documents
+    # (both also pinned in SCALE.md / tests/test_skew.py):
+    #   1. the flooded SELF-join (lsh_skew30 above) never shows
+    #      skew=true — both sides share the partition and only the
+    #      max_bucket guard bounds its OUTPUT;
+    #   2. OptimizeSkewedJoin pattern-matches Sort←ShuffleQueryStage
+    #      DIRECTLY on both sides, so a join whose dimension side is
+    #      aggregated in the same plan (groupBy→join) is NOT split —
+    #      the dimension table must arrive as a plain shuffled relation
+    #      (e.g. a host-stats table materialized by a prior job, the
+    #      production shape). Measured here: 9.5 s unsplit (agg-fused
+    #      twin) vs 5.9 s split. --
     if want("skew_onesided") and args.skew_docs:
         n = args.skew_docs
         host = (
@@ -667,17 +677,18 @@ def main() -> None:
         pad = F.concat_ws(
             "",
             F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
+                F.sequence(F.lit(1), F.lit(32)),
                 lambda i: F.sha2(
                     F.concat(F.col("id").cast("string"), i.cast("string")), 256
                 ),
             ),
-        ).alias("pad")  # 16 × 64 hex chars ≈ 1 KiB, incompressible
-        hot = spark.range(n).select(host, pad).cache()
-        hot.count()
-        per_host = hot.groupBy("host").agg(
-            F.count(F.lit(1)).alias("host_docs"),
-            F.avg(F.length("pad")).alias("host_mean_len"),
+        ).alias("pad")  # 32 × 64 hex chars ≈ 2 KiB, incompressible
+        docs_hot = spark.range(n).select(host, pad)
+        host_feats = spark.range(50_001).select(
+            F.when(F.col("id") == 50_000, F.lit("hot.example"))
+            .otherwise(F.concat(F.lit("h"), F.col("id"), F.lit(".example")))
+            .alias("host"),
+            (F.col("id") % 100).alias("host_score"),
         )
         saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -686,9 +697,13 @@ def main() -> None:
             for i in range(2):  # pass 0 = warm-up
                 t0 = time.time()
                 cnt_df = (
-                    hot.join(per_host, "host")
+                    docs_hot.join(host_feats, "host")
                     .groupBy()
-                    .agg(F.count(F.lit(1)).alias("n"), F.sum("host_docs"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.length("pad")).alias("pad_chars"),
+                        F.sum("host_score").alias("score_sum"),
+                    )
                 )
                 cnt_df.collect()
                 best = min(best, time.time() - t0)
@@ -701,7 +716,6 @@ def main() -> None:
             }
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
-            hot.unpersist()
 
     # -- quality-aware exact dedup at corpus scale: half the corpus is
     # re-crawled under mirror URLs with a higher crawl prior, so the argmax
