@@ -8,15 +8,24 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from rotate_window import WINDOW, compute_window, load_history  # noqa: E402
+from rotate_window import (  # noqa: E402
+    PINNED_THROUGH_ROUND,
+    WINDOW,
+    compute_window,
+    load_history,
+)
 
 import __spark_entry__ as entry  # noqa: E402
 
 
 def test_pinned_window_matches_generator():
+    # capped at the history the window was generated FROM — the driver
+    # landing this round's CORRECTNESS file must not retro-fail the pin
     registry = list(entry._queries_raw().keys())
     oracled = set(entry.oracle_sql().keys())
-    want = compute_window(registry, oracled, load_history())
+    want = compute_window(
+        registry, oracled, load_history(max_round=PINNED_THROUGH_ROUND)
+    )
     assert list(entry._DRIVER_WINDOW_FIRST) == want
 
 

@@ -39,15 +39,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def load_history(repo: str = REPO) -> dict[str, list[dict]]:
-    """name -> list of driver rows across all CORRECTNESS_r*.json (round
-    order)."""
+def load_history(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, list[dict]]:
+    """name -> list of driver rows across CORRECTNESS_r*.json (round
+    order). ``max_round`` caps the files considered — the window pinned
+    for round N must be reproduced from the history that EXISTED when it
+    was generated (rounds ≤ N-1); without the cap, the driver landing
+    CORRECTNESS_r{N}.json would immediately change the generated window
+    and fail the drift test."""
     hist: dict[str, list[dict]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        stem = os.path.basename(path)
+        try:
+            rnd = int(stem.replace("CORRECTNESS_r", "").split(".")[0])
+        except ValueError:
+            rnd = None
+        if max_round is not None and rnd is not None and rnd > max_round:
+            continue
         with open(path) as f:
             for name, row in json.load(f).items():
                 hist.setdefault(name, []).append(row)
     return hist
+
+
+# the history the CURRENT pinned window was generated from (bump when
+# regenerating _DRIVER_WINDOW_FIRST for a new round)
+PINNED_THROUGH_ROUND = 4
 
 
 def compute_window(
@@ -92,7 +110,11 @@ def main(argv: list[str]) -> int:
 
     registry = list(entry._queries_raw().keys())
     oracled = set(entry.oracle_sql().keys())
-    window = compute_window(registry, oracled, load_history())
+    window = compute_window(
+        registry,
+        oracled,
+        load_history(max_round=PINNED_THROUGH_ROUND if args.check else None),
+    )
 
     if args.check:
         pinned = list(entry._DRIVER_WINDOW_FIRST)
