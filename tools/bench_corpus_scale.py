@@ -972,6 +972,17 @@ def main() -> None:
             ):
                 d.write.mode("overwrite").parquet(os.path.join(model_dir, name))
             train_dt = time.time() - t0
+            # free the training lineage (DISK_ONLY counts pin + shuffle
+            # files) before scoring — same disk-fit move as the trigram
+            # section below; at 8M docs the two phases together exceed
+            # this VM's free disk if training's files linger
+            pair = kctx = cont = consts = None
+            spark.catalog.clearCache()
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(10)
             n_bigram_types = spark.read.parquet(
                 os.path.join(model_dir, "pair")
             ).count()

@@ -114,12 +114,28 @@ def main() -> None:
     else:
         path = write_corpus(DATA_CC, "scaling")
     levels = tuple(int(x) for x in args.levels.split(","))
+    # host-speed calibration BEFORE any JVM starts (same probe as
+    # bench.py): the scaling ratio is epoch-relative on this shared VM,
+    # so record what the host itself scaled to at the same core counts.
+    from bench import host_probe
+
+    probes = {}
+    for c in levels:
+        single, at_c = host_probe(c)
+        probes.setdefault(1, single)
+        probes[c] = at_c
     results = {}
     for cores in levels:
         sec, n = run_at(cores, path, job=args.job)
         results[cores] = {"sec": round(sec, 2), "docs_per_sec": round(n / sec, 1)}
         print(f"local[{cores}]: {sec:.2f}s  {n / sec:.0f} docs/s", flush=True)
-    out = {"input": path, "n_docs": n, "job": args.job, "runs": results}
+    out = {
+        "input": path,
+        "n_docs": n,
+        "job": args.job,
+        "runs": results,
+        "host_probe_mips": probes,
+    }
     for lo, hi in zip(levels, levels[1:]):
         eff = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"] / (hi / lo)
         out[f"efficiency_N{lo}_to_{hi}"] = round(eff, 3)
