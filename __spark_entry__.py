@@ -23,6 +23,28 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Widen single-row-group file scans (optimization guide §2.5:
+    unsplittable input → repartition right after the read).
+
+    The sf parquet fixtures are one file with ONE row group per table, so
+    the scan — and with it every pre-shuffle expression (tokenization,
+    gram construction, regex extraction, digest hashing) — runs as a
+    single task no matter how many cores the session has. A round-robin
+    repartition to the session's default parallelism moves the few base
+    MB once and lets the compute stage use the whole machine; the
+    explicit partition count keeps AQE from re-coalescing the tiny
+    exchange back to one partition. Scale-adaptive: a real multi-split
+    table (scan partitions >= default parallelism) is returned
+    untouched, so production inputs never pay an extra exchange.
+    Result-neutral: applied only under aggregation/sort boundaries, so
+    row placement cannot change any declared result."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Flagship
 # ---------------------------------------------------------------------------
@@ -114,7 +136,7 @@ def q_union_split(spark: SparkSession, sf: str) -> DataFrame:  # SE1/F6
 
 
 def q_topk_tokens(spark: SparkSession, sf: str) -> DataFrame:  # A15/O5
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     toks = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token")).filter(
         F.col("token") != ""
     )
@@ -588,7 +610,7 @@ def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:  # web: C4 line-level
     line ORDER and page membership are both oracle-verified."""
     from longqc_spark.operators.web import c4_clean
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     seeded = (
         docs.withColumn(
             "text", F.regexp_replace("text", r"((?:\S+ ){3}\S+) ", "$1\n")
@@ -615,6 +637,15 @@ def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:  # web: C4 line-level
             ),
         )
     )
+    # Materialize the seeded text once (guide §4.4's duplicated-evaluation
+    # trap, JVM-expression form): without a boundary, Catalyst inlines the
+    # whole seeding chain into c4_clean's page/line/sentence gates — the
+    # plan showed the transform+md5 tree FIVE times in one Filter — and
+    # pushes that Filter below the fan repartition, back onto the
+    # single-task scan. localCheckpoint pins the seeded rows post-fan, so
+    # the seeding evaluates once and the gates run on all cores. Fresh per
+    # invocation: nothing survives across bench runs.
+    seeded = seeded.localCheckpoint()
     cleaned = c4_clean(seeded, text_col="text", min_words=4, min_sentences=2)
     return (
         cleaned.select(
@@ -649,7 +680,7 @@ def q_block_extract(spark: SparkSession, sf: str) -> DataFrame:  # web: jusText-
     written in the Java∩RE2 compatible subset)."""
     from longqc_spark.operators.web import block_extract
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     anchor = F.lit(' <a href="/r">related links here</a>')
     body = F.array_join(
         F.transform(
@@ -712,7 +743,7 @@ def q_optout_filter(spark: SparkSession, sf: str) -> DataFrame:  # web: robots/A
     detector must classify every page exactly."""
     from longqc_spark.operators.web import robots_optout_filter
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     meta = (
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -760,7 +791,7 @@ def q_lang_thresholds(spark: SparkSession, sf: str) -> DataFrame:  # web: per-la
     plain-SQL semantics row for row."""
     from longqc_spark.operators.web import per_lang_thresholds
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     kept = per_lang_thresholds(
         docs,
         {"zh": (100, 100_000, 0.60), "de": (250, 100_000, 0.30), "fr": (220, 100_000, 0.30)},
@@ -790,7 +821,7 @@ def q_anchor_extract(spark: SparkSession, sf: str) -> DataFrame:  # web: anchor-
     mirrored regexes."""
     from longqc_spark.operators.web import extract_anchors
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     body = F.array_join(
         F.transform(
             F.split("text", r"\n"),
@@ -857,7 +888,7 @@ def q_canonical_collapse(spark: SparkSession, sf: str) -> DataFrame:  # web: rel
     checksum."""
     from longqc_spark.operators.web import canonical_collapse
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     grp = (F.col("doc_id") / 3).cast("bigint").cast("string")
     link = (
         F.when(
@@ -915,7 +946,7 @@ def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:  # web: title/meta e
     absent→NULL rule must all reproduce it exactly."""
     from longqc_spark.operators.web import with_page_meta
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     ids = F.col("doc_id").cast("string")
     desc_meta = (
         F.when(F.col("doc_id") % 5 == 0, F.lit(""))
@@ -971,7 +1002,7 @@ def q_zlib_quality(spark: SparkSession, sf: str) -> DataFrame:  # text: compress
     random)."""
     from longqc_spark.operators.text import compression_ratio
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     scored = compression_ratio(docs, text_col="text")
     return (
         scored.groupBy("source")
@@ -999,7 +1030,7 @@ def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:  # S3/S4: WARC 
     container transplanted to the web-native format."""
     from longqc_spark.warc import warc_roundtrip
 
-    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    docs = _fan(_read(spark, sf, "documents")).filter(F.col("text").isNotNull())
     enc_in = docs.select(
         F.concat(
             F.lit("https://"),
@@ -1047,7 +1078,7 @@ def _graph_pages(spark: SparkSession, sf: str) -> DataFrame:
     nav ``href="/"`` anchor resolves to the page's own host, and a
     script-embedded decoy anchor to a REAL host (h0) must not leak —
     extract_anchors' script-stripping is load-bearing for the counts."""
-    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    docs = _fan(_read(spark, sf, "documents")).filter(F.col("text").isNotNull())
     host_k = (F.col("doc_id") % 16).cast("string")
 
     def _line_anchor(l):
@@ -1172,7 +1203,7 @@ def q_cms_tokens(spark: SparkSession, sf: str) -> DataFrame:  # count-min heavy 
     from longqc_spark.operators.sketches import cms_build, cms_estimate
     from longqc_spark.operators.quant import ws_tokens
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     tok = docs.filter(F.col("text").isNotNull()).select(
         F.explode(ws_tokens("text")).alias("token")
     )
@@ -1207,7 +1238,7 @@ def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: RFC 9309 c
     precedence, tie-break, wildcard and anchor semantics are all pinned."""
     from longqc_spark.operators.robots import parse_robots_rules, robots_gate
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     k = F.col("doc_id") % 16
     pages = docs.select(
         "doc_id",
@@ -1262,7 +1293,7 @@ def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:  # web: CDXJ index r
     end-to-end, and the ts epoch survives the 14-digit timestamp format."""
     from longqc_spark.operators.cdx import format_cdx_line, parse_cdx_lines
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     k, h = d % 4, (d % 7).cast("string")
     ds = d.cast("string")
@@ -1308,7 +1339,7 @@ def q_etld1_domains(spark: SparkSession, sf: str) -> DataFrame:  # web: public-s
         PSL_MINI, parse_psl_rules, with_registrable_domain,
     )
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     k, h = d % 5, (d % 7).cast("string")
     url = (
@@ -1335,7 +1366,7 @@ def q_mirror_hosts(spark: SparkSession, sf: str) -> DataFrame:  # web: mirror-si
     DuckDB, so the pair math is value-pinned."""
     from longqc_spark.operators.mirror import mirror_pairs
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     g = F.expr("doc_id div 16")
     host = F.concat(F.lit("h"), (d % 16).cast("string"))
@@ -1367,7 +1398,7 @@ def q_sitemap_coverage(spark: SparkSession, sf: str) -> DataFrame:  # web: sitem
         parse_sitemap_entries, sitemap_coverage,
     )
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     k = (d % 8).cast("string")
     day = F.lpad((d % 20 + 1).cast("string"), 2, "0")
@@ -1396,7 +1427,7 @@ def q_soft404_drop(spark: SparkSession, sf: str) -> DataFrame:  # web: soft-404 
     short-body gate, and the per-host template threshold."""
     from longqc_spark.operators.soft404 import soft404_filter
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     m = d % 10
     tpl = m < 3
@@ -1430,7 +1461,7 @@ def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:  # web: fetch s
     selection are replicated 1:1 in DuckDB."""
     from longqc_spark.operators.frontier import frontier_next
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://h"), (d % 16).cast("string"), F.lit(".com/p/"),
@@ -1456,7 +1487,7 @@ def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:  # web: per-h
     replicated 1:1 in DuckDB (full-text compare)."""
     from longqc_spark.operators.web import host_boilerplate_strip
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     k = (d % 8).cast("string")
     text = F.concat(
@@ -1483,7 +1514,7 @@ def q_anchor_targets(spark: SparkSession, sf: str) -> DataFrame:  # web: target-
     and the min_sources gate are replicated 1:1 in DuckDB."""
     from longqc_spark.operators.web import anchor_targets
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     ds = d.cast("string")
     a1 = docs.select(
@@ -1508,7 +1539,7 @@ def q_snapshot_churn(spark: SparkSession, sf: str) -> DataFrame:  # web: crawl c
     1:1 in DuckDB."""
     from longqc_spark.operators.web import snapshot_churn
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     ds = d.cast("string")
     url = F.concat(
@@ -1543,7 +1574,7 @@ def q_script_check(spark: SparkSession, sf: str) -> DataFrame:  # text: lang/scr
     denominator, the strict < threshold, and all three NULL rules."""
     from longqc_spark.operators.text import script_consistency
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     lang = F.when(d % 5 == 4, F.lit("xx")).otherwise(
         F.when(d % 2 == 0, F.lit("en")).otherwise(F.lit("ru"))
@@ -1579,7 +1610,7 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:  # IR: BM25 retrie
     kept in the avgdl denominator on both sides."""
     from longqc_spark.operators.ir import bm25_topk
 
-    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    docs = _fan(_read(spark, sf, "documents")).filter(F.col("text").isNotNull())
     return bm25_topk(docs, ["dup", "vector", "merge"], k=10)
 
 
@@ -1759,7 +1790,7 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:  # sharding (two-
     sort — the n50_approx pattern applied to a running total)."""
     from longqc_spark.operators.relational import assign_shards
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     return (
         assign_shards(docs, shard_bytes=20_000)
         .groupBy("shard")
@@ -2108,7 +2139,7 @@ def q_pack_seqs(spark: SparkSession, sf: str) -> DataFrame:  # training layout
     BIGINT div/mod."""
     from longqc_spark.operators.relational import pack_sequences
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     packed = pack_sequences(docs, seq_len=1000, tokens_col="n_chars", key_col="doc_id")
     return packed.select("doc_id", "seq_id", "seq_offset").orderBy("doc_id")
 
@@ -2206,7 +2237,7 @@ def q_token_pmi(spark: SparkSession, sf: str) -> DataFrame:  # co-occurrence lif
     plan DuckDB's lead() mirrors."""
     from pyspark.sql import Window
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
@@ -2248,7 +2279,7 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:  # robust outlier
     engines produce exactly-representable .0/.5 values and the 3-MAD cut is
     bit-stable. Two exact-median aggs (Spark `median` == SQL quantile_cont
     interpolation) + one conditional count."""
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     med = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
     dev = docs.join(F.broadcast(med), "source").withColumn(
         "adev", F.abs(F.col("n_chars") - F.col("med"))
@@ -2281,7 +2312,7 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:  # train/eval hy
     mode-equality of the counts is pytest-pinned."""
     from longqc_spark.operators.dedup import contamination_check
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     eval_df = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
@@ -2324,7 +2355,7 @@ def q_fuzzy_scrub(spark: SparkSession, sf: str) -> DataFrame:  # M7/M8 fuzzy var
     left-semi against the tiny term list (dedupes multi-term hits) → weighted
     sum. The kernel twin (cfg.scrub_fuzzy) shares the same rule and is proven
     byte-identical vs the labeler in tests/test_kernels.py."""
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     terms = spark.createDataFrame([("hash",), ("merge",), ("scann",)], "term string")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
@@ -3906,7 +3937,7 @@ def q_charset_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: encoding 
     conflict rule are all pinned without DuckDB parsing anything."""
     from longqc_spark.operators.web import charset_sniff
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     d = F.col("doc_id")
     m = d % 6
     bom = (
@@ -3956,7 +3987,7 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:  # corpus health: Zip
     var_pop/corr; 6dp rounding)."""
     from longqc_spark.operators.text import zipf_fit
 
-    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    docs = _fan(_read(spark, sf, "documents")).filter(F.col("text").isNotNull())
     return zipf_fit(docs, text_col="text", k=200)
 
 
@@ -4143,7 +4174,7 @@ def q_nb_classifier(spark: SparkSession, sf: str) -> DataFrame:  # in-plan Naive
     AND inference exactly."""
     from longqc_spark.operators.nbayes import nb_predict, nb_train
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
         "y", F.col("lang") == "en"
     )
@@ -4322,7 +4353,7 @@ def q_kn_bigram(spark: SparkSession, sf: str) -> DataFrame:  # Kneser-Ney LM
     quality pipeline as one declarative plan."""
     from longqc_spark.operators.knlm import kn_bigram_lm, kn_score
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     pair, ctx, cont, consts = kn_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     per_doc = kn_score(
         docs, pair, ctx, cont, consts, keep_cols=("doc_id", "source")
@@ -4545,7 +4576,7 @@ def q_kmeans_embed(spark: SparkSession, sf: str) -> DataFrame:  # full-corpus k-
     matches sizes, int inertia, and member identity bit-for-bit."""
     from longqc_spark.operators.kmeans import kmeans_fit, kmeans_report
 
-    emb = _read(spark, sf, "embeddings")
+    emb = _fan(_read(spark, sf, "embeddings"))
     asg, _ = kmeans_fit(emb, k=4, iters=3)
     return kmeans_report(asg).select(
         "cluster",
@@ -4635,7 +4666,7 @@ def q_hash_tfidf(spark: SparkSession, sf: str) -> DataFrame:  # hashing-trick fe
     zero-fill; micro-int products make the sums order-free and exact."""
     from longqc_spark.operators.features import hash_vectors, hashed_tfidf
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     sparse = hashed_tfidf(docs, dim=16)
     vecs = hash_vectors(sparse, dim=16)
     return (
@@ -5093,7 +5124,7 @@ def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:  # corpus heal
     exact distinct counts, 6dp ratio."""
     from longqc_spark.operators.text import ngram_diversity
 
-    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
+    docs = _fan(_read(spark, sf, "documents")).filter(F.col("text").isNotNull())
     return ngram_diversity(docs, max_n=3)
 
 
@@ -5126,7 +5157,7 @@ def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:  # ANALYZE-style
     scan — see its docstring for the scale trade-off)."""
     from longqc_spark.operators.relational import profile_table
 
-    docs = _read(spark, sf, "documents")
+    docs = _fan(_read(spark, sf, "documents"))
     return profile_table(
         docs,
         columns=["doc_id", "lang", "n_chars", "source", "text"],

@@ -65,12 +65,11 @@ def quantize_vec(col: Column) -> Column:
     )
 
 
-def _sqdist(qcol: Column, centroid: list[int]) -> Column:
+def _sqdist(qcol: Column, centroid: Column) -> Column:
     """int64 squared L2 distance between a quantized vector column and a
-    driver-held centroid (folded in as an array literal)."""
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    centroid array expression."""
     return F.aggregate(
-        F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(qcol, centroid, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -78,15 +77,21 @@ def _sqdist(qcol: Column, centroid: list[int]) -> Column:
 
 def _assign_expr(qcol: Column, centroids: list[list[int]]) -> Column:
     """struct<dist:long, cluster:int> of the nearest centroid — ties to
-    the lowest cluster id via struct ordering. Pure JVM, no shuffle."""
+    the lowest cluster id via struct ordering. Pure JVM, no shuffle.
+
+    The k×dim centroid values enter the plan as ONE array<array<long>>
+    literal (data payload, not expression nodes) iterated with an
+    indexed ``transform`` — k unrolled per-centroid subtrees made every
+    Lloyd iteration's fresh plan cost ~0.5 s of driver-side analysis per
+    update job (measured at k=4, dim=64: 1.2 s/update → 0.7 s, same
+    executor-side work, bit-identical assignment incl. tie-breaks)."""
+    cl = F.lit([[int(v) for v in c] for c in centroids])
     return F.array_min(
-        F.array(
-            *[
-                F.named_struct(
-                    F.lit("dist"), _sqdist(qcol, c), F.lit("cluster"), F.lit(cid)
-                )
-                for cid, c in enumerate(centroids)
-            ]
+        F.transform(
+            cl,
+            lambda c, i: F.named_struct(
+                F.lit("dist"), _sqdist(qcol, c), F.lit("cluster"), i
+            ),
         )
     )
 
