@@ -1207,13 +1207,20 @@ def q_cms_tokens(spark: SparkSession, sf: str) -> DataFrame:  # count-min heavy 
     tok = docs.filter(F.col("text").isNotNull()).select(
         F.explode(ws_tokens("text")).alias("token")
     )
-    sketch = cms_build(tok, depth=4, width=1024)
-    top = (
+    # Aggregate the stream to exact per-token counts ONCE (guide §2.3:
+    # aggregate before you shuffle), then feed the sketch via weight_col —
+    # cell values are identical (Σ over occurrences = Σ count·1 per
+    # token), but the 4 md5 row-hashes run per DISTINCT token instead of
+    # per occurrence, and the same vocab-sized table serves the exact
+    # top-20. localCheckpoint shares the one tokenize+count pass between
+    # the two consumers (fresh per invocation — nothing crosses runs).
+    tok_counts = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .orderBy(F.desc("n_exact"), "token")
-        .limit(20)
+        .localCheckpoint()
     )
+    sketch = cms_build(tok_counts, weight_col="n_exact", depth=4, width=1024)
+    top = tok_counts.orderBy(F.desc("n_exact"), "token").limit(20)
     return (
         cms_estimate(top, sketch, depth=4, width=1024)
         .select(

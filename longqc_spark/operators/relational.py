@@ -137,36 +137,181 @@ def n50_approx(
     return spark.createDataFrame(rows, "pct int, nxx long").orderBy("pct")
 
 
+def _rank_select_quantiles(base: DataFrame, bins: int = 256) -> DataFrame:
+    """Exact per-bucket rank selection for :func:`binned_median` without a
+    per-bucket sort (optimization guide §2.5: a window PARTITIONed by a
+    handful of buckets is a skew trap — at 6M lineitem rows over ~7
+    quantity buckets the old row_number window ran ~7 single-task 1M-row
+    sorts while 25 cores idled).
+
+    Three bounded passes, no global or per-bucket sort:
+
+    1. per-bucket ``(n_all, n_nonnull, min, max)`` — collected; the result
+       is output-sized (one row per bucket, same scale as the operator's
+       own result).
+    2. per-``(bucket, coarse bin)`` counts over ``bins`` equi-width bins of
+       the [min, max] span — collected (≤ buckets × bins rows); the driver
+       prefix-sums each bucket's bins and locates, for each needed global
+       rank (lo/hi of p ∈ {.25, .5, .75} under ascending NULLS FIRST
+       order), the bin that contains it and the rank within that bin.
+    3. only rows of the ≤ 6-per-bucket candidate bins are ranked — tiny
+       window partitions (~n/bins rows each), fully parallel — and joined
+       to the driver-built target table to pull the exact values.
+
+    Bit-equal to the old full-sort selection: the bin expression is
+    monotone in ``v`` (ties share a bin), NULLs are counted separately and
+    never fetched (a target rank that falls among them stays NULL, as the
+    old ``max(when(r = lo, v))`` did), ±Inf pin to the edge bins, NaN
+    (which sorts last) pins to the top bin, and a rank past the bucket's
+    row count simply produces no target row (the caller's
+    ``coalesce(_hi, _lo)`` covers it). → one row per bucket:
+    ``(bucket, n, _med_lo, _med_hi, _q1_lo, _q1_hi, _q3_lo, _q3_hi)``."""
+    spark = base.sparkSession
+    stats = (
+        base.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count("v").alias("n_val"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    dims = spark.createDataFrame(
+        [
+            (r["bucket"], float(r["mn"]), float(r["mx"]) - float(r["mn"]))
+            for r in stats
+            if r["n_val"] > 0
+        ]
+        or [(0, 0.0, 0.0)],
+        "bucket long, _mn double, _span double",
+    )
+    vd = F.col("v").cast("double")
+    neg_inf, pos_inf = float("-inf"), float("inf")
+    raw_bin = F.floor((vd - F.col("_mn")) / F.col("_span") * F.lit(bins)).cast("long")
+    bin_expr = (
+        F.when(vd == F.lit(neg_inf), F.lit(0))
+        .when(vd == F.lit(pos_inf), F.lit(bins - 1))
+        .when(
+            F.col("_span") > 0,
+            # NaN arithmetic yields a NULL floor — coalesce pins it (and any
+            # degenerate span fallout) to the top bin, where NaN sorts last
+            F.coalesce(
+                F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw_bin)),
+                F.lit(bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_bin")
+    )
+    binned = (
+        base.filter(F.col("v").isNotNull())
+        .join(F.broadcast(dims), "bucket")
+        .select("bucket", "v", bin_expr)
+    )
+    bin_counts: dict[tuple[int, int], int] = {
+        (r["bucket"], r["_bin"]): r["c"]
+        for r in binned.groupBy("bucket", "_bin").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # driver-side rank→(bin, rank_in_bin) resolution per target quantile
+    targets: list[tuple[int, int, int, str]] = []  # (bucket, bin, rank_in_bin, tag)
+    for r in stats:
+        b, n_all, n_null = r["bucket"], r["n_all"], r["n_all"] - r["n_val"]
+        cum: list[tuple[int, int]] = []  # (bin, cumulative count before bin)
+        acc = 0
+        for j in range(bins):
+            c = bin_counts.get((b, j), 0)
+            if c:
+                cum.append((j, acc))
+                acc += c
+        for p, name in ((0.5, "med"), (0.25, "q1"), (0.75, "q3")):
+            lo = math.floor((n_all - 1) * p) + 1
+            for rank, tag in ((lo, f"_{name}_lo"), (lo + 1, f"_{name}_hi")):
+                if rank > n_all or rank <= n_null:
+                    continue  # past the bucket, or a NULL value: no fetch
+                rv = rank - n_null
+                for j, before in reversed(cum):
+                    if rv > before:
+                        targets.append((b, j, rv - before, tag))
+                        break
+    tags = ["_med_lo", "_med_hi", "_q1_lo", "_q1_hi", "_q3_lo", "_q3_hi"]
+    nrows = spark.createDataFrame(
+        [(r["bucket"], r["n_all"]) for r in stats], "bucket long, n long"
+    )
+    if not targets:
+        vals = None
+    else:
+        tdf = spark.createDataFrame(
+            targets, "bucket long, _bin long, _r int, _tag string"
+        )
+        w = Window.partitionBy("bucket", "_bin").orderBy("v")
+        need_bins = {(b, j) for b, j, _, _ in targets}
+        cand = binned.join(
+            F.broadcast(
+                spark.createDataFrame(sorted(need_bins), "bucket long, _bin long")
+            ),
+            ["bucket", "_bin"],
+        )
+        vals = (
+            cand.withColumn("_r", F.row_number().over(w))
+            .join(F.broadcast(tdf), ["bucket", "_bin", "_r"])
+            .groupBy("bucket")
+            .agg(
+                *[
+                    F.max(F.when(F.col("_tag") == t, F.col("v"))).alias(t)
+                    for t in tags
+                ]
+            )
+        )
+    if vals is None:
+        out = nrows
+        for t in tags:
+            out = out.withColumn(t, F.lit(None).cast("double"))
+        return out
+    return nrows.join(vals, "bucket", "left")
+
+
 def binned_median(
     df: DataFrame, value_col: str, bucket_col: str, bucket_width: float
 ) -> DataFrame:
     """A9 — per-length-bucket boxplot stats (reference ``lq_mask.py:43-66``,
     ``lq_coverage.py:506-515``).
 
-    Exact quantiles via ONE sort-shuffle + window rank + conditional agg —
-    whole-stage codegen end to end. Spark's builtin exact ``percentile`` is
-    an ObjectHashAggregate that buffers every value through the shuffle
-    (~3 s for 600 k rows); this plan does the same math in ~0.5 s and scales:
-    the heavy op is a partitioned sort, not a per-group value buffer.
+    Exact quantiles via bounded-pass rank selection
+    (:func:`_rank_select_quantiles`) — no per-bucket sort, no per-group
+    value buffer (Spark's builtin exact ``percentile`` is an
+    ObjectHashAggregate that ships every value through the shuffle).
     Interpolation matches SQL ``quantile_cont``: h = (n−1)p over the 0-based
     sorted sequence.
     """
     bucket = F.floor(F.col(bucket_col) / F.lit(bucket_width)).cast("long").alias("bucket")
-    w = Window.partitionBy("bucket").orderBy("v")
-    ranked = (
-        df.select(bucket, F.col(value_col).alias("v"))
-        .withColumn("r", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
-    )
-    aggs = [F.max("n").alias("n")]
-    for p, name in ((0.5, "med"), (0.25, "q1"), (0.75, "q3")):
-        h = (F.col("n") - 1) * F.lit(p)
-        lo = F.floor(h) + 1  # 1-based rank of the lower neighbor
-        aggs += [
-            F.max(F.when(F.col("r") == lo, F.col("v"))).alias(f"_{name}_lo"),
-            F.max(F.when(F.col("r") == lo + 1, F.col("v"))).alias(f"_{name}_hi"),
-        ]
-    out = ranked.groupBy("bucket").agg(*aggs)
+    base = df.select(bucket, F.col(value_col).alias("v"))
+    # Size-adaptive path choice from the optimizer's own (column-pruned)
+    # estimate — no extra job. Small inputs keep the one-shuffle window
+    # sort (its 3-pass rival pays two driver round-trips of fixed
+    # latency); past ~2M rows the window's per-bucket single-task sorts
+    # dominate (guide §2.5 skew: ~7 quantity buckets → ~7 tasks no matter
+    # the core count; measured 8.7 s → 3.4 s at 6M rows) and the bounded
+    # rank-selection wins — and keeps winning at any scale, since its
+    # passes are all partial-agg or tiny-window shaped.
+    est_bytes = int(base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est_bytes >= (8 << 20):
+        out = _rank_select_quantiles(base)
+    else:
+        w = Window.partitionBy("bucket").orderBy("v")
+        ranked = base.withColumn("r", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        )
+        aggs = [F.max("n").alias("n")]
+        for p, name in ((0.5, "med"), (0.25, "q1"), (0.75, "q3")):
+            h = (F.col("n") - 1) * F.lit(p)
+            lo = F.floor(h) + 1  # 1-based rank of the lower neighbor
+            aggs += [
+                F.max(F.when(F.col("r") == lo, F.col("v"))).alias(f"_{name}_lo"),
+                F.max(F.when(F.col("r") == lo + 1, F.col("v"))).alias(f"_{name}_hi"),
+            ]
+        out = ranked.groupBy("bucket").agg(*aggs)
     for p, name in ((0.5, "med"), (0.25, "q1"), (0.75, "q3")):
         h = (F.col("n") - 1) * F.lit(p)
         frac = h - F.floor(h)

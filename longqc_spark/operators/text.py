@@ -1319,42 +1319,62 @@ def ngram_diversity(
     the corpus-level dual of the per-doc top-ngram repetition rules).
     → (n, total_ngrams, distinct_ngrams, distinct_ratio) ordered by n.
 
-    One explode + aggregate per n, unioned — deliberately NOT one
-    aggregation with max_n count_distincts, which would put an
-    Expand ×(max_n+1) on the token stream (the profiler's documented
-    trade-off; here every branch is a partial-agg shuffle on its own
-    grain). Word n-grams over the usual lowercase whitespace contract."""
+    ONE tokenize + explode pass for all n (optimization round 6; was one
+    explode + count_distinct aggregate per n): every doc emits its full
+    (n, gram) stream from a single concatenated struct array, and the
+    exact distinct/total counts come from a two-level aggregate —
+    partial-combined (n, g) counts, then per-n ``sum``/``count``. Still
+    no Expand on the token stream (no stacked count_distincts — the
+    profiler's documented trade-off), and the corpus is scanned and
+    tokenized once instead of max_n times. Word n-grams over the usual
+    lowercase whitespace contract."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    out = None
+    # NB: capture n via factories, not `lambda x, n=n` — a second lambda
+    # parameter makes pyspark's transform pass the ELEMENT INDEX into it
+    def _gram(n):
+        return lambda i: F.array_join(F.slice(toks, i, n), " ")
+
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    branches = []
     for n in range(1, max_n + 1):
         if n == 1:
             grams = toks
         else:
             cnt = F.size(toks) - F.lit(n - 1)
             grams = F.when(
-                cnt >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), cnt),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                ),
+                cnt >= 1, F.transform(F.sequence(F.lit(1), cnt), _gram(n))
             ).otherwise(F.array().cast("array<string>"))
-        g = (
-            df.select(F.explode(grams).alias("g"))
-            .agg(
-                F.lit(n).alias("n"),
-                F.count(F.lit(1)).alias("total_ngrams"),
-                F.count_distinct(F.col("g")).alias("distinct_ngrams"),
-            )
-            .select(
-                "n",
-                "total_ngrams",
-                "distinct_ngrams",
-                F.round(
-                    F.try_divide(F.col("distinct_ngrams"), F.col("total_ngrams")), 6
-                ).alias("distinct_ratio"),
-            )
+        branches.append(F.transform(grams, _tag(n)))
+    pairs = df.select(F.explode(F.concat(*branches)).alias("p")).select(
+        F.col("p.n").alias("n"), F.col("p.g").alias("g")
+    )
+    counts = pairs.groupBy("n", "g").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("n").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+    )
+    # an n with zero grams anywhere (e.g. empty corpus) must still emit
+    # its (n, 0, 0, NULL) row, as the old per-n global aggregates did
+    skeleton = df.sparkSession.createDataFrame(
+        [(n,) for n in range(1, max_n + 1)], "n int"
+    )
+    return (
+        skeleton.join(agg, "n", "left")
+        .select(
+            "n",
+            F.coalesce(F.col("total_ngrams"), F.lit(0).cast("long")).alias(
+                "total_ngrams"
+            ),
+            F.coalesce(F.col("distinct_ngrams"), F.lit(0).cast("long")).alias(
+                "distinct_ngrams"
+            ),
+            F.round(
+                F.try_divide(F.col("distinct_ngrams"), F.col("total_ngrams")), 6
+            ).alias("distinct_ratio"),
         )
-        out = g if out is None else out.unionByName(g)
-    return out.orderBy("n")
+        .orderBy("n")
+    )

@@ -78,9 +78,13 @@ def test_self_loops_and_empty(spark):
 
 
 def test_nonconvergence_raises(spark):
+    # the max_iter guard belongs to the distributed loop — disable the
+    # driver union-find fast path so the loop actually runs
     edges = [(i, i + 1) for i in range(63)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components_star(_pairs_df(spark, edges), max_iter=1)
+        connected_components_star(
+            _pairs_df(spark, edges), max_iter=1, driver_solve_max_edges=0
+        )
 
 
 def test_partitioning_invariance(spark):
@@ -91,3 +95,19 @@ def test_partitioning_invariance(spark):
     r1 = sorted(map(tuple, connected_components_star(df1).collect()))
     r8 = sorted(map(tuple, connected_components_star(df8).collect()))
     assert r1 == r8
+
+
+def test_star_driver_and_distributed_agree(spark):
+    """The driver union-find fast path and the distributed star
+    alternation produce the identical (node, component) set."""
+    edges = [(5, 4), (4, 3), (9, 8), (1, 7), (7, 2), (2, 1)]
+    df = _pairs_df(spark, edges)
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df, driver_solve_max_edges=0).collect()
+    }
+    assert fast == dist

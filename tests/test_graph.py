@@ -195,3 +195,24 @@ def test_hits_weighted_equals_duplicated_rows(spark):
     for h in r1:
         assert r1[h][0] == pytest.approx(r2[h][0], abs=1e-12)
         assert r1[h][1] == pytest.approx(r2[h][1], abs=1e-12)
+
+
+def test_pagerank_small_graph_paths_agree(spark):
+    """The driver-side solver (small-graph fast path) and the distributed
+    power iteration are the same recurrence: identical ranks to 12 dp on
+    a weighted graph with a dangling node."""
+    edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "d", 3.0)]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, w double")
+    fast = {
+        r["host"]: r["rank"]
+        for r in pagerank(df, weight_col="w", iters=6).collect()
+    }
+    dist = {
+        r["host"]: r["rank"]
+        for r in pagerank(
+            df, weight_col="w", iters=6, driver_solve_max_nodes=0
+        ).collect()
+    }
+    assert set(fast) == set(dist)
+    for h in fast:
+        assert fast[h] == pytest.approx(dist[h], abs=1e-12)
