@@ -23,7 +23,7 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
-def _fan(df: DataFrame) -> DataFrame:
+def _fan(df: DataFrame, min_bytes: int = 2 << 20) -> DataFrame:
     """Widen single-row-group file scans (optimization guide §2.5:
     unsplittable input → repartition right after the read).
 
@@ -40,7 +40,14 @@ def _fan(df: DataFrame) -> DataFrame:
     Result-neutral: applied only under aggregation/sort boundaries, so
     row placement cannot change any declared result."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    # Size gate (measured at sf0.1, where the base tables are ~0.6 MB):
+    # below ~2 MB the exchange + p tiny tasks cost more than the serial
+    # compute they replace — a full-bench A/B showed 1.3-2.6x regressions
+    # on the small scale while the sf1.0 wins held. The estimate is the
+    # optimizer's own (analysis-only, no job); the gate also keeps the
+    # fan off the sf0.01/0.001 correctness scales entirely.
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= min_bytes and df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
 
@@ -3944,7 +3951,7 @@ def q_charset_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: encoding 
     conflict rule are all pinned without DuckDB parsing anything."""
     from longqc_spark.operators.web import charset_sniff
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _fan(_read(spark, sf, "documents"), min_bytes=0)
     d = F.col("doc_id")
     m = d % 6
     bom = (
@@ -3994,7 +4001,7 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:  # corpus health: Zip
     var_pop/corr; 6dp rounding)."""
     from longqc_spark.operators.text import zipf_fit
 
-    docs = _fan(_read(spark, sf, "documents")).filter(F.col("text").isNotNull())
+    docs = _read(spark, sf, "documents").filter(F.col("text").isNotNull())
     return zipf_fit(docs, text_col="text", k=200)
 
 
@@ -5131,7 +5138,11 @@ def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:  # corpus heal
     exact distinct counts, 6dp ratio."""
     from longqc_spark.operators.text import ngram_diversity
 
-    docs = _fan(_read(spark, sf, "documents")).filter(F.col("text").isNotNull())
+    # min_bytes=0: gram construction dominates the exchange cost at any
+    # input size (measured 3.45 s serial vs 1.46 s fanned at sf0.1)
+    docs = _fan(_read(spark, sf, "documents"), min_bytes=0).filter(
+        F.col("text").isNotNull()
+    )
     return ngram_diversity(docs, max_n=3)
 
 

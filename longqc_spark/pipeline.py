@@ -251,7 +251,36 @@ def qc_pipeline(
     files, pass ``num_partitions=0`` to skip it and let the scan parallelize.
     """
     if num_partitions is None:
-        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+        # adaptive default (optimization round 6, guide §2.4: remove
+        # shuffles outright): when the source scan already yields at least
+        # one partition per core — a properly laid-out corpus table, e.g.
+        # the 4k-row-group CC corpus under 16 MB splits — the salted
+        # repartition is a pure extra exchange of the full text column and
+        # is skipped; an under-split source (single-row-group fixture
+        # files, one giant gzip) still gets the 2×cores salt. Callers keep
+        # explicit control via num_partitions=0 / a positive count.
+        p = docs.sparkSession.sparkContext.defaultParallelism
+        # CAUTION: probing partitioning (df.rdd) — or even asking for the
+        # physical plan — of a query that contains exchange-producing
+        # operators can materialize upstream stages, i.e. EXECUTE the
+        # input (it double-scanned the lineage dedup path's source, caught
+        # by test_input_scanned_once). So consult only the ANALYZED
+        # LOGICAL plan (pure analysis, cannot execute): scan-shaped
+        # inputs — no aggregate/join/window/sort/repartition/distinct —
+        # are safe to probe, and for them df.rdd is a pure planning call.
+        # Anything else keeps the conservative salt.
+        lp = docs._jdf.queryExecution().analyzed().toString()
+        exchange_nodes = (
+            "Aggregate", "Join", "Window", "Distinct", "Sort", "Repartition",
+            "GlobalLimit", "Intersect", "Except",
+        )
+        scan_shaped = not any(
+            ln.lstrip(" +-:").startswith(exchange_nodes) for ln in lp.splitlines()
+        )
+        if scan_shaped and docs.rdd.getNumPartitions() >= p:
+            num_partitions = 0
+        else:
+            num_partitions = p * 2
     key = (key_cols or ["url"])[0]
     parted = docs if num_partitions == 0 else salted_repartition(docs, key, num_partitions)
     parted = parted.withColumn(
