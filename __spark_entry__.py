@@ -750,7 +750,7 @@ def q_optout_filter(spark: SparkSession, sf: str) -> DataFrame:  # web: robots/A
     detector must classify every page exactly."""
     from longqc_spark.operators.web import robots_optout_filter
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     meta = (
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -1252,7 +1252,7 @@ def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:  # web: RFC 9309 c
     precedence, tie-break, wildcard and anchor semantics are all pinned."""
     from longqc_spark.operators.robots import parse_robots_rules, robots_gate
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     k = F.col("doc_id") % 16
     pages = docs.select(
         "doc_id",
@@ -1353,7 +1353,7 @@ def q_etld1_domains(spark: SparkSession, sf: str) -> DataFrame:  # web: public-s
         PSL_MINI, parse_psl_rules, with_registrable_domain,
     )
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     k, h = d % 5, (d % 7).cast("string")
     url = (
@@ -1380,7 +1380,7 @@ def q_mirror_hosts(spark: SparkSession, sf: str) -> DataFrame:  # web: mirror-si
     DuckDB, so the pair math is value-pinned."""
     from longqc_spark.operators.mirror import mirror_pairs
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     g = F.expr("doc_id div 16")
     host = F.concat(F.lit("h"), (d % 16).cast("string"))
@@ -1412,7 +1412,7 @@ def q_sitemap_coverage(spark: SparkSession, sf: str) -> DataFrame:  # web: sitem
         parse_sitemap_entries, sitemap_coverage,
     )
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     k = (d % 8).cast("string")
     day = F.lpad((d % 20 + 1).cast("string"), 2, "0")
@@ -1441,7 +1441,7 @@ def q_soft404_drop(spark: SparkSession, sf: str) -> DataFrame:  # web: soft-404 
     short-body gate, and the per-host template threshold."""
     from longqc_spark.operators.soft404 import soft404_filter
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     m = d % 10
     tpl = m < 3
@@ -1475,7 +1475,7 @@ def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:  # web: fetch s
     selection are replicated 1:1 in DuckDB."""
     from longqc_spark.operators.frontier import frontier_next
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://h"), (d % 16).cast("string"), F.lit(".com/p/"),
@@ -1501,7 +1501,7 @@ def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:  # web: per-h
     replicated 1:1 in DuckDB (full-text compare)."""
     from longqc_spark.operators.web import host_boilerplate_strip
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     k = (d % 8).cast("string")
     text = F.concat(
@@ -1528,7 +1528,7 @@ def q_anchor_targets(spark: SparkSession, sf: str) -> DataFrame:  # web: target-
     and the min_sources gate are replicated 1:1 in DuckDB."""
     from longqc_spark.operators.web import anchor_targets
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     ds = d.cast("string")
     a1 = docs.select(
@@ -1553,7 +1553,7 @@ def q_snapshot_churn(spark: SparkSession, sf: str) -> DataFrame:  # web: crawl c
     1:1 in DuckDB."""
     from longqc_spark.operators.web import snapshot_churn
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     ds = d.cast("string")
     url = F.concat(
@@ -1588,7 +1588,7 @@ def q_script_check(spark: SparkSession, sf: str) -> DataFrame:  # text: lang/scr
     denominator, the strict < threshold, and all three NULL rules."""
     from longqc_spark.operators.text import script_consistency
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     d = F.col("doc_id")
     lang = F.when(d % 5 == 4, F.lit("xx")).otherwise(
         F.when(d % 2 == 0, F.lit("en")).otherwise(F.lit("ru"))
@@ -1804,7 +1804,7 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:  # sharding (two-
     sort — the n50_approx pattern applied to a running total)."""
     from longqc_spark.operators.relational import assign_shards
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     return (
         assign_shards(docs, shard_bytes=20_000)
         .groupBy("shard")
@@ -2153,7 +2153,7 @@ def q_pack_seqs(spark: SparkSession, sf: str) -> DataFrame:  # training layout
     BIGINT div/mod."""
     from longqc_spark.operators.relational import pack_sequences
 
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     packed = pack_sequences(docs, seq_len=1000, tokens_col="n_chars", key_col="doc_id")
     return packed.select("doc_id", "seq_id", "seq_offset").orderBy("doc_id")
 
@@ -2293,7 +2293,7 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:  # robust outlier
     engines produce exactly-representable .0/.5 values and the 3-MAD cut is
     bit-stable. Two exact-median aggs (Spark `median` == SQL quantile_cont
     interpolation) + one conditional count."""
-    docs = _fan(_read(spark, sf, "documents"))
+    docs = _read(spark, sf, "documents")
     med = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
     dev = docs.join(F.broadcast(med), "source").withColumn(
         "adev", F.abs(F.col("n_chars") - F.col("med"))
