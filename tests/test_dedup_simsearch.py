@@ -461,6 +461,63 @@ def test_contamination_hashed_matches_string_path(spark, sf001):
     assert len(a) > 0
 
 
+def test_contamination_shingle_hash_values_match_fold_form(spark, sf001):
+    """The r6 unrolled shingle hash (per-leg rotate + zip_with XOR) must be
+    BIT-IDENTICAL to the original rolling fold [acc <- rot13(acc) ^ h_i]
+    it replaced — same multiset of (key, sh) rows, not just same counts.
+    Guards the rotation-distributes-over-XOR identity the rewrite rests on."""
+    from longqc_spark.operators.dedup import contamination_hits
+
+    docs = (
+        spark.read.parquet(f"{sf001}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .limit(300)
+        .select("doc_id", "text")
+    )
+    shingle = 5
+    # reference: the pre-r6 fold expression, reconstructed verbatim
+    ts = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    th = F.transform(ts, lambda t: F.xxhash64(t))
+
+    def comb(i):
+        acc = F.lit(0).cast("long")
+        for j in range(shingle):
+            rot = F.shiftleft(acc, 13).bitwiseOR(F.shiftrightunsigned(acc, 51))
+            acc = rot.bitwiseXOR(F.element_at(F.col("th"), i + F.lit(j) + 1))
+        return acc
+
+    ref = (
+        docs.select(F.col("doc_id"), th.alias("th"))
+        .filter(F.size("th") >= shingle)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.size("th") - shingle), comb)
+            ).alias("sh"),
+        )
+        .toPandas()
+    )
+    # production path: contamination_hits with the doc side as its own eval
+    # side would dedupe; instead compare through the shingles of the hashed
+    # path by self-joining docs against themselves (every shingle matches)
+    got = (
+        contamination_hits(
+            docs,
+            docs.select(F.col("doc_id").alias("eval_id"), "text"),
+            key_col="doc_id",
+            text_col="text",
+            hashed=True,
+        )
+        .select("doc_id", "sh")
+        .distinct()
+        .toPandas()
+    )
+    ref_set = set(map(tuple, ref[["doc_id", "sh"]].drop_duplicates().values))
+    got_set = set(map(tuple, got.values))
+    assert len(ref) > 1000  # the fixture genuinely exercises the path
+    assert got_set == ref_set
+
+
 def _neardup_fixture(spark):
     """Committed run = 40 template docs; batch = 20 near-copies (one word
     edited), 20 fresh docs, 1 NULL and 1 too-short-for-shingles row."""
