@@ -1331,24 +1331,44 @@ def ngram_diversity(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    # NB: capture n via factories, not `lambda x, n=n` — a second lambda
-    # parameter makes pyspark's transform pass the ELEMENT INDEX into it
-    def _gram(n):
-        return lambda i: F.array_join(F.slice(toks, i, n), " ")
+    # Gram keys are 64-bit rolling hashes of the token hashes, not rebuilt
+    # strings (optimization round 6): the counts are the ONLY output, and
+    # distinct/total counts over hashed keys equal the string-gram counts
+    # barring a 64-bit collision among a corpus's distinct grams
+    # (p ~ D^2/2^65 — ~1e-6 at 100M distinct grams; same contract as the
+    # hashed decontamination path, equality pytest-pinned vs a string-gram
+    # reference). Construction is the unrolled rotate/zip_with combine from
+    # ``contamination_hits``: rotations distribute over XOR, each leg is one
+    # O(n) array pass, and no per-gram string is ever allocated — the
+    # (n, gram) shuffle carries 8-byte longs instead of strings (guide
+    # §2.3 shuffle fewer bytes, §1.2 per-task work).
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _rot(c, k: int):
+        k %= 64
+        if k == 0:
+            return c
+        return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+    def _grams(n):
+        if n == 1:
+            return th
+        m = F.size(th) - F.lit(n - 1)
+
+        def leg(j):
+            return F.transform(
+                F.slice(th, j + 1, m), lambda t: _rot(t, 13 * (n - 1 - j))
+            )
+
+        acc = leg(0)
+        for j in range(1, n):
+            acc = F.zip_with(acc, leg(j), lambda x, y: x.bitwiseXOR(y))
+        return F.when(m >= 1, acc).otherwise(F.array().cast("array<long>"))
 
     def _tag(n):
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
 
-    branches = []
-    for n in range(1, max_n + 1):
-        if n == 1:
-            grams = toks
-        else:
-            cnt = F.size(toks) - F.lit(n - 1)
-            grams = F.when(
-                cnt >= 1, F.transform(F.sequence(F.lit(1), cnt), _gram(n))
-            ).otherwise(F.array().cast("array<string>"))
-        branches.append(F.transform(grams, _tag(n)))
+    branches = [F.transform(_grams(n), _tag(n)) for n in range(1, max_n + 1)]
     pairs = df.select(F.explode(F.concat(*branches)).alias("p")).select(
         F.col("p.n").alias("n"), F.col("p.g").alias("g")
     )

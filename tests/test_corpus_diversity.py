@@ -38,6 +38,46 @@ def test_ngram_diversity_no_expand(spark):
     assert "Expand" not in plan
 
 
+def test_ngram_diversity_hashed_matches_string_grams(spark, sf001):
+    """The r6 hashed gram keys must reproduce the string-gram counts
+    exactly: distinct/total per n over real fixture text equals a
+    reference that rebuilds every n-gram as a joined string (the shape
+    the DuckDB oracle uses). A divergence means the rolling-hash
+    construction broke, not a collision (p ~ 1e-10 at this size)."""
+    docs = (
+        spark.read.parquet(f"{sf001}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("text")
+    )
+    got = {r.n: r for r in ngram_diversity(docs, max_n=3).collect()}
+
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+
+    def _gram(n):
+        return lambda i: F.array_join(F.slice(toks, i, n), " ")
+
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = toks
+        else:
+            cnt = F.size(toks) - F.lit(n - 1)
+            grams = F.when(
+                cnt >= 1, F.transform(F.sequence(F.lit(1), cnt), _gram(n))
+            ).otherwise(F.array().cast("array<string>"))
+        ref = (
+            docs.select(F.explode(grams).alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count_distinct("g").alias("distinct"),
+            )
+            .first()
+        )
+        assert (got[n].total_ngrams, got[n].distinct_ngrams) == (
+            ref["total"],
+            ref["distinct"],
+        ), f"n={n}"
+
+
 def test_host_concentration(spark):
     rows = [(f"https://big.com/{i}",) for i in range(8)] + [
         (f"https://h{i}.com/x",) for i in range(2)
