@@ -47,7 +47,15 @@ def hashed_tf(
     drop (no tokens → no features). Token-free (empty/whitespace-only)
     texts contribute no rows here and therefore get NO dense row from
     :func:`hash_vectors` either; callers that need every doc represented
-    should left-join the vectors back to the doc table and zero-fill."""
+    should left-join the vectors back to the doc table and zero-fill.
+
+    Shape note (ADVICE r5): the ``repartition(_id)`` below trades map-side
+    pre-aggregation for a single doc-keyed exchange shared with
+    :func:`hash_vectors` — a win whenever a doc's distinct buckets ≈ its
+    token count (any realistic text at dim ≥ 64). At very small ``dim``
+    (or highly repetitive token streams) partial aggregation would shrink
+    the shuffle more than the saved exchange; callers in that regime can
+    pre-aggregate with a plain groupBy and skip :func:`hash_vectors`."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     tok = df.filter(F.col(text_col).isNotNull()).select(

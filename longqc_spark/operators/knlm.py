@@ -278,6 +278,12 @@ def kn_trigram_lm(
     'bi': (v,w,logp2_micro), 'ctx2': (v,lambda2_micro),
     'cont': (w,logpc_micro), 'consts': 1 row (unk_logpc_micro)} — the
     6-table artifact ``kn_trigram_score`` consumes."""
+    # Type-level cost note (ADVICE r5): scoring works on DISTINCT n-gram
+    # types, so the measured 2.1x win over per-occurrence scoring assumes
+    # grams:types well above 1 (the 4M synth corpus sits near 5:1). On an
+    # all-hapax corpus the type table approaches the gram stream itself
+    # and the rework degrades to roughly the old cost plus the distinct
+    # shuffle — expected behavior, not a regression.
     c3 = (
         doc_trigrams(df, text_col)
         .repartition(F.col("u"), F.col("v"))

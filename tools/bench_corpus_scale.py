@@ -998,13 +998,16 @@ def main() -> None:
                 F.count(F.lit(1)), F.sum("sum_logp_micro"), F.sum("n_backoff")
             ).collect()[0]
             score_dt = time.time() - t0
+            # rates from the ACTUAL scored row count, not args.docs
+            # (ADVICE r5) — train scans the same corpus kn_score scores
+            n_docs_scored = int(scored[0])
             out["kn_bigram_lm"] = {
                 "train_sec": round(train_dt, 1),
-                "train_docs_per_sec": round(args.docs / train_dt),
+                "train_docs_per_sec": round(n_docs_scored / train_dt),
                 "score_sec": round(score_dt, 1),
-                "score_docs_per_sec": round(args.docs / score_dt),
+                "score_docs_per_sec": round(n_docs_scored / score_dt),
                 "n_bigram_types": n_bigram_types,
-                "n_docs_scored": int(scored[0]),
+                "n_docs_scored": n_docs_scored,
             }
         finally:
             shutil.rmtree(model_dir, ignore_errors=True)
@@ -1054,13 +1057,14 @@ def main() -> None:
                 F.sum("n_tri_hits"),
             ).collect()[0]
             score_dt = time.time() - t0
+            n_docs_scored = int(scored[0])  # actual rows, not args.docs
             out["kn_trigram_lm"] = {
                 "train_sec": round(train_dt, 1),
-                "train_docs_per_sec": round(args.docs / train_dt),
+                "train_docs_per_sec": round(n_docs_scored / train_dt),
                 "score_sec": round(score_dt, 1),
-                "score_docs_per_sec": round(args.docs / score_dt),
+                "score_docs_per_sec": round(n_docs_scored / score_dt),
                 "n_trigram_types": n_trigram_types,
-                "n_docs_scored": int(scored[0]),
+                "n_docs_scored": n_docs_scored,
             }
         finally:
             shutil.rmtree(model_dir, ignore_errors=True)

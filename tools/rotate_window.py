@@ -16,6 +16,10 @@ slots in round 4 on entries that could never go driver-green
 4. top-up    = if fewer than 50 remain unchecked, pad with
    previously-driver-green anchors (hash_match in their latest row),
    evenly spaced across the registry as regression canaries.
+   Rows-only entries are deliberately EXCLUDED from anchor rotation
+   once checked: they can never be hash-green, so a repeat visit only
+   re-runs the weaker rows-count check — their regression coverage
+   lives in the golden pins in pytest, not in window slots (ADVICE r5).
 
 Usage::
 
@@ -130,9 +134,10 @@ def main(argv: list[str]) -> int:
         print(f"window ok ({len(window)} names)")
         return 0
 
+    full_hist = load_history()
     for name in window:
         tag = "oracled" if name in oracled else "rows-only"
-        seen = "never-checked" if name not in load_history() else "anchor"
+        seen = "never-checked" if name not in full_hist else "anchor"
         print(f'    "{name}",  # {tag}, {seen}')
     return 0
 
